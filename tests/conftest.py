@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tf_idf_using_mapreduce_spark.session import get_spark
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+SF_CHECK = os.environ.get("SPARK_GRAFT_SF_CHECK", "/root/testdata/sf0.01")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the sf0.001 fixture tables as views (the same
+    registration the driver's oracle uses)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def normalize_rows(rows, cols):
+    """Order-insensitive, column-name-sorted value normalization (mirrors the
+    driver's compare)."""
+    import math
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.9g}"
+        return str(v)
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def assert_query_matches_oracle(spark, name: str, sf_dir: str = SF_SMOKE):
+    """Run a registered query and its oracle on the SAME sf dir and compare."""
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    rel = con.sql(e.oracle_sql()[name])
+    dcols = rel.columns
+    drows = rel.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: schema {sorted(scols)} != {sorted(dcols)}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} != {len(drows)}"
+    s_norm = normalize_rows([tuple(r[c] for c in scols) for r in srows], scols)
+    d_norm = normalize_rows(drows, dcols)
+    assert s_norm == d_norm, f"{name}: value mismatch, first diff: " + str(
+        next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
+    )

@@ -1,0 +1,55 @@
+"""POS tagging: rule-tagger unit tests, pairs-vs-stripes equivalence, oracle
+parity (SURVEY.md §2.2 P8/P9, §2.4 A1/A2)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.functions.postag import pos_tag_py, pos_tag_sql
+from tf_idf_using_mapreduce_spark.operators.pos import pos_counts, pos_counts_stripes
+
+CASES = {
+    "the": "DET", "a": "DET", "it": "PRON", "is": "AUX", "of": "ADP",
+    "and": "CCONJ", "if": "SCONJ", "not": "PART", "very": "ADV",
+    "fast": "ADJ", "slow": "ADJ", "big": "ADJ", "small": "ADJ",
+    "quickly": "ADV", "running": "VERB", "jumped": "VERB", "famous": "ADJ",
+    "helpful": "ADJ", "readable": "ADJ", "123": "NUM", ".": "PUNCT",
+    ",": "PUNCT", "table": "NOUN", "query": "NOUN", "spark": "NOUN",
+    "ing": "NOUN", "ed": "NOUN",  # suffix rules require a real stem prefix
+}
+
+
+def test_tag_rules_python():
+    bad = {w: (pos_tag_py(w), exp) for w, exp in CASES.items() if pos_tag_py(w) != exp}
+    assert not bad, bad
+
+
+def test_tag_rules_sql_matches_python(duck):
+    vals = ", ".join(f"('{w}')" for w in CASES)
+    rows = duck.execute(
+        f"SELECT token, {pos_tag_sql('token')} FROM (VALUES {vals}) v(token)"
+    ).fetchall()
+    bad = {w: (got, pos_tag_py(w)) for w, got in rows if got != pos_tag_py(w)}
+    assert not bad, bad
+
+
+def test_pairs_equals_stripes(spark):
+    pairs = {(r["tag"], r["cnt"]) for r in pos_counts(spark, SF_SMOKE).collect()}
+    stripes = {(r["tag"], r["cnt"]) for r in pos_counts_stripes(spark, SF_SMOKE).collect()}
+    assert pairs == stripes and len(pairs) > 0
+
+
+def test_pos_counts_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "pos_counts")
+
+
+def test_pos_counts_total_equals_token_count(spark, duck):
+    total = sum(r["cnt"] for r in pos_counts(spark, SF_SMOKE).collect())
+    expected = duck.execute(
+        "SELECT sum(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))) FROM documents"
+    ).fetchone()[0]
+    assert total == expected
+
+
+def test_pos_counts_plan_is_pure_jvm(spark):
+    plan = pos_counts(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan[:1500]

@@ -1,0 +1,100 @@
+"""DF top-100 and TF-IDF pipelines: golden checks vs an independent pure-Python
+implementation (no Spark, no SQL) + DuckDB oracle parity + plan assertions.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.functions.porter import porter_stem_py
+from tf_idf_using_mapreduce_spark.operators.tfidf import doc_freq, tfidf
+from tf_idf_using_mapreduce_spark.sources.corpus import stopwords
+
+
+def _pure_python_pipeline(sf_dir: str):
+    """Independent oracle: tokenize/stop-filter/stem/DF/TF-IDF in plain Python."""
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    con.close()
+    stops = set(stopwords())
+    doc_terms: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        toks = re.findall(r"[a-z]+", text.lower())
+        doc_terms[doc_id] = [porter_stem_py(t) for t in toks if t not in stops]
+    df_counts: dict[str, set] = defaultdict(set)
+    for doc_id, terms in doc_terms.items():
+        for t in terms:
+            df_counts[t].add(doc_id)
+    df_table = {t: len(s) for t, s in df_counts.items()}
+    top = sorted(df_table.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    vocab = dict(top)
+    scores = {}
+    for doc_id, terms in doc_terms.items():
+        tf = Counter(t for t in terms if t in vocab)
+        for term, n in tf.items():
+            scores[(doc_id, term)] = (n, round(n * math.log(10000.0 / (vocab[term] + 1)), 6))
+    return top, scores
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return _pure_python_pipeline(SF_SMOKE)
+
+
+def test_doc_freq_matches_pure_python(spark, golden):
+    top, _ = golden
+    got = [(r["term"], r["df"]) for r in doc_freq(spark, SF_SMOKE).collect()]
+    assert got == top
+
+
+def test_tfidf_matches_pure_python(spark, golden):
+    _, scores = golden
+    rows = tfidf(spark, SF_SMOKE).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["score"]) for r in rows}
+    assert len(got) == len(scores)
+    mismatches = {k: (got.get(k), v) for k, v in scores.items() if got.get(k) != v}
+    assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_doc_freq_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "doc_freq_top100")
+
+
+def test_tfidf_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "tfidf")
+
+
+def test_tfidf_plan_shape(spark):
+    """The physical plan must broadcast the vocabulary (J1) and contain no
+    Python evaluation (stemming stays in codegen)."""
+    plan = tfidf(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan[:2000]
+
+
+def test_doc_freq_plan_is_topk_not_global_sort(spark):
+    plan = doc_freq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_scan_prunes_columns(spark):
+    """Only (doc_id, text) may be read from the documents parquet (ReadSchema)."""
+    plan = doc_freq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
+
+
+def test_mllib_variant_runs(spark):
+    from tf_idf_using_mapreduce_spark.operators.tfidf import tfidf_mllib
+
+    rows = tfidf_mllib(spark, SF_SMOKE, vocab_size=20).collect()
+    assert len(rows) > 0
+    assert rows[0]["features"] is not None

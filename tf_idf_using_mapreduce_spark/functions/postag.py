@@ -1,0 +1,116 @@
+"""Rule-based POS tagging (SURVEY.md §2.2 P8/P9).
+
+The reference tags with OpenNLP's pre-trained Universal-Dependencies model
+(``POS.java:23-25,36``) — a binary model artifact that is neither public-API
+reproducible in SQL nor shippable here. The engine therefore defines a
+DETERMINISTIC rule tagger over the UD tagset (closed-class lexicons + suffix
+heuristics + NOUN default), expressed as ONE portable SQL CASE usable verbatim
+by Spark (``F.expr`` → whole-stage codegen) and the DuckDB oracle — counting
+semantics (A1/A2) are what the correctness contract checks, not tag-inventory
+fidelity (SURVEY.md §7.3 "POS tagset").
+
+A ``mapInPandas`` stripes variant re-implements the same rules in Python
+(shared lexicon constants) to reproduce the reference's pairs-vs-stripes
+design-pattern comparison (``POSstripes.java:35-49``) and to serve as the
+documented extension point for plugging a real model (lazy per-executor init,
+SURVEY.md §2.10).
+
+Tokenization mirrors OpenNLP ``SimpleTokenizer`` (char-class runs:
+``POS.java:35``): letter runs, digit runs, and single punctuation characters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# SimpleTokenizer-style: letter runs | digit runs | single other non-space char.
+# (No backslash classes: Spark SQL string literals escape '\', DuckDB's don't.)
+POS_TOKENIZE_SQL = "regexp_extract_all({col}, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)"
+
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "DET": ("the", "a", "an", "this", "that", "these", "those", "every", "each",
+            "either", "neither", "some", "any", "no", "all", "both"),
+    "PRON": ("i", "you", "he", "she", "it", "we", "they", "me", "him", "her",
+             "us", "them", "who", "whom", "which", "what", "mine", "yours",
+             "his", "hers", "ours", "theirs", "myself", "yourself", "himself",
+             "herself", "itself", "ourselves", "themselves"),
+    "AUX": ("am", "is", "are", "was", "were", "be", "been", "being", "do",
+            "does", "did", "have", "has", "had", "will", "would", "shall",
+            "should", "can", "could", "may", "might", "must"),
+    "ADP": ("of", "in", "on", "at", "by", "for", "with", "about", "against",
+            "between", "into", "through", "during", "before", "after", "above",
+            "below", "to", "from", "up", "down", "under", "over", "off", "near"),
+    "CCONJ": ("and", "or", "but", "nor", "so", "yet"),
+    "SCONJ": ("if", "because", "while", "although", "though", "unless",
+              "since", "whether"),
+    "PART": ("not",),
+    "ADV": ("very", "too", "quite", "rather", "almost", "always", "never",
+            "often", "sometimes", "here", "there", "now", "then", "again",
+            "also", "just", "only", "well"),
+    "ADJ": ("fast", "slow", "small", "big", "good", "bad", "new", "old",
+            "high", "low", "large", "great"),
+}
+
+# Suffix heuristics, applied after lexicons, longest-first within each tag.
+_ADV_SUFFIXES = ("ly",)
+_VERB_SUFFIXES = ("ing", "ed", "ize", "ise")
+_ADJ_SUFFIXES = ("able", "ible", "less", "ish", "ous", "ful", "ive", "ic")
+
+
+def _in_list(expr: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"{expr} IN ({quoted})"
+
+
+def pos_tag_sql(token_col: str = "token") -> str:
+    """Portable SQL CASE mapping a token to its UD tag."""
+    t = f"lower({token_col})"
+    whens: list[str] = []
+    # NUM: all digits (translate deletes digits; empty remainder = numeric)
+    whens.append(f"WHEN translate({token_col}, '0123456789', '') = '' THEN 'NUM'")
+    # PUNCT: no letters and no digits
+    whens.append(
+        f"WHEN translate({t}, 'abcdefghijklmnopqrstuvwxyz0123456789', '') = {token_col} "
+        "THEN 'PUNCT'"
+    )
+    for tag, words in LEXICONS.items():
+        whens.append(f"WHEN {_in_list(t, words)} THEN '{tag}'")
+    for suf in _ADV_SUFFIXES:
+        whens.append(f"WHEN length({t}) > {len(suf) + 2} AND right({t}, {len(suf)}) = '{suf}' THEN 'ADV'")
+    for suf in _VERB_SUFFIXES:
+        whens.append(f"WHEN length({t}) > {len(suf) + 1} AND right({t}, {len(suf)}) = '{suf}' THEN 'VERB'")
+    for suf in _ADJ_SUFFIXES:
+        whens.append(f"WHEN length({t}) > {len(suf) + 1} AND right({t}, {len(suf)}) = '{suf}' THEN 'ADJ'")
+    return "CASE " + " ".join(whens) + " ELSE 'NOUN' END"
+
+
+def pos_tag_py(token: str) -> str:
+    """Same rules in Python (used by the mapInPandas stripes variant and tests)."""
+    if token and all(c.isdigit() for c in token):
+        return "NUM"
+    t = token.lower()
+    if not any(c.isalnum() and c.isascii() for c in t):
+        return "PUNCT"
+    for tag, words in LEXICONS.items():
+        if t in words:
+            return tag
+    for suf in _ADV_SUFFIXES:
+        if len(t) > len(suf) + 2 and t.endswith(suf):
+            return "ADV"
+    for suf in _VERB_SUFFIXES:
+        if len(t) > len(suf) + 1 and t.endswith(suf):
+            return "VERB"
+    for suf in _ADJ_SUFFIXES:
+        if len(t) > len(suf) + 1 and t.endswith(suf):
+            return "ADJ"
+    return "NOUN"
+
+
+def explode_pos_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    arr = F.expr(POS_TOKENIZE_SQL.format(col=text_col))
+    return df.select(F.explode(arr).alias("token"))
+
+
+def with_pos_tag(df: DataFrame, token_col: str = "token", out_col: str = "tag") -> DataFrame:
+    return df.withColumn(out_col, F.expr(pos_tag_sql(token_col)))

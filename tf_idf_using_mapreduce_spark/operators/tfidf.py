@@ -1,0 +1,149 @@
+"""Document Frequency + TF-IDF pipelines (SURVEY.md §2/§3, reference
+``DocumentFreq.java`` + ``IDF.java``), Spark-first.
+
+Physical shape (the plan we WANT at 100 TB, verified by tests/test_plans.py):
+
+- one Parquet scan per pass with column pruning to (doc_id, text);
+- tokenize/stop-filter/stem entirely in whole-stage codegen (no Python);
+- DF aggregation: partial+final ``HashAggregate`` on ``stem`` (the stripes
+  pattern, automatic — SURVEY.md §2.4 A2) with ``count(distinct doc_id)``;
+- top-100 as ``TakeOrderedAndProject`` (per-partition top-k, no global sort —
+  replaces the reference's reducer-global TreeMap, ``DocumentFreq.java:78-107``);
+- the ≤100-row DF table joined back with an explicit ``F.broadcast`` (the
+  reference's replicated join via distributed cache, ``IDF.java:62-79,93,163``);
+- TF aggregation on (doc_id, term) then the score arithmetic (P10,
+  ``IDF.java:164``: ``tf * ln(10000/(df+1))`` — natural log, corpus constant).
+
+Intended semantics, not quirk Q1 (the reference over-counts TF by emitting the
+accumulating stripe once per token, ``IDF.java:104``; SURVEY.md §2.11).
+
+Scale notes: TF-IDF is inherently two passes over the corpus (build the DF
+vocabulary, then score); we re-scan rather than cache — at 100 TB a cache is
+impossible and the second scan prunes to the same two columns. Skew: the DF agg
+groups on ``stem`` whose distribution is Zipfian, but partial aggregation
+collapses each partition's duplicates before the shuffle, so the reduce side
+sees ≤ |vocab| × n_partitions rows; AQE skew-join handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.functions.porter import stem_sql_select, with_stem
+from tf_idf_using_mapreduce_spark.functions.text import explode_tokens, filter_stopwords, tokens_cte_duckdb
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+DEFAULT_CORPUS_CONSTANT = 10000.0  # hardcoded corpus size in the reference score (IDF.java:164)
+SCORE_ROUND = 6  # stabilize float hashing across engines
+
+
+def stem_dictionary(tokens_df: DataFrame) -> DataFrame:
+    """(token, stem) over the DISTINCT tokens of ``tokens_df``, materialized.
+
+    Dictionary-encoding the stemmer is the scale play twice over: (1) the
+    expensive per-token function runs once per distinct token (Heaps' law:
+    vocabulary grows ~O(corpus^0.5), so at 100 TB this is millions of rows, not
+    trillions), and (2) ``localCheckpoint`` terminates the lineage so the
+    20-layer stem expression chain never reaches Catalyst inside a larger plan
+    — joining two branches that both inline the chain sends the optimizer's
+    constraint propagation into exponential blowup (measured: >200 s to
+    optimize at ANY data size; the chain alone optimizes in <1 s). On a real
+    cluster this dictionary would be persisted to a table between stages —
+    same pattern, same cut.
+    """
+    vocab = tokens_df.select("token").distinct()
+    return with_stem(vocab, "token").localCheckpoint()
+
+
+def stemmed_tokens(spark: SparkSession, sf_dir: str, case_sensitive: bool = False) -> DataFrame:
+    """(doc_id, token, stem) — P1-P5: tokenize → stop-filter (pre-stem, Q2) →
+    stem via the broadcast stem dictionary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = explode_tokens(docs, case_sensitive=case_sensitive)
+    toks = filter_stopwords(toks)
+    return toks.join(F.broadcast(stem_dictionary(toks)), "token")
+
+
+def _doc_freq_of(stemmed: DataFrame, top_n: int) -> DataFrame:
+    """A3 (count-distinct docs per term) + T1 (top-k, deterministic tie-break
+    ``term ASC`` — deliberate fix of reference quirk Q6)."""
+    return (
+        stemmed.groupBy(F.col("stem").alias("term"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def doc_freq(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
+    """Top-``top_n`` terms by document frequency: (term, df)."""
+    return _doc_freq_of(stemmed_tokens(spark, sf_dir), top_n)
+
+
+def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
+          corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+    """(doc_id, term, tf, score) for terms in the top-``top_n`` DF vocabulary.
+
+    P6+J1 fused: the inner broadcast join both restricts to the vocabulary and
+    carries ``df`` to the score (replaces the reference's double-loaded
+    distributed-cache HashMap, ``IDF.java:36-46,112-140``). The DF vocabulary
+    and TF aggregation share one logical token subtree; Spark re-scans the
+    (column-pruned) parquet for each pass — TF-IDF is inherently two passes
+    and a 100 TB corpus cannot be cached.
+    """
+    stemmed = stemmed_tokens(spark, sf_dir)
+    vocab = _doc_freq_of(stemmed, top_n)
+    toks = stemmed.select("doc_id", F.col("stem").alias("term"))
+    tf = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "term", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    score = F.round(F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND)
+    return tf.select("doc_id", "term", "tf", score.alias("score"))
+
+
+def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
+    """MLlib variant (CountVectorizer + IDF) — documented PARALLEL pipeline,
+    NOT the reference score: MLlib computes ``log((N+1)/(df+1))`` vs the
+    reference's ``log(10000/(df+1))`` (SURVEY.md §4.3). Returns
+    (doc_id, features) with the MLlib TF-IDF vector; rows-only checkable.
+    """
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    toks = stemmed_tokens(spark, sf_dir)
+    doc_tokens = toks.groupBy("doc_id").agg(F.collect_list("stem").alias("terms"))
+    cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
+    cv_model = cv.fit(doc_tokens)
+    tf = cv_model.transform(doc_tokens)
+    idf = IDF(inputCol="tf_vec", outputCol="features")
+    return idf.fit(tf).transform(tf).select("doc_id", "features")
+
+
+# --------------------------------------------------------------------------- #
+# DuckDB oracles (same algorithm, same aliases)
+# --------------------------------------------------------------------------- #
+
+def _stemmed_tokens_sql() -> str:
+    return stem_sql_select(tokens_cte_duckdb(), token_col="token", extra_cols=", doc_id")
+
+
+def doc_freq_oracle(top_n: int = 100) -> str:
+    return (
+        f"SELECT stem AS term, count(DISTINCT doc_id) AS df FROM ({_stemmed_tokens_sql()}) st "
+        f"GROUP BY stem ORDER BY df DESC, term ASC LIMIT {top_n}"
+    )
+
+
+def tfidf_oracle(top_n: int = 100, corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> str:
+    return f"""
+WITH stemmed AS ({_stemmed_tokens_sql()}),
+vocab AS (SELECT stem AS term, count(DISTINCT doc_id) AS df FROM stemmed
+          GROUP BY stem ORDER BY df DESC, term ASC LIMIT {top_n}),
+tf AS (SELECT s.doc_id, v.term, v.df, count(*) AS tf
+       FROM stemmed s JOIN vocab v ON s.stem = v.term
+       GROUP BY s.doc_id, v.term, v.df)
+SELECT doc_id, term, tf, round(tf * ln({corpus_constant} / (df + 1)), {SCORE_ROUND}) AS score
+FROM tf
+"""

@@ -1,0 +1,34 @@
+"""SparkSession factory with a scale-conscious default configuration.
+
+Tested on ``local[N]`` but configured as it would be on a 1000-executor cluster:
+AQE on (runtime re-planning, skew-join splitting, dynamic coalescing), Arrow for
+any Python exchange, UTC session timezone (parity with the naive timestamps the
+DuckDB oracle sees), and shuffle partitions sized from the environment rather
+than hardcoded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tfidf-spark-engine", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", str(cpus)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,93 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Maps the reference's I/O surface onto Spark:
+
+- S1 directory text scan  (``DocumentFreq.java:145``, ``IDF.java:201``) →
+  :func:`read_text_corpus` (``spark.read.text`` + recursive lookup).
+- S2 file-name-as-document-id (``DocumentFreq.java:64``, ``IDF.java:84``) →
+  ``F.input_file_name()`` column.
+- S3 stop-list side input (``DocumentFreq.java:35-57``) → :func:`stopwords`
+  (driver-side list, broadcast by Catalyst inside ``isin``/anti-join).
+- S4 DF-lookup TSV side input (``IDF.java:62-79``) → :func:`read_tsv` +
+  ``F.broadcast`` join (the engine normally keeps the DF table in the same DAG
+  instead — SURVEY.md §2.1 S8).
+- S5/S6/S7 TSV text sink, single-file contract (``IDF.java:185-186``,
+  ``README.md:14-15``) → :func:`write_tsv`.
+
+Fixture tables (TESTDATA.md) are Parquet; :func:`load_table` /
+:func:`load_tables` read them with schema-on-read and full predicate/column
+pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_RESOURCE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources")
+STOPWORDS_PATH = os.path.join(_RESOURCE_DIR, "stopwords.txt")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the fixture tables as temp views for the ``spark.sql`` surface."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_text_corpus(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Reference-layout corpus: a directory of text files, one record per line,
+    the enclosing file name as document id (S1+S2). Schema: (doc_id, text)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").text(input_dir)
+        .select(F.input_file_name().alias("doc_id"), F.col("value").alias("text"))
+    )
+
+
+def read_tsv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S4: headerless TSV with an explicit schema (e.g. ``"term string, df int"``)."""
+    return spark.read.option("sep", "\t").schema(schema).csv(path)
+
+
+def write_tsv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S5/S6/S7: TSV text sink. ``single_file=True`` reproduces the reference's
+    one-reducer output contract — only for small (top-k sized) results; large
+    results keep their parallel layout."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("sep", "\t").csv(path)
+
+
+@lru_cache(maxsize=1)
+def stopwords() -> tuple[str, ...]:
+    """The reference stop-list, verbatim (``stopwords.txt``: 705 CRLF lines →
+    355 non-empty patterns; dead patterns — apostrophes stripped by
+    tokenization, trailing spaces — stay in the list but can never match, same
+    observable behavior as the reference; SURVEY.md §2.11 Q3)."""
+    with open(STOPWORDS_PATH, encoding="utf-8") as fh:
+        pats = [line.rstrip("\r\n") for line in fh]
+    seen: dict[str, None] = {}
+    for p in pats:
+        if p:
+            seen.setdefault(p, None)
+    return tuple(seen)
+
+
+def stopwords_sql_list() -> str:
+    """The stop-list as a SQL IN-list literal (portable; apostrophes doubled)."""
+    quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in stopwords())
+    return f"({quoted})"
