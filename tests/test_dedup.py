@@ -1,0 +1,56 @@
+"""Dedup suite: oracle parity, LSH recall vs the exact baseline, sketch
+determinism (SURVEY.md §7.2 #7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import dedup
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+     "dedup_embedding_cosine"],
+)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Candidate generation must not lose true near-dup pairs at j >= 0.8
+    (theoretical recall 1-(1-j^2)^8 ≈ 0.9997 at the threshold)."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, (recall, exact - lsh)
+    # verification step means LSH can't report pairs the exact measure rejects
+    assert lsh <= exact
+
+
+def test_simhash_near_dups_cover_jaccard_dups(spark):
+    """Strong near-dups (j >= 0.9) should collide in simhash within 3 bits."""
+    strong = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+        if r["jaccard"] >= 0.95
+    }
+    sim = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_simhash(spark, SF_SMOKE).collect()}
+    assert strong, "expect some very-near duplicates in the fixture"
+    covered = len(strong & sim) / len(strong)
+    assert covered >= 0.8, (covered, strong - sim)
+
+
+def test_exact_dedup_survivors_unique(spark):
+    rows = dedup.dedup_exact(spark, SF_SMOKE).collect()
+    assert len({r["text_hash"] for r in rows}) == len(rows)
+    assert all(r["n_docs"] >= 1 for r in rows)
+
+
+def test_simhash_is_deterministic(spark):
+    a = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
+    b = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
+    assert a == b
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for _, s in a)

@@ -1,0 +1,62 @@
+"""Relational query surface: oracle parity for every query + physical-plan
+assertions (broadcasts where dimensions join facts, filter pushdown to the
+parquet scan, top-k without a global sort)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import relational as rel
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders",
+    "rollup_customer_geo",
+    "cube_lineitem_flags",
+    "top3_orders_per_customer",
+    "running_customer_spend",
+    "customers_without_orders",
+    "order_status_symmetric_difference",
+    "suppliers_intersect_customer_nations",
+    "monthly_order_revenue",
+    "events_json_stats",
+    "events_hourly_tumbling",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = rel.q1_pricing_summary(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan[:2000]
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = rel.q3_shipping_priority(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = rel.topk_orders(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = rel.q1_pricing_summary(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^\n>]*)", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
+    # exactly the columns q1 touches — nothing else leaves the scan
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols

@@ -1,0 +1,57 @@
+"""Similarity search: oracle parity, LSH recall vs brute force, MLlib twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import similarity as sim
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_topk_bruteforce", "ann_topk_lsh", "dedup_embedding_cosine"]
+)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_lsh_results_subset_of_corpus_ranking(spark):
+    """Sign-LSH neighbors are real vectors with correctly computed cosines:
+    every (query, neighbor, cos) it reports must appear in the brute-force
+    scoring with the same cosine."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.ann_topk_bruteforce(spark, SF_SMOKE, k=10**6).collect()
+    }
+    for r in sim.ann_topk_lsh(spark, SF_SMOKE).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute and brute[key] == r["cos_sim"], (r, brute.get(key))
+
+
+def test_lsh_recall_at_5(spark):
+    """Multi-probe (hamming ≤ 2) sign-LSH keeps a usable share of true top-5
+    neighbors even on the near-orthogonal fixture vectors (top-neighbor
+    cos ≈ 0.4 ⇒ per-bit agreement ≈ 0.63 ⇒ P(≤2 of 8 bits differ) ≈ 0.38)."""
+    brute = sim.ann_topk_bruteforce(spark, SF_SMOKE).collect()
+    lsh = sim.ann_topk_lsh(spark, SF_SMOKE).collect()
+    true_sets = {}
+    for r in brute:
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_sets = {}
+    for r in lsh:
+        got_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(true_sets[q] & got_sets.get(q, set())) for q in true_sets)
+    total = sum(len(s) for s in true_sets.values())
+    assert hits / total >= 0.2, (hits, total)
+
+
+def test_mllib_lsh_runs_and_ranks(spark):
+    rows = sim.ann_topk_mllib(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["dist"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        dists = [d for _, d in lst]
+        assert dists == sorted(dists), (q, dists)

@@ -1,0 +1,72 @@
+"""Structured Streaming: real stream == batch twin == oracle; watermark +
+session-window state paths."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.streaming import events as se
+
+
+def test_streaming_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_hourly_streaming")
+
+
+def test_sliding_windows_match_oracle(spark):
+    assert_query_matches_oracle(spark, "events_sliding_windows")
+
+
+def test_stream_equals_batch(spark):
+    from tf_idf_using_mapreduce_spark.operators.relational import events_hourly_tumbling
+
+    stream_rows = {
+        tuple(r) for r in se.events_hourly_streaming(spark, SF_SMOKE).collect()
+    }
+    batch_rows = {tuple(r) for r in events_hourly_tumbling(spark, SF_SMOKE).collect()}
+    assert stream_rows == batch_rows
+
+
+def test_stateful_running_counts(spark, duck):
+    """applyInPandasWithState totals must equal the batch per-user aggregates
+    once the finite stream drains."""
+    stream = se.read_events_stream(spark, SF_SMOKE)
+    out = se.user_running_counts_stateful(stream)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_result")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("stateful_result").collect()
+    # update mode may emit a row per user per batch; keep the final (max) count
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        u: (n, round(v, 6))
+        for u, n, v in duck.execute(
+            "SELECT user_id, count(*), sum(value) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert {u: f[0] for u, f in final.items()} == {u: e[0] for u, e in expected.items()}
+    for u in expected:
+        assert abs(final[u][1] - expected[u][1]) < 1e-4, (u, final[u], expected[u])
+
+
+def test_session_windows_stream(spark):
+    """Session-window aggregation (30 min gap) through a real stream — the
+    stateful-window surface DuckDB cannot express (rows-only by design)."""
+    from pyspark.sql import functions as F
+
+    stream = se.read_events_stream(spark, SF_SMOKE)
+    sessions = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    se.run_stream_to_memory(sessions, "session_result")
+    rows = spark.table("session_result").collect()
+    assert rows
+    # sessions are per-user, disjoint, and each holds >= 1 event
+    for r in rows:
+        assert r["n"] >= 1
+        assert r["w"]["end"] > r["w"]["start"]

@@ -1,0 +1,47 @@
+"""Text-analysis operators: oracle parity + semantic sanity checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import textstats as ts
+
+
+@pytest.mark.parametrize(
+    "name", ["lang_id_confusion", "text_quality", "token_counts", "doc_fingerprints"]
+)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_lang_id_predicts_en_for_english_vocab(spark):
+    rows = ts.lang_id_confusion(spark, SF_SMOKE).collect()
+    preds = {r["lang_pred"] for r in rows}
+    assert preds == {"en"}, preds  # fixture text is English-vocabulary throughout
+
+
+def test_token_counts_consistency(spark):
+    rows = ts.token_counts(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["word_tokens"] <= r["ws_tokens"] + 1
+        assert r["bpe_est"] >= r["n_chars"] // 4
+
+
+def test_fingerprints_smaller_than_gram_count(spark):
+    """Winnowing must compress: fingerprints ≪ total 5-grams (density ~2/(w+1))."""
+    rows = ts.doc_fingerprints(spark, SF_SMOKE).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    chars = dict(
+        con.execute(
+            f"SELECT doc_id, length(text) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    for r in rows:
+        n_grams = chars[r["doc_id"]] - 4
+        assert 1 <= r["n_fingerprints"] <= n_grams
+    avg_density = sum(r["n_fingerprints"] for r in rows) / sum(chars[r["doc_id"]] - 4 for r in rows)
+    assert avg_density < 0.6, avg_density

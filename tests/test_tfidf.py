@@ -86,10 +86,21 @@ def test_doc_freq_plan_is_topk_not_global_sort(spark):
 def test_scan_prunes_columns(spark):
     """Only (doc_id, text) may be read from the documents parquet (ReadSchema)."""
     plan = doc_freq(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    m = re.search(r"ReadSchema: struct<([^\n>]*)", plan)
     assert m, plan[:2000]
-    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if ":" in c}
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_doc_freq_approx_error_bound(spark):
+    """HLL estimate within 3×rsd of exact for every top term."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import doc_freq_approx
+
+    exact = {r["term"]: r["df"] for r in doc_freq(spark, SF_SMOKE).collect()}
+    approx = {r["term"]: r["df_approx"] for r in doc_freq_approx(spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)
+    for term, est in approx.items():
+        assert abs(est - exact[term]) <= max(3, 0.15 * exact[term]), (term, est, exact[term])
 
 
 def test_mllib_variant_runs(spark):

@@ -305,6 +305,31 @@ SELECT c_nationkey AS nationkey FROM customer
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's ``spark.sql`` surface (SURVEY.md
+    §3.4 entry point 2): revenue by (status), by (priority), and overall —
+    sets rollup/cube can't express."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 # --------------------------------------------------------------------------- #
 # date + JSON scalar functions over events/orders (§2.8)
 # --------------------------------------------------------------------------- #
@@ -374,7 +399,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_HOURLY_ORACLE = """
-SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS window_start,
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """

@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §7.2 #7):
+brute-force cosine top-k (the correctness baseline) and a sign-LSH-bucketed
+approximate variant (the scale path), plus embedding-cosine near-dup pairs.
+
+Scale design:
+- **brute force** is O(queries × corpus) — exact, and the oracle for recall;
+  the join is a broadcast of the (small) query set against the corpus, so it
+  parallelizes embarrassingly but cannot survive corpus × corpus.
+- **sign-LSH**: bucket = sign bits of the first 8 dimensions (a fixed random
+  hyperplane family — deterministic, shared with the oracle). Candidates are
+  bucket-colocated only, turning the cross join into an equi-join on the
+  bucket key — the same shuffle shape as a groupBy. Recall measured in tests.
+- An MLlib ``BucketedRandomProjectionLSH`` twin exists as the library-native
+  alternative (rows-only check — model hashes aren't reproducible in SQL).
+
+Ranking is on ROUNDED cosine (4dp) with vec_id tie-break, so Spark's and
+DuckDB's last-bit float differences cannot flip an order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.functions.vectors import (
+    CAST_DOUBLE,
+    COS_ROUND,
+    duck_cast_double,
+    duck_dot,
+    duck_norm,
+    spark_dot,
+    spark_norm,
+)
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+N_QUERIES = 10          # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_SIGN_DIMS = 8       # bucket key = sign bits of dims 1..8
+NEARDUP_COS_THRESHOLD = 0.3  # fixture embeddings are near-orthogonal (max ~0.4)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(CAST_DOUBLE.format(v="embedding")).alias("v"),
+    ).withColumn("nrm", F.expr(spark_norm("v")))
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): exact top-k cosine neighbors for
+    each query vector (vec_id < N_QUERIES), excluding self."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = vecs.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(F.expr(spark_dot("v", "qv")) / (F.col("nrm") * F.col("qn")), COS_ROUND)
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+ANN_BRUTEFORCE_ORACLE = f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({duck_dot('c.v', 'q.v')} / (c.nrm * q.nrm), {COS_ROUND}) AS cos_sim
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) ranked WHERE rk <= {TOP_K}
+"""
+
+
+def _sign_bucket_spark(v: str) -> str:
+    bits = [f"(CASE WHEN element_at({v}, {i}) >= 0 THEN '1' ELSE '0' END)"
+            for i in range(1, LSH_SIGN_DIMS + 1)]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _sign_bucket_duck(v: str) -> str:
+    bits = [f"(CASE WHEN {v}[{i}] >= 0 THEN '1' ELSE '0' END)"
+            for i in range(1, LSH_SIGN_DIMS + 1)]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+MULTIPROBE_HAMMING = 2  # probe all buckets within this hamming radius
+
+
+def _probe_exprs(bucket: str) -> list[str]:
+    """SQL exprs for every bucket within hamming ≤ MULTIPROBE_HAMMING of
+    ``bucket`` (multi-probe LSH: query-side fan-out, candidate-side single
+    bucket — probes scale the small side only)."""
+    from itertools import combinations
+
+    def flip(positions: tuple[int, ...]) -> str:
+        pieces = []
+        for i in range(1, LSH_SIGN_DIMS + 1):
+            cell = f"substr({bucket}, {i}, 1)"
+            if i in positions:
+                pieces.append(f"(CASE WHEN {cell} = '1' THEN '0' ELSE '1' END)")
+            else:
+                pieces.append(cell)
+        return "concat(" + ", ".join(pieces) + ")"
+
+    probes = [bucket]
+    for r in range(1, MULTIPROBE_HAMMING + 1):
+        probes.extend(flip(c) for c in combinations(range(1, LSH_SIGN_DIMS + 1), r))
+    return probes
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): multi-probe sign-LSH top-k —
+    exact ranking within buckets at hamming ≤ 2 from the query's bucket.
+    Candidates keep ONE bucket key; the probe fan-out (37 keys) lands on the
+    broadcast query side, so the big side still does a plain equi-join."""
+    vecs = _vectors(spark, sf_dir).withColumn("bucket", F.expr(_sign_bucket_spark("v")))
+    probes = ", ".join(_probe_exprs("bucket"))
+    q = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.expr(f"array({probes})")).alias("bucket"),
+        )
+    )
+    pairs = vecs.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(F.expr(spark_dot("v", "qv")) / (F.col("nrm") * F.col("qn")), COS_ROUND)
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def _ann_lsh_oracle() -> str:
+    probes = ", ".join(_probe_exprs("bucket"))
+    return f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings),
+b AS (SELECT *, {_sign_bucket_duck('v')} AS bucket FROM e),
+qp AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([{probes}]) AS bucket
+  FROM b WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         round({duck_dot('c.v', 'qp.qv')} / (c.nrm * qp.qn), {COS_ROUND}) AS cos_sim
+  FROM qp JOIN b c ON c.bucket = qp.bucket AND c.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+) ranked WHERE rk <= {TOP_K}
+"""
+
+
+ANN_LSH_ORACLE = _ann_lsh_oracle()
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): within-label pairs above the cosine threshold —
+    embedding near-dup with label blocking (the blocking key stands in for a
+    coarse quantizer; at scale it would be an IVF/centroid assignment)."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("label"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(F.expr(spark_dot("va", "vb")) / (F.col("na") * F.col("nb")), COS_ROUND)
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
+    )
+
+
+EMBEDDING_COSINE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+def ann_topk_mllib(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH twin (rows-only check): approximate
+    top-k by euclidean distance on the normalized vectors."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _vectors(spark, sf_dir).select(
+        "vec_id",
+        array_to_vector(F.expr("transform(v, x -> x / nrm)")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(vecs)
+    q = vecs.where(F.col("vec_id") < N_QUERIES)
+    joined = model.approxSimilarityJoin(q, vecs, 2.0, distCol="dist")
+    out = joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("dist", COS_ROUND).alias("dist"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return out.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

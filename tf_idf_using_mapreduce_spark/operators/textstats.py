@@ -1,0 +1,204 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.2 #7):
+language-ID heuristic, quality scoring, token counting, and winnowing document
+fingerprints. Everything is deterministic portable SQL (shared Spark/DuckDB),
+JVM-side in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+QUALITY_ROUND = 6
+
+# stopword-profile lexicons for the n-gram/profile language heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "la", "de", "los", "las", "que", "y", "un"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+
+
+def _count_in_list(arr: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({arr}, t -> t IN ({quoted})))"
+
+
+def _count_in_list_duck(arr: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({arr}, t -> t IN ({quoted})))"
+
+
+# --------------------------------------------------------------------------- #
+# language identification (profile heuristic)
+# --------------------------------------------------------------------------- #
+
+def _lang_pred_case(counts: dict[str, str]) -> str:
+    """argmax over profile-hit counts, ties resolved in profile order (en
+    first) — deterministic, shared by both dialects."""
+    langs = list(LANG_PROFILES)
+    whens = []
+    for i, lang in enumerate(langs):
+        # lang wins if it strictly beats every EARLIER lang (priority order:
+        # earlier wins ties) and is >= every later lang
+        conds = []
+        for j, o in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[lang]} {op} {counts[o]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, lang_pred, n): labeled language vs heuristic prediction.
+
+    The fixture corpus is English-vocabulary text with decorative ``lang``
+    labels, so the heuristic predicts 'en' throughout — the confusion matrix
+    makes that explicit rather than faking accuracy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    counts = {lang: _count_in_list(toks, words) for lang, words in LANG_PROFILES.items()}
+    pred = _lang_pred_case(counts)
+    return (
+        docs.withColumn("lang_pred", F.expr(pred))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lang_id_oracle() -> str:
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    counts = {lang: _count_in_list_duck(toks, words) for lang, words in LANG_PROFILES.items()}
+    pred = _lang_pred_case(counts)
+    return f"""
+SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT lang, {pred} AS lang_pred FROM documents
+) lp GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------- #
+# quality scoring
+# --------------------------------------------------------------------------- #
+
+_QUALITY_STOPS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _quality_exprs(count_fn, size_fn: str, toks: str) -> dict[str, str]:
+    n_tok = f"{size_fn}({toks})"
+    n_stop = count_fn(toks, _QUALITY_STOPS)
+    # cast, not "* 1.0" — Spark types the 1.0 literal as DECIMAL and the whole
+    # ratio would come back Decimal('0.080000') instead of a double
+    return {
+        "n_tokens": n_tok,
+        "stop_ratio": f"round(cast({n_stop} as double) / greatest({n_tok}, 1), {QUALITY_ROUND})",
+        "mean_token_len": (
+            f"round(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
+            f" / greatest({n_tok}, 1), {QUALITY_ROUND})"
+        ),
+        # in-range length band + moderate stopword share = 'quality'
+        "quality": (
+            f"round((CASE WHEN {n_tok} BETWEEN 20 AND 1000 THEN cast(0.5 as double) ELSE cast(0 as double) END)"
+            f" + (CASE WHEN cast({n_stop} as double) / greatest({n_tok}, 1) BETWEEN 0.01 AND 0.5"
+            f"     THEN cast(0.5 as double) ELSE cast(0 as double) END), {QUALITY_ROUND})"
+        ),
+    }
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, mean_token_len, quality)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    exprs = _quality_exprs(_count_in_list, "size", toks)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+def text_quality_oracle() -> str:
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    exprs = _quality_exprs(_count_in_list_duck, "len", toks)
+    # DuckDB spells fold 'list_reduce'; rebuild mean_token_len portably
+    n_tok = f"len({toks})"
+    exprs["mean_token_len"] = (
+        f"round(list_sum(list_transform({toks}, t -> length(t))) * 1.0"
+        f" / greatest({n_tok}, 1), {QUALITY_ROUND})"
+    )
+    cols = ", ".join(f"{e} AS {name}" for name, e in exprs.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+# --------------------------------------------------------------------------- #
+# token counting (whitespace + BPE-ish estimate)
+# --------------------------------------------------------------------------- #
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws_tokens, word_tokens, n_chars, bpe_est): whitespace split
+    count, word-regex count, and a chars/4 BPE-token estimate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("ws_tokens"),
+        F.expr("size(regexp_extract_all(lower(text), '([a-z]+)', 1))").alias("word_tokens"),
+        F.length("text").alias("n_chars"),
+        F.expr("cast(ceil(length(text) / 4.0) as int)").alias("bpe_est"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS INT) AS bpe_est
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------- #
+# winnowing fingerprints (char 5-grams, window-min)
+# --------------------------------------------------------------------------- #
+
+GRAM_K = 5
+WINNOW_W = 4
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_fingerprints, min_fp): winnowing — md5 over char-5-grams,
+    min per sliding window of 4, distinct survivors per document. The standard
+    near-dup/plagiarism fingerprint set at ~2/(w+1) density."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.where(F.length("text") >= GRAM_K).select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(1, length(text) - {GRAM_K - 1})")).alias("pos"),
+        F.col("text"),
+    ).select("doc_id", "pos", F.expr(f"md5(substr(lower(text), pos, {GRAM_K}))").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, pos, md5(substr(lower(text), pos, {GRAM_K})) AS h
+  FROM documents, unnest(range(1, length(text) - {GRAM_K - 2})) AS px(pos)
+  WHERE length(text) >= {GRAM_K}
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+FROM wins GROUP BY doc_id
+"""

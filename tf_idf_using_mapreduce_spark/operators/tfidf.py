@@ -56,13 +56,19 @@ def stem_dictionary(tokens_df: DataFrame) -> DataFrame:
     return with_stem(vocab, "token").localCheckpoint()
 
 
-def stemmed_tokens(spark: SparkSession, sf_dir: str, case_sensitive: bool = False) -> DataFrame:
-    """(doc_id, token, stem) — P1-P5: tokenize → stop-filter (pre-stem, Q2) →
-    stem via the broadcast stem dictionary."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def stemmed_tokens_of(docs: DataFrame, case_sensitive: bool = False) -> DataFrame:
+    """(doc_id, token, stem) from ANY (doc_id, text) corpus — P1-P5: tokenize
+    → stop-filter (pre-stem, Q2) → stem via the broadcast stem dictionary.
+    Works over parquet fixtures and reference-layout text dirs
+    (``sources.corpus.read_text_corpus``) alike."""
     toks = explode_tokens(docs, case_sensitive=case_sensitive)
     toks = filter_stopwords(toks)
     return toks.join(F.broadcast(stem_dictionary(toks)), "token")
+
+
+def stemmed_tokens(spark: SparkSession, sf_dir: str, case_sensitive: bool = False) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return stemmed_tokens_of(docs, case_sensitive=case_sensitive)
 
 
 def _doc_freq_of(stemmed: DataFrame, top_n: int) -> DataFrame:
@@ -76,23 +82,29 @@ def _doc_freq_of(stemmed: DataFrame, top_n: int) -> DataFrame:
     )
 
 
+def doc_freq_of(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Reference pipeline 2 (``DocumentFreq.java``) over any corpus."""
+    return _doc_freq_of(stemmed_tokens_of(docs), top_n)
+
+
 def doc_freq(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
     """Top-``top_n`` terms by document frequency: (term, df)."""
     return _doc_freq_of(stemmed_tokens(spark, sf_dir), top_n)
 
 
-def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
-          corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
-    """(doc_id, term, tf, score) for terms in the top-``top_n`` DF vocabulary.
+def tfidf_of(docs: DataFrame, top_n: int = 100,
+             corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+    """Reference pipeline 3 (``IDF.java`` chained after ``DocumentFreq.java``)
+    over any (doc_id, text) corpus: (doc_id, term, tf, score).
 
     P6+J1 fused: the inner broadcast join both restricts to the vocabulary and
     carries ``df`` to the score (replaces the reference's double-loaded
     distributed-cache HashMap, ``IDF.java:36-46,112-140``). The DF vocabulary
     and TF aggregation share one logical token subtree; Spark re-scans the
-    (column-pruned) parquet for each pass — TF-IDF is inherently two passes
+    (column-pruned) source for each pass — TF-IDF is inherently two passes
     and a 100 TB corpus cannot be cached.
     """
-    stemmed = stemmed_tokens(spark, sf_dir)
+    stemmed = stemmed_tokens_of(docs)
     vocab = _doc_freq_of(stemmed, top_n)
     toks = stemmed.select("doc_id", F.col("stem").alias("term"))
     tf = (
@@ -102,6 +114,29 @@ def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
     )
     score = F.round(F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND)
     return tf.select("doc_id", "term", "tf", score.alias("score"))
+
+
+def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
+          corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+    """(doc_id, term, tf, score) on the fixture corpus — see :func:`tfidf_of`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_of(docs, top_n=top_n, corpus_constant=corpus_constant)
+
+
+def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
+                    rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ variant of the DF aggregation (``approx_count_distinct``)
+    — the documented approximation for 100 TB corpora where exact distinct
+    counts per term would need a doc_id-level shuffle per group. Rows-only
+    checkable (DuckDB's HLL differs); relative error asserted in tests.
+    """
+    toks = stemmed_tokens(spark, sf_dir)
+    return (
+        toks.groupBy(F.col("stem").alias("term"))
+        .agg(F.approx_count_distinct("doc_id", rsd).alias("df_approx"))
+        .orderBy(F.desc("df_approx"), F.asc("term"))
+        .limit(top_n)
+    )
 
 
 def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:

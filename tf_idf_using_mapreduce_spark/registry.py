@@ -11,8 +11,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tf_idf_using_mapreduce_spark.operators import dedup as _dedup
 from tf_idf_using_mapreduce_spark.operators import pos as _pos
+from tf_idf_using_mapreduce_spark.operators import relational as _rel
+from tf_idf_using_mapreduce_spark.operators import similarity as _sim
+from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
+from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
+from tf_idf_using_mapreduce_spark.streaming import events as _stream
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -25,6 +31,46 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 
 
 register("doc_freq_top100", lambda spark, sf: _tfidf.doc_freq(spark, sf), _tfidf.doc_freq_oracle())
+register("doc_freq_approx", lambda spark, sf: _tfidf.doc_freq_approx(spark, sf))  # rows-only: HLL impls differ
 register("tfidf", lambda spark, sf: _tfidf.tfidf(spark, sf), _tfidf.tfidf_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
+
+register("q1_pricing_summary", _rel.q1_pricing_summary, _rel.Q1_ORACLE)
+register("q3_shipping_priority", _rel.q3_shipping_priority, _rel.Q3_ORACLE)
+register("q5_local_supplier_volume", _rel.q5_local_supplier_volume, _rel.Q5_ORACLE)
+register("topk_orders", _rel.topk_orders, _rel.TOPK_ORDERS_ORACLE)
+register("rollup_customer_geo", _rel.rollup_customer_geo, _rel.ROLLUP_ORACLE)
+register("cube_lineitem_flags", _rel.cube_lineitem_flags, _rel.CUBE_ORACLE)
+register("grouping_sets_revenue", _rel.grouping_sets_revenue, _rel.GROUPING_SETS_ORACLE)
+register("top3_orders_per_customer", _rel.top3_orders_per_customer, _rel.TOP3_PER_CUSTOMER_ORACLE)
+register("running_customer_spend", _rel.running_customer_spend, _rel.RUNNING_SPEND_ORACLE)
+register("customers_without_orders", _rel.customers_without_orders, _rel.CUSTOMERS_WITHOUT_ORDERS_ORACLE)
+register("order_status_symmetric_difference", _rel.order_status_symmetric_difference, _rel.SYMMETRIC_DIFF_ORACLE)
+register("suppliers_intersect_customer_nations", _rel.suppliers_intersect_customer_nations, _rel.NATION_INTERSECT_ORACLE)
+register("monthly_order_revenue", _rel.monthly_order_revenue, _rel.MONTHLY_REVENUE_ORACLE)
+register("events_json_stats", _rel.events_json_stats, _rel.EVENTS_JSON_ORACLE)
+register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
+
+register("dedup_exact", _dedup.dedup_exact, _dedup.DEDUP_EXACT_ORACLE)
+register("dedup_ngram_jaccard", _dedup.dedup_ngram_jaccard, _dedup.NGRAM_JACCARD_ORACLE)
+register("dedup_minhash_lsh", _dedup.dedup_minhash_lsh, _dedup.MINHASH_LSH_ORACLE)
+register("dedup_simhash", _dedup.dedup_simhash, _dedup.simhash_oracle())
+register("dedup_embedding_cosine", _sim.dedup_embedding_cosine, _sim.EMBEDDING_COSINE_ORACLE)
+
+register("ann_topk_bruteforce", _sim.ann_topk_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE)
+register("ann_topk_lsh", _sim.ann_topk_lsh, _sim.ANN_LSH_ORACLE)
+register("ann_topk_mllib", _sim.ann_topk_mllib)  # rows-only: MLlib model hashes not SQL-expressible
+
+register("multimodal_meta", _mm.multimodal_meta, _mm.MULTIMODAL_META_ORACLE)
+register("multimodal_features", _mm.multimodal_features)  # rows-only: stub decoder via mapInPandas
+
+from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORACLE as _EV_HOURLY
+
+register("events_hourly_streaming", _stream.events_hourly_streaming, _EV_HOURLY)
+register("events_sliding_windows", _stream.events_sliding_batch, _stream.EVENTS_SLIDING_ORACLE)
+
+register("lang_id_confusion", _ts.lang_id_confusion, _ts.lang_id_oracle())
+register("text_quality", _ts.text_quality, _ts.text_quality_oracle())
+register("token_counts", _ts.token_counts, _ts.TOKEN_COUNTS_ORACLE)
+register("doc_fingerprints", _ts.doc_fingerprints, _ts.FINGERPRINT_ORACLE)

@@ -30,5 +30,11 @@ def get_spark(app_name: str = "tfidf-spark-engine", shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); read as long and convert
+        # (Spark has no nanosecond timestamp type — see sources.corpus.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # full plan strings (ReadSchema etc.) for the plan-shape tests
+        .config("spark.sql.debug.maxToStringFields", "200")
+        .config("spark.sql.maxMetadataStringLength", "2000")
     )
     return builder.getOrCreate()

@@ -37,7 +37,14 @@ STOPWORDS_PATH = os.path.join(_RESOURCE_DIR, "stopwords.txt")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark has no
+    # nanosecond timestamp, so the session reads it as long nanos
+    # (spark.sql.legacy.parquet.nanosAsLong) and we convert to microseconds
+    # here (matching DuckDB's CAST(ts AS TIMESTAMP) truncation).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

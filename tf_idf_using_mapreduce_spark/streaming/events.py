@@ -1,0 +1,128 @@
+"""Structured Streaming over the ``events`` fixture (SURVEY.md §2.9 — a
+capability extension; the reference is strictly batch).
+
+One transform function serves BOTH engines: the batch path
+(``operators.relational.events_hourly_tumbling``) and the streaming path here
+apply the same ``F.window`` aggregation, so the DuckDB oracle that validates
+the batch query equally validates each micro-batch's semantics. The streaming
+entry point actually RUNS a stream (file source over the fixture parquet,
+``availableNow`` trigger, memory sink) and returns the materialized result —
+the registry therefore checks real Structured Streaming output against SQL.
+
+Watermarking: 2 hours on ``ts`` — bounds state for the window aggregation;
+with ``availableNow`` over a finite fixture all windows emit before the query
+stops. ``applyInPandasWithState``-style custom state is exercised separately
+in tests/test_streaming.py (session gaps).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", slide: str | None = None) -> DataFrame:
+    """The shared (batch == streaming) tumbling/sliding window aggregation."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture parquet (ts arrives as long nanos —
+    same conversion as the batch loader), with a 2 h watermark."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withWatermark("ts", "2 hours")
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Drive a finite stream to completion into an in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    deadline = time.time() + timeout_s
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+
+
+def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: run the REAL streaming query (availableNow) and return
+    the memory-sink result — checked against the same oracle as the batch
+    twin (``EVENTS_HOURLY_ORACLE``)."""
+    stream = read_events_stream(spark, sf_dir)
+    result_name = "events_hourly_stream_result"
+    run_stream_to_memory(windowed_counts(stream), result_name)
+    return spark.table(result_name)
+
+
+def user_running_counts_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY.md
+    §2.9/§2.10): per-user running event count + running value sum, state kept
+    across micro-batches. The extension point for arbitrary keyed state
+    (sessionization, CDC merge, online features) that windowed aggs can't
+    express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]})
+
+    return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows (batch twin; each event lands in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_counts(ev, "1 hour", "30 minutes")
+
+
+EVENTS_SLIDING_ORACLE = """
+WITH both_starts AS (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP),
+                              TIMESTAMP '2000-01-01 00:30:00'), '%Y-%m-%d %H:%M') AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM both_starts GROUP BY 1, 2
+"""
