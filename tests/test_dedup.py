@@ -53,4 +53,4 @@ def test_simhash_is_deterministic(spark):
     a = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
     b = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
     assert a == b
-    assert all(len(s) == 32 and set(s) <= {"0", "1"} for _, s in a)
+    assert all(0 <= s < 2**32 for _, s in a)  # 32-bit integer sketches

@@ -48,9 +48,37 @@ def simhash_concat_expr(vote_cols: list[str]) -> str:
 
 
 def hamming_expr(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
-    """Hamming distance between two '1'/'0' strings of length ``bits``."""
+    """Hamming distance between two '1'/'0' strings of length ``bits``
+    (string form — kept for the string-sketch surface; the dedup operator
+    uses the integer form below, ~64× fewer ops per pair)."""
     terms = [
         f"(CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1) THEN 1 ELSE 0 END)"
         for i in range(1, bits + 1)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def simhash_int_expr(vote_cols: list[str]) -> str:
+    """Integer simhash (bit j = 2^j when vote_j >= 0) — bigint, so hamming is
+    one bit_count(xor) instead of per-bit string compares."""
+    terms = [
+        f"(CASE WHEN {c} >= 0 THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+        for j, c in enumerate(vote_cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def band_key_expr(simint: str, band: int, band_bits: int = 8) -> str:
+    """Bits [band*band_bits, (band+1)*band_bits) of an integer sketch, as a
+    bigint key. floor of double division is exact below 2^53."""
+    div = 1 << (band * band_bits)
+    return f"(cast(floor({simint} / {div}.0) as bigint) % {1 << band_bits})"
+
+
+def hamming_int_spark(a: str, b: str) -> str:
+    return f"cast(bit_count({a} ^ {b}) as int)"
+
+
+def hamming_int_duck(a: str, b: str) -> str:
+    # DuckDB spells bitwise xor as xor(); its ^ operator is POWER
+    return f"cast(bit_count(xor({a}, {b})) as int)"

