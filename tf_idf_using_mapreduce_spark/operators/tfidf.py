@@ -156,6 +156,23 @@ def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> Data
     return idf.fit(tf).transform(tf).select("doc_id", "features")
 
 
+def tfidf_mllib_exploded(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
+    """MLlib TF-IDF flattened to (doc_id, term, mllib_score) rows — the
+    registry-checkable face of :func:`tfidf_mllib` (vector UDTs don't hash
+    across engines; exploding to scalars makes the rows-only check
+    meaningful). Scores use MLlib's ``log((N+1)/(df+1))`` — deliberately NOT
+    the reference formula (SURVEY.md §4.3)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = tfidf_mllib(spark, sf_dir, vocab_size=vocab_size)
+    arr = feats.select("doc_id", vector_to_array("features").alias("vals"))
+    return (
+        arr.select("doc_id", F.posexplode("vals").alias("term_idx", "mllib_score"))
+        .where(F.col("mllib_score") > 0)
+        .select("doc_id", "term_idx", F.round("mllib_score", 6).alias("mllib_score"))
+    )
+
+
 # --------------------------------------------------------------------------- #
 # DuckDB oracles (same algorithm, same aliases)
 # --------------------------------------------------------------------------- #

@@ -79,6 +79,15 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False, mode: str = "
     out.write.mode(mode).option("sep", "\t").csv(path)
 
 
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str],
+                              mode: str = "overwrite") -> None:
+    """Hive-partitioned parquet sink — the 100 TB output layout: downstream
+    scans prune on the partition columns without reading a footer. Pair with
+    a ``repartition`` on the partition columns so each partition directory
+    gets few, large files instead of one file per task per partition."""
+    df.repartition(*partition_cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 @lru_cache(maxsize=1)
 def stopwords() -> tuple[str, ...]:
     """The reference stop-list, verbatim (``stopwords.txt``: 705 CRLF lines →
