@@ -305,6 +305,94 @@ SELECT c_nationkey AS nationkey FROM customer
 """
 
 
+# --------------------------------------------------------------------------- #
+# subqueries (EXISTS / NOT EXISTS / scalar — Catalyst rewrites to joins)
+# --------------------------------------------------------------------------- #
+
+def orders_with_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders having ≥1 returned
+    line (correlated EXISTS → Catalyst plans a left-semi join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (SELECT 1 FROM lineitem_v
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)
+
+
+EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers whose balance exceeds the global average
+    (Catalyst: single-row subquery → broadcast)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+    """)
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS (anti-join rewrite)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT p_partkey, p_name FROM part_v
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem_v WHERE l_partkey = p_partkey)
+    """)
+
+
+NOT_EXISTS_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# pivot
+# --------------------------------------------------------------------------- #
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts pivoted to columns (explicit value list —
+    at scale an open-ended pivot needs a values pass first; pinning the list
+    keeps the plan a single aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the engine's ``spark.sql`` surface (SURVEY.md
     §3.4 entry point 2): revenue by (status), by (priority), and overall —

@@ -1,0 +1,116 @@
+"""Event-sequence operators: gap-based sessionization and as-of joins —
+capabilities a time-series/training-pipeline engine needs that plain
+aggregation can't express (SURVEY.md §2.7 generalizations).
+
+Both are pure window-function plans (one shuffle on ``user_id``), so they
+scale with the key cardinality; the streaming twin of sessionization is
+``F.session_window`` (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+SESSION_GAP = "INTERVAL 30 MINUTE"
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, n_events, session_start, session_end): split each
+    user's event stream at >30-minute silences. Classic lag → flag → running
+    sum; interval comparison (not epoch arithmetic — engines disagree on
+    epoch()'s fractional seconds)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.expr(f"CASE WHEN prev_ts IS NULL OR ts > prev_ts + {SESSION_GAP} THEN 1 ELSE 0 END"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + {SESSION_GAP} THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess GROUP BY 1, 2
+"""
+
+
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase_id, user_id, click_id): for every purchase, the user's most
+    recent click at-or-before it (NULL when none) — an AS-OF join.
+
+    Spark has no asof operator for static frames; the scalable shape is the
+    union + running-last trick: tag both streams, sort once per user, carry
+    the latest click struct forward. ONE shuffle, no range-join explosion.
+    The oracle uses DuckDB's native ASOF LEFT JOIN — two independent
+    implementations of the semantics.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    # collapse same-(user, ts) clicks to max event_id so both sides break the
+    # ambiguity identically
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts", F.lit(0).alias("kind"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_click",
+        F.last(F.when(F.col("kind") == 0, F.struct("ts", "event_id")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_click.event_id").alias("click_id"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tf_idf_using_mapreduce_spark.operators import dedup as _dedup
 from tf_idf_using_mapreduce_spark.operators import pos as _pos
 from tf_idf_using_mapreduce_spark.operators import relational as _rel
+from tf_idf_using_mapreduce_spark.operators import sessions as _sess
 from tf_idf_using_mapreduce_spark.operators import similarity as _sim
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
@@ -44,6 +45,12 @@ register("topk_orders", _rel.topk_orders, _rel.TOPK_ORDERS_ORACLE)
 register("rollup_customer_geo", _rel.rollup_customer_geo, _rel.ROLLUP_ORACLE)
 register("cube_lineitem_flags", _rel.cube_lineitem_flags, _rel.CUBE_ORACLE)
 register("grouping_sets_revenue", _rel.grouping_sets_revenue, _rel.GROUPING_SETS_ORACLE)
+register("orders_with_returns_exists", _rel.orders_with_returns_exists, _rel.EXISTS_ORACLE)
+register("customers_above_avg_balance", _rel.customers_above_avg_balance, _rel.SCALAR_SUBQUERY_ORACLE)
+register("parts_never_ordered", _rel.parts_never_ordered, _rel.NOT_EXISTS_ORACLE)
+register("user_event_pivot", _rel.user_event_pivot, _rel.PIVOT_ORACLE)
+register("sessionize_events", _sess.sessionize_events, _sess.SESSIONIZE_ORACLE)
+register("asof_purchase_prior_click", _sess.asof_purchase_prior_click, _sess.ASOF_ORACLE)
 register("top3_orders_per_customer", _rel.top3_orders_per_customer, _rel.TOP3_PER_CUSTOMER_ORACLE)
 register("running_customer_spend", _rel.running_customer_spend, _rel.RUNNING_SPEND_ORACLE)
 register("customers_without_orders", _rel.customers_without_orders, _rel.CUSTOMERS_WITHOUT_ORDERS_ORACLE)
