@@ -29,12 +29,17 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "top3_orders_per_customer",
+    "orders_with_returns_exists",
+    "user_event_pivot",
     "events_hourly_tumbling",
+    "sessionize_events",
+    "asof_purchase_prior_click",
     # training-data extensions
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
+    "ann_topk_lsh",
     "doc_fingerprints",
     "token_counts",
 ]

@@ -1,0 +1,59 @@
+"""Property-based checks (SURVEY.md §5.2 #4) — fast ones run the portable SQL
+through DuckDB (same expressions the Spark side executes), the Spark-bound
+ones use few examples."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tf_idf_using_mapreduce_spark.functions.porter import porter_stem_py
+from tf_idf_using_mapreduce_spark.functions.text import TOKENIZE_SQL
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="'\\"),
+    min_size=0, max_size=200,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text_strategy)
+def test_tokenizer_yields_only_nonempty_alpha(text):
+    con = duckdb.connect()
+    toks = con.execute("SELECT " + TOKENIZE_SQL.format(col="?"), [text]).fetchone()[0]
+    con.close()
+    assert all(t and re.fullmatch(r"[a-z]+", t) for t in toks)
+    # tokens reconstruct exactly the lowercase letter runs of the input
+    assert toks == re.findall(r"[a-z]+", text.lower())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=20))
+def test_stemmer_closure_properties(word):
+    stem = porter_stem_py(word)
+    assert stem, word                       # never empties a token
+    assert len(stem) <= len(word) + 1, word  # +1 only from the 1b 'e' restore
+    assert re.fullmatch(r"[a-z]+", stem)
+    assert porter_stem_py(stem) == porter_stem_py(porter_stem_py(stem))  # stable after 2 passes
+
+
+def test_tfidf_score_monotonicity():
+    """score(tf, df) increases in tf, decreases in df (df < corpus constant)."""
+    score = lambda tf, df: tf * math.log(10000.0 / (df + 1))
+    for df in (1, 10, 100, 5000):
+        assert score(2, df) > score(1, df)
+    for tf in (1, 5):
+        assert score(tf, 1) > score(tf, 10) > score(tf, 1000)
+
+
+def test_topk_is_prefix_of_full_ranking(spark):
+    from tf_idf_using_mapreduce_spark.operators.tfidf import doc_freq
+    from tests.conftest import SF_SMOKE
+
+    top5 = [(r["term"], r["df"]) for r in doc_freq(spark, SF_SMOKE, top_n=5).collect()]
+    full = [(r["term"], r["df"]) for r in doc_freq(spark, SF_SMOKE, top_n=10**6).collect()]
+    assert top5 == full[:5]
