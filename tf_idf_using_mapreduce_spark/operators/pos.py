@@ -60,11 +60,17 @@ def pos_counts_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-task partial aggregate (the MapWritable stripe, POSstripes.java:35-47)
+        # — vectorized: pandas findall/explode for tokens, one memoized tag
+        # lookup per DISTINCT token (the dictionary-encoding trick again).
         acc: Counter = Counter()
+        tag_cache: dict[str, str] = {}
         for pdf in batches:
-            for text in pdf["text"]:
-                for tok in token_re.findall(text):
-                    acc[pos_tag_py(tok)] += 1
+            toks = pdf["text"].str.findall(token_re).explode().dropna()
+            for tok, n in toks.value_counts().items():
+                tag = tag_cache.get(tok)
+                if tag is None:
+                    tag = tag_cache[tok] = pos_tag_py(tok)
+                acc[tag] += int(n)
         yield pd.DataFrame({"tag": list(acc.keys()), "cnt": list(acc.values())})
 
     partial = docs.mapInPandas(stripes, "tag string, cnt long")

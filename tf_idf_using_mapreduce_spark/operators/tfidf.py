@@ -82,9 +82,15 @@ def _doc_freq_of(stemmed: DataFrame, top_n: int) -> DataFrame:
     )
 
 
-def doc_freq_of(docs: DataFrame, top_n: int = 100) -> DataFrame:
-    """Reference pipeline 2 (``DocumentFreq.java``) over any corpus."""
-    return _doc_freq_of(stemmed_tokens_of(docs), top_n)
+def doc_freq_of(docs: DataFrame, top_n: int = 100, case_sensitive: bool = False) -> DataFrame:
+    """Reference pipeline 2 (``DocumentFreq.java``) over any corpus.
+
+    ``case_sensitive`` ≙ the reference's ``-casesensitive`` flag: case is
+    preserved through tokenization and the raw-token stop filter (so "The"
+    escapes the lowercase stop list, as in the reference). Divergence: stems
+    are ALWAYS lowercase — the portable stemmer's contract — whereas OpenNLP
+    would emit case-mangled stems for uppercase input."""
+    return _doc_freq_of(stemmed_tokens_of(docs, case_sensitive=case_sensitive), top_n)
 
 
 def doc_freq(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
@@ -93,7 +99,8 @@ def doc_freq(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
 
 
 def tfidf_of(docs: DataFrame, top_n: int = 100,
-             corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+             corpus_constant: float = DEFAULT_CORPUS_CONSTANT,
+             case_sensitive: bool = False) -> DataFrame:
     """Reference pipeline 3 (``IDF.java`` chained after ``DocumentFreq.java``)
     over any (doc_id, text) corpus: (doc_id, term, tf, score).
 
@@ -104,7 +111,7 @@ def tfidf_of(docs: DataFrame, top_n: int = 100,
     (column-pruned) source for each pass — TF-IDF is inherently two passes
     and a 100 TB corpus cannot be cached.
     """
-    stemmed = stemmed_tokens_of(docs)
+    stemmed = stemmed_tokens_of(docs, case_sensitive=case_sensitive)
     vocab = _doc_freq_of(stemmed, top_n)
     toks = stemmed.select("doc_id", F.col("stem").alias("term"))
     tf = (
