@@ -53,7 +53,9 @@ def stem_dictionary(tokens_df: DataFrame) -> DataFrame:
     same pattern, same cut.
     """
     vocab = tokens_df.select("token").distinct()
-    return with_stem(vocab, "token").localCheckpoint()
+    # lazy checkpoint: materializes on first use, still terminates lineage so
+    # the stem expression chain never reaches Catalyst inside a larger plan
+    return with_stem(vocab, "token").localCheckpoint(eager=False)
 
 
 def stemmed_tokens_of(docs: DataFrame, case_sensitive: bool = False) -> DataFrame:

@@ -41,6 +41,8 @@ register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle()
 register("q1_pricing_summary", _rel.q1_pricing_summary, _rel.Q1_ORACLE)
 register("q3_shipping_priority", _rel.q3_shipping_priority, _rel.Q3_ORACLE)
 register("q5_local_supplier_volume", _rel.q5_local_supplier_volume, _rel.Q5_ORACLE)
+register("q7_nation_trade_volume", _rel.q7_nation_trade_volume, _rel.Q7_ORACLE)
+register("q13_customer_order_distribution", _rel.q13_customer_order_distribution, _rel.Q13_ORACLE)
 register("topk_orders", _rel.topk_orders, _rel.TOPK_ORDERS_ORACLE)
 register("rollup_customer_geo", _rel.rollup_customer_geo, _rel.ROLLUP_ORACLE)
 register("cube_lineitem_flags", _rel.cube_lineitem_flags, _rel.CUBE_ORACLE)
