@@ -36,7 +36,7 @@ from tf_idf_using_mapreduce_spark.functions.hashing import (
     simhash_int_expr,
     simhash_vote_exprs,
 )
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
 SHINGLE_K = 3           # word trigrams
 MINHASH_SEEDS = 16
@@ -75,7 +75,7 @@ FROM documents GROUP BY 1
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — DISTINCT word-trigram shingles per document."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
     sh = toks.where(F.size("t") >= SHINGLE_K).select(
         "doc_id",
@@ -248,7 +248,7 @@ def _earlier_band_mismatch(sim_a: str, sim_b: str) -> str:
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 32-bit integer sign-of-votes sketch over token
     occurrences (bit j set ⇔ sum over tokens of ±1 votes for md5-bit j ≥ 0)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("token"),

@@ -35,12 +35,12 @@ from tf_idf_using_mapreduce_spark.functions.postag import (
     pos_tag_sql,
     with_pos_tag,
 )
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
 
 def pos_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(tag, cnt) — A1 'pairs' semantics via declarative aggregation."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     toks = explode_pos_tokens(docs)
     return with_pos_tag(toks).groupBy("tag").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -55,7 +55,7 @@ def pos_counts_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import re
 
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     token_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
 
     def stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

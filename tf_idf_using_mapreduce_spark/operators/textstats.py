@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
 QUALITY_ROUND = 6
 
@@ -178,7 +178,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier windowed version shuffled n_chars rows per doc; this is ~5×
     faster at sf0.1 and shuffle-free at any scale).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     hs = f"transform(sequence(1, length(text) - {GRAM_K - 1}), i -> md5(substr(lower(text), i, {GRAM_K})))"
     wins = (
         f"transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)), "

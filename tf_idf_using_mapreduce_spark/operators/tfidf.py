@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from tf_idf_using_mapreduce_spark.functions.porter import stem_sql_select, with_stem
 from tf_idf_using_mapreduce_spark.functions.text import explode_tokens, filter_stopwords, tokens_cte_duckdb
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
 DEFAULT_CORPUS_CONSTANT = 10000.0  # hardcoded corpus size in the reference score (IDF.java:164)
 SCORE_ROUND = 6  # stabilize float hashing across engines
@@ -63,7 +63,7 @@ def stemmed_tokens_of(docs: DataFrame, case_sensitive: bool = False) -> DataFram
     → stop-filter (pre-stem, Q2) → stem via the broadcast stem dictionary.
     Works over parquet fixtures and reference-layout text dirs
     (``sources.corpus.read_text_corpus``) alike."""
-    toks = explode_tokens(docs, case_sensitive=case_sensitive)
+    toks = explode_tokens(spread(docs), case_sensitive=case_sensitive)
     toks = filter_stopwords(toks)
     return toks.join(F.broadcast(stem_dictionary(toks)), "token")
 

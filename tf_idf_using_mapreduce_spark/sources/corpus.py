@@ -79,6 +79,23 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False, mode: str = "
     out.write.mode(mode).option("sep", "\t").csv(path)
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition UP to cluster parallelism (never down) — for compute-heavy
+    per-row work downstream of a scan.
+
+    A parquet file is only splittable at row-group boundaries; a corpus
+    written as few large row groups yields 1-2 input partitions no matter how
+    many cores exist, serializing any expensive expression work (measured:
+    the 50k-doc stress corpus ran tokenize/md5-heavy operators on 2 of 32
+    cores). Shuffling the raw rows is cheap relative to the per-token work it
+    parallelizes; on a well-laid-out many-file corpus this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str],
                               mode: str = "overwrite") -> None:
     """Hive-partitioned parquet sink — the 100 TB output layout: downstream
