@@ -1,0 +1,61 @@
+"""Rate-limited replay source + RDD pairs-vs-stripes demo."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.streaming.replay import indexed_events, replay_events_stream
+
+
+def test_indexed_events_cover_all_ticks(spark):
+    idx = indexed_events(spark, SF_SMOKE, events_per_tick=100)
+    rows = idx.groupBy("tick").count().orderBy("tick").collect()
+    assert [r["tick"] for r in rows] == list(range(10))  # 1000 events / 100
+    assert all(r["count"] == 100 for r in rows)
+
+
+def test_replay_stream_releases_events_gradually(spark):
+    """Run the replay for a few seconds: events arrive, rate-bounded, with the
+    original event schema intact."""
+    stream = replay_events_stream(spark, SF_SMOKE, events_per_tick=50, ticks_per_second=5)
+    q = (
+        stream.writeStream.format("memory").queryName("replay_result")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("replay_result").count()
+            if n >= 100:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert n >= 100, n           # stream actually flowed
+    assert n <= 1000             # never exceeds the table
+    row = spark.table("replay_result").first()
+    assert set(row.asDict()) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+
+
+def test_rdd_pairs_equals_stripes_equals_dataframe(spark):
+    from tf_idf_using_mapreduce_spark.functions.rdd_demo import (
+        pos_counts_rdd_pairs,
+        pos_counts_rdd_stripes,
+    )
+    from tf_idf_using_mapreduce_spark.operators.pos import pos_counts
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    pairs = pos_counts_rdd_pairs(docs)
+    stripes = pos_counts_rdd_stripes(docs)
+    assert pairs == stripes and pairs
+    df_counts = {
+        r["tag"]: r["cnt"]
+        for r in pos_counts(spark, SF_SMOKE).collect()
+    }
+    # same tagset; full-corpus totals dominate the 100-doc sample
+    assert set(pairs) <= set(df_counts)

@@ -178,7 +178,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier windowed version shuffled n_chars rows per doc; this is ~5×
     faster at sf0.1 and shuffle-free at any scale).
     """
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # per-CHARACTER md5 work: ~10x denser compute per input byte than
+    # tokenization, so spread at a lower size threshold
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
     hs = f"transform(sequence(1, length(text) - {GRAM_K - 1}), i -> md5(substr(lower(text), i, {GRAM_K})))"
     wins = (
         f"transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)), "

@@ -79,19 +79,45 @@ def write_tsv(df: DataFrame, path: str, single_file: bool = False, mode: str = "
     out.write.mode(mode).option("sep", "\t").csv(path)
 
 
-def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+# threshold on COMPRESSED parquet bytes — dictionary-encoded text decompresses
+# ~10x, so 1 MB compressed per partition already means serious per-token work
+SPREAD_BYTES_PER_PARTITION = 1 * 1024 * 1024
+
+
+def spread(df: DataFrame, multiplier: int = 1,
+           bytes_per_partition: int | None = None) -> DataFrame:
     """Repartition UP to cluster parallelism (never down) — for compute-heavy
-    per-row work downstream of a scan.
+    per-row work downstream of a scan — but only when partitions are actually
+    oversized.
 
     A parquet file is only splittable at row-group boundaries; a corpus
     written as few large row groups yields 1-2 input partitions no matter how
     many cores exist, serializing any expensive expression work (measured:
-    the 50k-doc stress corpus ran tokenize/md5-heavy operators on 2 of 32
-    cores). Shuffling the raw rows is cheap relative to the per-token work it
-    parallelizes; on a well-laid-out many-file corpus this is a no-op.
+    a 50k-doc single-file corpus ran tokenize/md5-heavy operators on 2 of 32
+    cores — 8× slower). The repartition itself costs a small shuffle plus
+    per-task overhead, a net LOSS on small inputs (measured: +60% on the 5k-doc
+    sf0.1 corpus), so we spread only when estimated input exceeds
+    ``bytes_per_partition`` (default ``SPREAD_BYTES_PER_PARTITION``; operators
+    with denser per-byte compute — e.g. per-CHARACTER hashing — pass a lower
+    threshold). Unknown sizes (non-local filesystems) fall back to spreading
+    whenever partitions are scarce — the safe direction at cluster scale.
     """
+    threshold = SPREAD_BYTES_PER_PARTITION if bytes_per_partition is None else bytes_per_partition
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() >= target:
+    current = df.rdd.getNumPartitions()
+    if current >= target:
+        return df
+    total_bytes = None
+    try:
+        sizes = [
+            os.path.getsize(p.removeprefix("file:"))
+            for p in df.inputFiles()
+            if p.startswith(("file:", "/"))
+        ]
+        total_bytes = sum(sizes) if sizes else None
+    except OSError:
+        total_bytes = None
+    if total_bytes is not None and total_bytes / max(current, 1) < threshold:
         return df
     return df.repartition(target)
 
