@@ -37,11 +37,17 @@ STOPWORDS_PATH = os.path.join(_RESOURCE_DIR, "stopwords.txt")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient under ANY caller-provided session (the driver contract
+    # passes its own SparkSession): the confs the engine depends on for
+    # correctness are runtime-settable and idempotent.
+    # - nanosAsLong: events.ts is TIMESTAMP(NANOS), which Spark otherwise
+    #   refuses (PARQUET_TYPE_ILLEGAL); read as long nanos, convert below
+    #   (matches DuckDB's CAST(ts AS TIMESTAMP) truncation to micros).
+    # - UTC session tz: date_format/window outputs must agree with the
+    #   oracle's naive timestamps regardless of host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in the fixture parquet; Spark has no
-    # nanosecond timestamp, so the session reads it as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) and we convert to microseconds
-    # here (matching DuckDB's CAST(ts AS TIMESTAMP) truncation).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
