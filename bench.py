@@ -22,6 +22,7 @@ BENCH_QUERIES = [
     # reference-derived pipelines
     "doc_freq_top100",
     "tfidf",
+    "tfidf_doc_similarity",
     "pos_counts",
     "pos_counts_stripes",
     # relational surface

@@ -92,6 +92,21 @@ def test_scan_prunes_columns(spark):
     assert cols <= {"doc_id", "text"}, cols
 
 
+def test_tfidf_doc_similarity_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "tfidf_doc_similarity")
+
+
+def test_tfidf_doc_similarity_sane(spark):
+    from tf_idf_using_mapreduce_spark.operators.tfidf import tfidf_doc_similarity
+
+    rows = tfidf_doc_similarity(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
 def test_doc_freq_approx_error_bound(spark):
     """HLL estimate within 3×rsd of exact for every top term."""
     from tf_idf_using_mapreduce_spark.operators.tfidf import doc_freq_approx

@@ -132,6 +132,58 @@ def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
     return tfidf_of(docs, top_n=top_n, corpus_constant=corpus_constant)
 
 
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str, top_pairs: int = 20) -> DataFrame:
+    """(doc_a, doc_b, cos_sim): most similar document pairs by cosine over
+    TF-IDF vectors — the composition the reference's two problems build
+    toward but never ship. Sparse-vector cosine as a TERM equi-join (only
+    co-occurring terms multiply — the sparse dot product), norms precomputed
+    per doc; at scale the term join is the standard inverted-index shape and
+    hot terms are exactly the ones the top-100 DF vocabulary caps.
+    """
+    # the TF-IDF table is referenced by three branches (vectors a, b, norms);
+    # it is BOUNDED (≤ top-100 terms × docs) so materialize once instead of
+    # recomputing the whole two-pass corpus pipeline per branch
+    scores = tfidf(spark, sf_dir).select("doc_id", "term", "score").localCheckpoint(eager=False)
+    norms = scores.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm")
+    )
+    a = scores.select(F.col("doc_id").alias("doc_a"), "term", F.col("score").alias("sa"))
+    b = scores.select(F.col("doc_id").alias("doc_b"), "term", F.col("score").alias("sb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top_pairs)
+    )
+
+
+def tfidf_doc_similarity_oracle(top_pairs: int = 20) -> str:
+    return f"""
+WITH scores AS (SELECT doc_id, term, score FROM ({tfidf_oracle()}) tfidf_full),
+norms AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm FROM scores GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.score * b.score) AS dot
+  FROM scores a JOIN scores b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+ORDER BY cos_sim DESC, doc_a ASC, doc_b ASC
+LIMIT {top_pairs}
+"""
+
+
 def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
                     rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ variant of the DF aggregation (``approx_count_distinct``)

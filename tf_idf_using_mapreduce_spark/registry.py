@@ -35,6 +35,7 @@ register("doc_freq_top100", lambda spark, sf: _tfidf.doc_freq(spark, sf), _tfidf
 register("doc_freq_approx", lambda spark, sf: _tfidf.doc_freq_approx(spark, sf))  # rows-only: HLL impls differ
 register("tfidf_mllib", lambda spark, sf: _tfidf.tfidf_mllib_exploded(spark, sf))  # rows-only: MLlib formula documented divergence
 register("tfidf", lambda spark, sf: _tfidf.tfidf(spark, sf), _tfidf.tfidf_oracle())
+register("tfidf_doc_similarity", _tfidf.tfidf_doc_similarity, _tfidf.tfidf_doc_similarity_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
 
