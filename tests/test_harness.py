@@ -1,0 +1,53 @@
+"""Negative controls: the correctness harness must actually FAIL on wrong
+results — guards against a trivially-green gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE, TABLES, normalize_rows
+
+
+def test_normalize_rows_detects_value_drift():
+    a = normalize_rows([(1, 2.5)], ["k", "v"])
+    b = normalize_rows([(1, 2.5000001)], ["k", "v"])
+    assert a != b
+
+
+def test_oracle_compare_fails_on_wrong_sql(spark):
+    """Same query, deliberately perturbed oracle → must mismatch."""
+    import __spark_entry__ as e
+
+    sdf = e.queries()["topk_orders"](spark, SF_SMOKE)
+    srows = [tuple(r[c] for c in sdf.columns) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')")
+    wrong = con.sql(
+        "SELECT o_orderkey, o_custkey, round(o_totalprice + 0.01, 2) AS o_totalprice "
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    )
+    drows = wrong.fetchall()
+    con.close()
+    assert normalize_rows(srows, sdf.columns) != normalize_rows(drows, sdf.columns)
+
+
+def test_registry_is_complete_and_callable():
+    """Every oracle key has a query; every query callable takes (spark, sf_dir)."""
+    import inspect
+
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 46
+    for name, fn in qs.items():
+        required = [
+            p for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+        ]
+        assert len(required) == 2, name  # callable as fn(spark, sf_dir)
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
