@@ -77,6 +77,31 @@ def read_tsv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.option("sep", "\t").schema(schema).csv(path)
 
 
+def read_jsonl_corpus(spark: SparkSession, path: str,
+                      schema: str = "doc_id long, text string") -> DataFrame:
+    """JSON-lines corpus source — the wire format most training-data dumps
+    arrive in. Explicit schema (never infer at scale: inference is a full
+    extra pass) and permissive mode with a corrupt-record column so one bad
+    line doesn't kill a 100 TB ingest."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Binary-file source for multimodal payload dirs (images/audio):
+    (path, modificationTime, length, content) via Spark's binaryFile format —
+    feeds operators/multimodal.py's decode plumbing directly."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 def write_tsv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
     """S5/S6/S7: TSV text sink. ``single_file=True`` reproduces the reference's
     one-reducer output contract — only for small (top-k sized) results; large
