@@ -184,6 +184,97 @@ LIMIT {top_pairs}
 """
 
 
+def top_terms_per_doc(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """(doc_id, term, score, rk): top-k terms per document by TF-IDF score —
+    SURVEY.md §2.7's named fixture query, the per-group generalization of the
+    reference's global top-100 (T1) via a ranking window."""
+    from pyspark.sql import Window
+
+    scores = tfidf(spark, sf_dir).select("doc_id", "term", "score")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+def top_terms_per_doc_oracle(k: int = 3) -> str:
+    return f"""
+SELECT doc_id, term, score, rk FROM (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM ({tfidf_oracle()}) tfidf_scores
+) ranked WHERE rk <= {k}
+"""
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str, top_n: int = 20,
+               min_count: int = 10) -> DataFrame:
+    """(w1, w2, n_ab, pmi): top collocations by pointwise mutual information
+    over adjacent token pairs — ln(p(ab) / (p(a)·p(b))). Unigram/bigram
+    counting is two aggregations over the exploded stream; the tiny unigram
+    table broadcasts into the PMI arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t"),
+    )
+    bigrams = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = toks.select(F.explode("t").alias("w"))
+    n_total = unigrams.groupBy().agg(F.count(F.lit(1)).alias("n_uni"))
+    n_big = bigrams.groupBy().agg(F.count(F.lit(1)).alias("n_big"))
+    uni = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    joined = (
+        big.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.round(
+        F.log((F.col("n_ab") / F.col("n_big"))
+              / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )
+
+
+def bigram_pmi_oracle(top_n: int = 20, min_count: int = 10) -> str:
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t FROM documents
+),
+bigrams AS (
+  SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> {{'w1': t[i], 'w2': t[i+1]}})) AS bg
+    FROM toksarr WHERE len(t) >= 2
+  ) bgx
+),
+unigrams AS (SELECT unnest(t) AS w FROM toksarr),
+tot AS (SELECT count(*) AS n_uni FROM unigrams),
+totb AS (SELECT count(*) AS n_big FROM bigrams),
+uni AS (SELECT w, count(*) AS n_w FROM unigrams GROUP BY w),
+big AS (SELECT w1, w2, count(*) AS n_ab FROM bigrams GROUP BY w1, w2)
+SELECT w1, w2, n_ab,
+       round(ln((n_ab * 1.0 / n_big) / ((ua.n_w * 1.0 / n_uni) * (ub.n_w * 1.0 / n_uni))), 6) AS pmi
+FROM big JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2, tot, totb
+WHERE n_ab >= {min_count}
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {top_n}
+"""
+
+
 def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
                     rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ variant of the DF aggregation (``approx_count_distinct``)

@@ -36,6 +36,8 @@ register("doc_freq_approx", lambda spark, sf: _tfidf.doc_freq_approx(spark, sf))
 register("tfidf_mllib", lambda spark, sf: _tfidf.tfidf_mllib_exploded(spark, sf))  # rows-only: MLlib formula documented divergence
 register("tfidf", lambda spark, sf: _tfidf.tfidf(spark, sf), _tfidf.tfidf_oracle())
 register("tfidf_doc_similarity", _tfidf.tfidf_doc_similarity, _tfidf.tfidf_doc_similarity_oracle())
+register("top_terms_per_doc", _tfidf.top_terms_per_doc, _tfidf.top_terms_per_doc_oracle())
+register("bigram_pmi", _tfidf.bigram_pmi, _tfidf.bigram_pmi_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
 
