@@ -50,7 +50,14 @@ def test_exact_dedup_survivors_unique(spark):
 
 
 def test_simhash_is_deterministic(spark):
-    a = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
-    b = sorted((r["doc_id"], r["simhash"]) for r in dedup.simhash_table(spark, SF_SMOKE).collect())
+    a = sorted(
+        (r["doc_id"], r["sim_hi"], r["sim_lo"])
+        for r in dedup.simhash_table(spark, SF_SMOKE).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["sim_hi"], r["sim_lo"])
+        for r in dedup.simhash_table(spark, SF_SMOKE).collect()
+    )
     assert a == b
-    assert all(0 <= s < 2**32 for _, s in a)  # 32-bit integer sketches
+    # 64-bit fingerprint as two 32-bit halves (keeps band math double-exact)
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for _, hi, lo in a)

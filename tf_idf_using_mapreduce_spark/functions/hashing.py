@@ -14,7 +14,7 @@ DuckDB oracle. Ordering tricks:
 
 from __future__ import annotations
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # Manku/Jain/Sarma (WWW'07) standard width; stored as two 32-bit halves
 _HEX = "0123456789abcdef"
 
 

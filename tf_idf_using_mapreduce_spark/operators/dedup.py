@@ -12,14 +12,22 @@ Scale design:
   shingles) — it exists as the oracle for the LSH path.
 - **minhash_lsh**: the SCALE path. k=16 signatures (min of seeded md5 over
   shingles), 8 bands × 2 rows; candidate pairs share a band bucket, then exact
-  Jaccard verifies candidates only. Work is linear in corpus size + output:
-  sig build is a (doc, seed) aggregation with map-side partial min; the
-  band-bucket self-join only explodes where near-duplicates actually exist.
-  With j ≥ 0.8 targets, P(candidate) = 1-(1-j²)⁸ ≈ 0.9997 — recall checked in
-  tests against the exact baseline.
-- **simhash**: 32-bit sign-of-weighted-votes sketch; banded (4 × 8 bits) for
-  candidate generation (hamming ≤ 3 implies ≥1 exact band by pigeonhole),
-  pairwise hamming only on bucket collisions.
+  Jaccard verifies candidates only. Work is linear in corpus size + output,
+  and everything except the band self-join and the candidate joins is
+  SHUFFLE-FREE: shingle sets are per-row ``array_distinct`` arrays (no
+  row-level DISTINCT exchange), each signature is ``array_min(transform(...))``
+  over the array (no groupBy), and verification is ``array_intersect`` on the
+  candidate pair's two arrays (no shingle-level 3-way join). With j ≥ 0.8
+  targets, P(candidate) = 1-(1-j²)⁸ ≈ 0.9997 — recall checked in tests
+  against the exact baseline.
+- **simhash**: 64-bit sign-of-weighted-votes fingerprint (the Manku/Jain/Sarma
+  WWW'07 width), stored as two 32-bit integer halves so the portable
+  floor-division band arithmetic stays exact (< 2^53). Banded 4 × 16 bits for
+  candidate generation (hamming ≤ 3 implies ≥1 exact band by pigeonhole);
+  16-bit band keys (65536 values) keep bucket sizes small even when a narrow
+  vocabulary saturates the sketch space — the 8-bit-band variant measured 10×
+  more candidate pairs on the closed-vocab fixture. Pairwise hamming is two
+  ``bit_count(xor)``s, only on bucket collisions.
 """
 
 from __future__ import annotations
@@ -43,7 +51,8 @@ MINHASH_SEEDS = 16
 LSH_BAND_ROWS = 2       # → 8 bands
 JACCARD_THRESHOLD = 0.8
 HAMMING_THRESHOLD = 3
-SIMHASH_BANDS = 4       # 4 × 8 bits; hamming ≤ 3 ⇒ some band exact (pigeonhole)
+SIMHASH_BANDS = 4       # 4 × 16 bits; hamming ≤ 3 ⇒ some band exact (pigeonhole)
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 
 
 # --------------------------------------------------------------------------- #
@@ -73,20 +82,35 @@ FROM documents GROUP BY 1
 # shingles (shared by jaccard + minhash)
 # --------------------------------------------------------------------------- #
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word-trigram shingles per document."""
-    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
-    sh = toks.where(F.size("t") >= SHINGLE_K).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {SHINGLE_K}), "
-                f"i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-            )
-        ).alias("shingle"),
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) — the DISTINCT word-trigram shingles of each
+    document as one per-row array. Map-only: ``array_distinct`` dedups within
+    the row, so no row-level DISTINCT exchange ever runs (the exploded form
+    shuffled 260k shingle rows at sf0.1 for the same information)."""
+    # 128 KB threshold (not the default 1 MB): downstream evaluates 16 seeded
+    # md5s per shingle map-side, so even a small scan partition carries dense
+    # per-byte compute — same rationale as textstats' per-char hashing.
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
     )
-    return sh.distinct()
+    toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    return toks.where(F.size("t") >= SHINGLE_K).select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(t) - {SHINGLE_K}), "
+            f"i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+        ).alias("sh"),
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — row-per-shingle form (exploded `_shingle_sets`),
+    kept for the exact all-pairs baseline whose pair generation is a
+    shingle-level equi-join."""
+    return _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
 
 
 # DuckDB twin (1-based lists, unnest instead of explode)
@@ -99,6 +123,18 @@ SELECT DISTINCT doc_id, shingle FROM (
   WHERE len(t) >= {SHINGLE_K}
 ) shx
 """
+
+
+def _ordered_pairs_expr(arr: str) -> str:
+    """All ordered pairs (element i, element j>i) of a SORTED array, as an
+    array of (doc_a, doc_b)-field structs — the LSH bucket → candidate-pairs
+    expansion as a pure expression (no self-join; sorting makes doc_a < doc_b
+    by construction)."""
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr})), y -> "
+        f"named_struct('doc_a', x, 'doc_b', y))))"
+    )
 
 
 def _jaccard_on(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
@@ -160,23 +196,37 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # MinHash + LSH (scale path)
 # --------------------------------------------------------------------------- #
 
-def minhash_signatures(shingles: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, s0..s{k-1}): min over shingles of md5(seed:shingle), one
-    aggregate column per seed — ONE pass over the shingles, no seed explode
-    (a k× row blowup through the shuffle otherwise). Hex-string min ==
-    numeric min of the 128-bit hash (fixed-length lexicographic)."""
-    aggs = [
-        F.min(F.expr(seeded_md5(str(s), "shingle"))).alias(f"s{s}")
+def minhash_signatures(shingle_sets: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(doc_id, s0..s{k-1}): min over the doc's shingle array of
+    md5(seed:shingle), one ``array_min(transform(...))`` column per seed —
+    SHUFFLE-FREE (a pure projection; the former groupBy-of-exploded-rows form
+    exchanged every (doc, shingle) row first). Hex-string min == numeric min
+    of the 128-bit hash (fixed-length lexicographic)."""
+    cols = [
+        F.expr(f"array_min(transform(sh, x -> {seeded_md5(str(s), 'x')}))").alias(f"s{s}")
         for s in range(seeds)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return shingle_sets.select("doc_id", *cols)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard): LSH candidates (8 bands × 2 rows) verified
-    with exact Jaccard ≥ 0.8 — the end-to-end scalable near-dup pipeline."""
-    sh = _shingles(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    with exact Jaccard ≥ 0.8 — the end-to-end scalable near-dup pipeline.
+
+    Physical shape: one scan → map-side shingle arrays + signatures → band
+    explode (8 rows/doc) → groupBy (band, band_sig) bucket → emit ordered
+    pairs from each bucket → DISTINCT pairs → two doc_id joins to fetch the
+    pair's shingle arrays → ``array_intersect`` Jaccard. Candidate generation
+    is a single grouping shuffle (the textbook band self-JOIN shuffles the
+    same rows twice and recomputes the signature projection per side —
+    measured ~1s slower at sf0.1); pair blowup inside a bucket is inherent to
+    LSH either way (see SCALE.md on hot-bucket capping at 100 TB). The
+    shingle arrays are localCheckpoint'ed because the plan consumes them on
+    THREE map-only branches (signatures, each verify side) — with no exchange
+    to reuse, Spark would otherwise re-tokenize the corpus three times
+    (measured 2× slower at sf0.1)."""
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
+    sig = minhash_signatures(sets)
     n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
@@ -185,15 +235,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_sig")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     cand = (
-        a.join(b, ["band", "band_sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band", "band_sig")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return _jaccard_on(cand, sh).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 _MINHASH_SIG_COLS = ", ".join(
@@ -234,66 +299,111 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # SimHash
 # --------------------------------------------------------------------------- #
 
-def _earlier_band_mismatch(sim_a: str, sim_b: str) -> str:
+def _band_key(hi: str, lo: str, band: int) -> str:
+    """16-bit band key ``band`` (0..3) of a 64-bit sketch stored as 32-bit
+    halves: bands 0-1 from the low half, 2-3 from the high half. The
+    floor-division arithmetic in ``band_key_expr`` is exact because each half
+    is < 2^32 (< 2^53, double-safe) — the reason for the split representation."""
+    half = lo if band < 2 else hi
+    return band_key_expr(half, band % 2, band_bits=SIMHASH_BAND_BITS)
+
+
+def _hamming64_spark(hi_a: str, lo_a: str, hi_b: str, lo_b: str) -> str:
+    return f"({hamming_int_spark(hi_a, hi_b)} + {hamming_int_spark(lo_a, lo_b)})"
+
+
+def _hamming64_duck(hi_a: str, lo_a: str, hi_b: str, lo_b: str) -> str:
+    return f"({hamming_int_duck(hi_a, hi_b)} + {hamming_int_duck(lo_a, lo_b)})"
+
+
+def _earlier_band_mismatch(a_cols: tuple[str, str], b_cols: tuple[str, str]) -> str:
     """Emit-once predicate replacing DISTINCT on candidates: keep a pair at
-    band b only if NO earlier band also matched. Pure expression — the 2.6M
-    candidate rows (sf0.1) never shuffle for dedup."""
+    band b only if NO earlier band also matched. Pure expression — candidate
+    rows never shuffle for dedup. ``a_cols``/``b_cols`` are (hi, lo) column
+    names of the two sides."""
     conds = [
-        f"(band <= {n} OR {band_key_expr(sim_a, n)} <> {band_key_expr(sim_b, n)})"
+        f"(band <= {n} OR {_band_key(*a_cols, n)} <> {_band_key(*b_cols, n)})"
         for n in range(SIMHASH_BANDS - 1)
     ]
     return " AND ".join(conds)
 
 
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit integer sign-of-votes sketch over token
-    occurrences (bit j set ⇔ sum over tokens of ±1 votes for md5-bit j ≥ 0)."""
+    """(doc_id, sim_hi, sim_lo): 64-bit sign-of-votes fingerprint over token
+    occurrences (bit j set ⇔ sum over tokens of ±1 votes for md5-bit j ≥ 0),
+    as two 32-bit integer halves (lo = bits 0-31, hi = bits 32-63)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("token"),
     ).withColumn("h", F.md5("token"))
-    votes = [F.expr(f"sum({v})").alias(f"v{j}") for j, v in enumerate(simhash_vote_exprs("h"))]
+    votes = [
+        F.expr(f"sum({v})").alias(f"v{j}")
+        for j, v in enumerate(simhash_vote_exprs("h", bits=SIMHASH_BITS))
+    ]
     agg = toks.groupBy("doc_id").agg(*votes)
+    half = SIMHASH_BITS // 2
     return agg.select(
         "doc_id",
-        F.expr(simhash_int_expr([f"v{j}" for j in range(SIMHASH_BITS)])).alias("simhash"),
+        F.expr(simhash_int_expr([f"v{j}" for j in range(half, SIMHASH_BITS)])).alias("sim_hi"),
+        F.expr(simhash_int_expr([f"v{j}" for j in range(half)])).alias("sim_lo"),
     )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, hamming): banded SimHash candidates with hamming ≤ 3.
+    """(doc_a, doc_b, hamming): banded SimHash candidates with hamming ≤ 3
+    over the 64-bit fingerprint.
 
-    Bands: 4 × 8 bits — any pair within hamming 3 shares ≥ 1 exact band
-    (pigeonhole), so banding loses nothing while avoiding the all-pairs join.
-    Integer sketches: hamming is one ``bit_count(xor)``; the emit-once band
-    predicate replaces a DISTINCT shuffle over millions of candidates.
+    Bands: 4 × 16 bits — any pair within hamming 3 shares ≥ 1 exact band
+    (pigeonhole), so banding loses nothing while avoiding the all-pairs join;
+    the 65536-value key space keeps buckets small even when a narrow
+    vocabulary concentrates the sketches (the 32-bit/8-bit-band variant
+    produced ~10× the candidates on the closed-vocab fixture). Integer
+    sketches: hamming is two ``bit_count(xor)``s; the emit-once band
+    predicate replaces a DISTINCT shuffle over the candidates.
     """
     sim = simhash_table(spark, sf_dir)
     band_structs = ", ".join(
-        f"named_struct('band', {b}, 'bkey', {band_key_expr('simhash', b)})"
+        f"named_struct('band', {b}, 'bkey', {_band_key('sim_hi', 'sim_lo', b)})"
         for b in range(SIMHASH_BANDS)
     )
     banded = sim.select(
-        "doc_id", "simhash", F.explode(F.expr(f"array({band_structs})")).alias("bb")
-    ).select("doc_id", "simhash", "bb.band", "bb.bkey")
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bkey")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bkey")
+        "doc_id", "sim_hi", "sim_lo",
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+    ).select("doc_id", "sim_hi", "sim_lo", "bb.band", "bb.bkey")
+    # Bucket-grouped pair generation: one grouping shuffle, then a pure
+    # expression expands each bucket's (doc_id-sorted) member list into
+    # ordered pairs — replaces the two-sided band self-join (same rows
+    # shuffled twice + the 64-vote sketch projection computed per side).
+    pairs = (
+        banded.groupBy("band", "bkey")
+        .agg(F.expr("array_sort(collect_list(struct(doc_id, sim_hi, sim_lo)))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select("band", F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select(
+            "band",
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_a.sim_hi").alias("hi_a"), F.col("p.doc_a.sim_lo").alias("lo_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_b.sim_hi").alias("hi_b"), F.col("p.doc_b.sim_lo").alias("lo_b"),
+        )
+    )
     return (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr(hamming_int_spark("sim_a", "sim_b")))
+        pairs.withColumn("hamming", F.expr(_hamming64_spark("hi_a", "lo_a", "hi_b", "lo_b")))
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
-        .where(F.expr(_earlier_band_mismatch("sim_a", "sim_b")))
+        .where(F.expr(_earlier_band_mismatch(("hi_a", "lo_a"), ("hi_b", "lo_b"))))
         .select("doc_a", "doc_b", "hamming")
     )
 
 
 def _simhash_oracle_table() -> str:
     votes = ", ".join(
-        f"sum({v}) AS v{j}" for j, v in enumerate(simhash_vote_exprs("h"))
+        f"sum({v}) AS v{j}"
+        for j, v in enumerate(simhash_vote_exprs("h", bits=SIMHASH_BITS))
     )
-    simint = simhash_int_expr([f"v{j}" for j in range(SIMHASH_BITS)])
+    half = SIMHASH_BITS // 2
+    hi = simhash_int_expr([f"v{j}" for j in range(half, SIMHASH_BITS)])
+    lo = simhash_int_expr([f"v{j}" for j in range(half)])
     return f"""
 toks AS (
   SELECT doc_id, md5(token) AS h FROM (
@@ -302,16 +412,20 @@ toks AS (
   ) simtoks
 ),
 votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
-sim AS (SELECT doc_id, {simint} AS simhash FROM votes)
+sim AS (SELECT doc_id, {hi} AS sim_hi, {lo} AS sim_lo FROM votes)
 """
 
 
 def simhash_oracle() -> str:
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, {band_key_expr('simhash', b)} AS bkey FROM sim"
+        f"SELECT doc_id, sim_hi, sim_lo, {b} AS band,"
+        f" {_band_key('sim_hi', 'sim_lo', b)} AS bkey FROM sim"
         for b in range(SIMHASH_BANDS)
     )
-    ham = hamming_int_duck("a.simhash", "b.simhash")
+    ham = _hamming64_duck("a.sim_hi", "a.sim_lo", "b.sim_hi", "b.sim_lo")
+    emit_once = _earlier_band_mismatch(
+        ("a.sim_hi", "a.sim_lo"), ("b.sim_hi", "b.sim_lo")
+    ).replace("band <=", "a.band <=")
     return f"""
 WITH {_simhash_oracle_table()},
 banded AS ({band_selects})
@@ -319,5 +433,5 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE {ham} <= {HAMMING_THRESHOLD}
-  AND {_earlier_band_mismatch('a.simhash', 'b.simhash').replace('band <=', 'a.band <=')}
+  AND {emit_once}
 """
