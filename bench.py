@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "doc_fingerprints",
     "token_counts",
 ]

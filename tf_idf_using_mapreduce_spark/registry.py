@@ -73,6 +73,7 @@ register("dedup_embedding_cosine", _sim.dedup_embedding_cosine, _sim.EMBEDDING_C
 
 register("ann_topk_bruteforce", _sim.ann_topk_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE)
 register("ann_topk_lsh", _sim.ann_topk_lsh, _sim.ANN_LSH_ORACLE)
+register("ann_topk_ivf", _sim.ann_topk_ivf, _sim.ANN_IVF_ORACLE)
 register("ann_topk_mllib", _sim.ann_topk_mllib)  # rows-only: MLlib model hashes not SQL-expressible
 
 register("multimodal_meta", _mm.multimodal_meta, _mm.MULTIMODAL_META_ORACLE)
