@@ -36,39 +36,37 @@ def duck():
 
 
 def normalize_rows(rows, cols):
-    """Order-insensitive, column-name-sorted value normalization (mirrors the
-    driver's compare)."""
-    import math
-
-    def norm(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else f"{v:.9g}"
-        return str(v)
+    """Order-insensitive, column-name-sorted, dtype-faithful normalization of
+    plain (non-pandas) row tuples — kept for tests that build rows by hand.
+    For driver-faithful comparison of query results use
+    :func:`assert_query_matches_oracle`, which goes through pandas."""
+    from tools.canon import canon_cell
 
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
 
 
 def assert_query_matches_oracle(spark, name: str, sf_dir: str = SF_SMOKE):
-    """Run a registered query and its oracle on the SAME sf dir and compare."""
+    """Run a registered query and its oracle on the SAME sf dir and compare —
+    driver-faithfully: both results go through pandas, values keep their
+    concrete dtype, unhashable columns raise (see tools/canon.py)."""
     import __spark_entry__ as e
+    from tools.canon import canon_rows
 
     sdf = e.queries()[name](spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
+    spdf = sdf.toPandas()
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    rel = con.sql(e.oracle_sql()[name])
-    dcols = rel.columns
-    drows = rel.fetchall()
+    ddf = con.sql(e.oracle_sql()[name]).df()
     con.close()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: schema {sorted(scols)} != {sorted(dcols)}"
-    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} != {len(drows)}"
-    s_norm = normalize_rows([tuple(r[c] for c in scols) for r in srows], scols)
-    d_norm = normalize_rows(drows, dcols)
+    scols, dcols = sorted(spdf.columns), sorted(ddf.columns)
+    assert scols == dcols, f"{name}: schema {scols} != {dcols}"
+    assert len(spdf) == len(ddf), f"{name}: rowcount {len(spdf)} != {len(ddf)}"
+    s_norm = canon_rows(spdf)
+    d_norm = canon_rows(ddf)
     assert s_norm == d_norm, f"{name}: value mismatch, first diff: " + str(
         next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
     )

@@ -10,8 +10,12 @@ def test_meta_oracle_parity(spark):
     assert_query_matches_oracle(spark, "multimodal_meta")
 
 
+def test_features_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "multimodal_features")
+
+
 def test_features_schema_and_determinism(spark):
-    df = mm.multimodal_features(spark, SF_SMOKE)
+    df = mm.multimodal_feature_vectors(spark, SF_SMOKE)
     assert df.schema.simpleString() == (
         "struct<doc_id:bigint,width:int,height:int,features:array<float>>"
     )

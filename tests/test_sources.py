@@ -48,5 +48,5 @@ def test_binary_dir_feeds_multimodal_decode(spark, tmp_path):
     from tf_idf_using_mapreduce_spark.operators.multimodal import _decode_payload
 
     for r in rows:
-        w, h, feats = _decode_payload(bytes(r["content"]))
-        assert 32 <= w < 256 and 32 <= h < 256 and len(feats) == 4
+        w, h, feats, raw = _decode_payload(bytes(r["content"]))
+        assert 32 <= w < 256 and 32 <= h < 256 and len(feats) == 4 == len(raw)

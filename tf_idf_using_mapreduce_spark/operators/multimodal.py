@@ -62,22 +62,26 @@ FROM documents
 """
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, list[float]]:
+def _decode_payload(payload: bytes) -> tuple[int, int, list[float], tuple[int, ...]]:
     """STUB decoder — deterministic pseudo-decode. A real implementation
     (PIL.Image.open / torchaudio.load / frame sampling) goes here; the
     container has no media libraries, so features derive from md5 bytes.
+
+    Returns (width, height, float features, raw uint32 feature words). The
+    raw words are the exact-integer form the registry-facing query exposes so
+    the result is both hashable and recomputable by the DuckDB oracle.
     """
     digest = hashlib.md5(payload).digest()
     width = 32 + digest[0] % 224          # fake dimensions
     height = 32 + digest[1] % 224
-    feats = [x / 2**31 - 1.0 for x in struct.unpack(">4I", digest[:16])]
-    return width, height, feats
+    raw = struct.unpack(">4I", digest[:16])
+    feats = [x / 2**31 - 1.0 for x in raw]
+    return width, height, feats, raw
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, width, height, features array<float>): Arrow-batched decode +
-    feature extraction via ``mapInPandas`` — the real plumbing around the stub
-    decoder. Rows-only checkable (md5-derived floats are not SQL-friendly)."""
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, features array<float>): the library-facing
+    API — Arrow-batched decode + feature extraction via ``mapInPandas``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = with_payload(docs).select("doc_id", "payload")
 
@@ -96,3 +100,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode, "doc_id long, width int, height int, features array<float>"
     )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, feat_sig): registry-facing twin of
+    :func:`multimodal_feature_vectors` — same ``mapInPandas`` decode, but the
+    feature vector is exposed as its exact-integer uint32 words joined with
+    commas. That keeps every column hashable (the driver's canonicalizer
+    chokes on array columns) and lets DuckDB recompute the identical values
+    from the md5 hex string, so this query is fully oracle-checked instead of
+    rows-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = with_payload(docs).select("doc_id", "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feat_sig": [",".join(str(u) for u in d[3]) for d in decoded],
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode, "doc_id long, width int, height int, feat_sig string"
+    )
+
+
+# DuckDB recomputes the stub decode from md5(text)'s hex digits:
+# byte i of the digest is CAST('0x' || substr(hex, 2i+1, 2) AS INTEGER), and
+# each big-endian uint32 word is an 8-hex-digit slice.
+MULTIMODAL_FEATURES_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id,
+       32 + CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) % 224 AS width,
+       32 + CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) % 224 AS height,
+       concat_ws(',',
+                 CAST(('0x' || substr(hx, 1, 8)) AS BIGINT),
+                 CAST(('0x' || substr(hx, 9, 8)) AS BIGINT),
+                 CAST(('0x' || substr(hx, 17, 8)) AS BIGINT),
+                 CAST(('0x' || substr(hx, 25, 8)) AS BIGINT)) AS feat_sig
+FROM h
+"""

@@ -269,8 +269,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+-- NOT EXISTS, not NOT IN: NOT IN returns zero rows if o_custkey ever holds a
+-- NULL, whereas Spark's left_anti keeps all unmatched customers.
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
@@ -539,7 +541,9 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_ORACLE = """
 SELECT event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value,
-       sum(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS sum_k
+       -- outer CAST: DuckDB's sum(BIGINT) is HUGEINT -> pandas float64 ->
+       -- driver hash mismatch vs Spark's int64 (CORRECTNESS_r01 root cause)
+       CAST(sum(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 

@@ -77,7 +77,7 @@ register("ann_topk_ivf", _sim.ann_topk_ivf, _sim.ANN_IVF_ORACLE)
 register("ann_topk_mllib", _sim.ann_topk_mllib)  # rows-only: MLlib model hashes not SQL-expressible
 
 register("multimodal_meta", _mm.multimodal_meta, _mm.MULTIMODAL_META_ORACLE)
-register("multimodal_features", _mm.multimodal_features)  # rows-only: stub decoder via mapInPandas
+register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_ORACLE)
 
 from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORACLE as _EV_HOURLY
 

@@ -7,7 +7,6 @@ names, and an order-insensitive value multiset. Usage:
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -17,47 +16,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from tf_idf_using_mapreduce_spark.session import get_spark
-
-
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
+from tools.canon import assert_hashable, canon_rows
 
 
 def compare(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> bool:
     t0 = time.time()
     sdf = fn(spark, sf_dir)
-    spark_rows = sdf.collect()
-    scols = sorted(sdf.columns)
+    spdf = sdf.toPandas()  # through pandas, like the driver
+    scols = sorted(spdf.columns)
     t_spark = time.time() - t0
     if sql is None:
-        print(f"  {name}: rows={len(spark_rows)} (rows-only, {t_spark:.1f}s)")
+        # the driver still canonicalizes rows-only results — probe hashability
+        try:
+            assert_hashable(spdf)
+        except TypeError as ex:
+            print(f"  {name}: ROWS-ONLY UNHASHABLE ({ex}) — driver will record err")
+            return False
+        print(f"  {name}: rows={len(spdf)} (rows-only, {t_spark:.1f}s)")
         return True
     t0 = time.time()
     rel = con.sql(sql)
-    dcols = sorted(rel.columns)
-    duck_rows = rel.fetchall()
+    ddf = rel.df()  # through pandas, like the driver (HUGEINT -> float64 etc.)
+    dcols = sorted(ddf.columns)
     t_duck = time.time() - t0
     ok = True
     if scols != dcols:
         print(f"  {name}: SCHEMA MISMATCH spark={scols} duck={dcols}")
         ok = False
-    if len(spark_rows) != len(duck_rows):
-        print(f"  {name}: ROWCOUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
+    if len(spdf) != len(ddf):
+        print(f"  {name}: ROWCOUNT MISMATCH spark={len(spdf)} duck={len(ddf)}")
         ok = False
     if ok:
-        s_set = sorted(tuple(_norm(r[c]) for c in scols) for r in spark_rows)
-        d_cols_idx = {c: i for i, c in enumerate(rel.columns)}
-        d_set = sorted(tuple(_norm(r[d_cols_idx[c]]) for c in dcols) for r in duck_rows)
+        try:
+            s_set = canon_rows(spdf)
+            d_set = canon_rows(ddf)
+        except TypeError as ex:
+            print(f"  {name}: UNHASHABLE COLUMN ({ex}) — driver will record err")
+            return False
         if s_set != d_set:
             diffs = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
             print(f"  {name}: VALUE MISMATCH (first diffs: {diffs})")
             ok = False
     status = "OK" if ok else "FAIL"
-    print(f"  {name}: {status} rows={len(spark_rows)} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+    print(f"  {name}: {status} rows={len(spdf)} spark={t_spark:.1f}s duck={t_duck:.1f}s")
     return ok
 
 
