@@ -22,11 +22,9 @@ BENCH_QUERIES = [
     # reference-derived pipelines
     "doc_freq_top100",
     "tfidf",
-    # NOT tfidf_doc_similarity: exact all-pairs cosine degenerates to O(n²)
-    # on the fixture's closed 31-word vocabulary (every doc shares every
-    # term → 112 s at sf0.1); it stays in the correctness registry (3 s at
-    # the sf0.01 gate) — the LSH operators are the benchmark-scale near-dup
-    # path (see SCALE.md).
+    # re-included in round 2: exact all-pairs cosine now runs as block
+    # matrix multiply (operators/allpairs.py) — 112 s → ~4 s at sf0.1
+    "tfidf_doc_similarity",
     "pos_counts",
     "pos_counts_stripes",
     # relational surface

@@ -132,37 +132,63 @@ def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
     return tfidf_of(docs, top_n=top_n, corpus_constant=corpus_constant)
 
 
-def tfidf_doc_similarity(spark: SparkSession, sf_dir: str, top_pairs: int = 20) -> DataFrame:
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str, top_pairs: int = 20,
+                         top_n: int = 100) -> DataFrame:
     """(doc_a, doc_b, cos_sim): most similar document pairs by cosine over
     TF-IDF vectors — the composition the reference's two problems build
-    toward but never ship. Sparse-vector cosine as a TERM equi-join (only
-    co-occurring terms multiply — the sparse dot product), norms precomputed
-    per doc; at scale the term join is the standard inverted-index shape and
-    hot terms are exactly the ones the top-100 DF vocabulary caps.
-    """
-    # the TF-IDF table is referenced by three branches (vectors a, b, norms);
-    # it is BOUNDED (≤ top-100 terms × docs) so materialize once instead of
-    # recomputing the whole two-pass corpus pipeline per branch
-    scores = tfidf(spark, sf_dir).select("doc_id", "term", "score").localCheckpoint(eager=False)
-    norms = scores.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm")
+    toward but never ship.
+
+    Physical shape (round-2 rewrite; the round-1 term-equi-join exploded
+    O(Σ per-term df²) pair-term rows — 112 s at sf0.1 — because the top-100
+    DF vocabulary is by construction the hottest terms, so the inverted-index
+    join tends dense on ANY corpus): the vocabulary is globally bounded at
+    ``top_n`` terms, so each document's sparse TF-IDF vector densifies into a
+    fixed ``top_n``-slot array keyed by vocabulary position. ONE shuffle
+    builds the (doc_id, vec, nrm) table; pair generation + dot products run
+    as replication-based block matrix multiply (``operators/allpairs.py``:
+    numpy ``A @ B.T`` tiles under ``applyInPandas``, tile-local top-k) — no
+    pair-term explosion, no SortMergeJoin, no billion-row aggregation — and
+    the global top-20 is a ``TakeOrderedAndProject`` over tile candidates.
+    Semantics (exact cosine over shared-term pairs) are unchanged; the
+    oracle SQL is untouched.
+
+    Scale: see ``operators/allpairs.py`` — the block count bounds per-task
+    memory, the replication shuffle is n × (P+1)/2 rows, and beyond ~10⁶
+    vectors the LSH candidate routes (``operators/dedup.py``) are the
+    intended path with this operator as their exact oracle."""
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_topk_pairs
+
+    # the TF-IDF table feeds two branches (slot index, vectors); it is
+    # BOUNDED (≤ top_n terms × docs) so cut lineage instead of recomputing
+    # the two-pass corpus pipeline per branch
+    scores = tfidf(spark, sf_dir, top_n=top_n).select("doc_id", "term", "score") \
+        .localCheckpoint(eager=False)
+    # dense slot per vocabulary term (≤ top_n rows; alphabetical — any stable
+    # order works, slots just have to agree across docs)
+    from pyspark.sql import Window
+
+    slots = scores.select("term").distinct().withColumn(
+        "idx", F.row_number().over(Window.orderBy("term")) - 1
     )
-    a = scores.select(F.col("doc_id").alias("doc_a"), "term", F.col("score").alias("sa"))
-    b = scores.select(F.col("doc_id").alias("doc_b"), "term", F.col("score").alias("sb"))
-    dots = (
-        a.join(b, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    vecs = (
+        scores.join(F.broadcast(slots), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("idx", "score"))).alias("m"),
+            F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {top_n - 1}),"
+                " i -> coalesce(element_at(m, i), cast(0 as double)))"
+            ).alias("vec"),
+            "nrm",
+        )
     )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "doc_a").join(nb, "doc_b")
-        .select("doc_a", "doc_b",
-                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(top_pairs)
+    pairs = cosine_topk_pairs(vecs, top_pairs, id_col="doc_id")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "cos_sim"
     )
 
 
