@@ -42,3 +42,60 @@ def test_salted_join_matches_plain(spark):
                     salted_broadcast_left(orders, cust, "o_custkey")
                     .select("o_orderkey", "c_name").collect())
     assert plain == salted
+
+
+# --------------------------------------------------------------------------- #
+# LSH hot-bucket capping (VERDICT r1 item 8): a pathological corpus with a
+# giant boilerplate cluster must not explode candidate generation, while
+# genuine isolated near-dups are still found.
+# --------------------------------------------------------------------------- #
+
+def _write_pathological_corpus(spark, tmp_path):
+    """300 identical boilerplate docs (every LSH bucket they form is hot),
+    one genuine near-dup pair (unique content, one word changed), one
+    reordered-words pair (same token bag -> simhash hamming 0), and unique
+    filler docs."""
+    # tokenization is [a-z]+ — words must be purely alphabetic
+    alpha = [chr(97 + i // 26) + chr(97 + i % 26) for i in range(60)]
+    boiler = " ".join("boiler" + s for s in alpha)
+    base = " ".join("uniq" + s for s in alpha)
+    near = base.replace("uniqbe", "changed", 1)  # one word swapped mid-doc
+    bag = ["bag" + s for s in alpha]
+    bag_a = " ".join(bag)
+    bag_b = " ".join(reversed(bag))
+    filler_alpha = [chr(97 + i) for i in range(20)]
+    rows = (
+        [(i, boiler) for i in range(300)]
+        + [(1000, base), (1001, near)]
+        + [(1002, bag_a), (1003, bag_b)]
+        + [(2000 + i, " ".join(f"fill{a}{chr(97 + j)}" for j in range(40)))
+           for i, a in enumerate(filler_alpha)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_minhash_lsh_hot_bucket_capped(spark, tmp_path):
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    sf_dir = _write_pathological_corpus(spark, tmp_path)
+    rows = dedup_minhash_lsh(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    # the 300-doc boilerplate cluster (300*299/2 = 44850 raw pairs) is capped out
+    assert not any(a < 300 and b < 300 for a, b in pairs)
+    # the genuine isolated near-dup pair survives
+    assert (1000, 1001) in pairs
+    assert len(pairs) < 50
+
+
+def test_simhash_hot_bucket_capped(spark, tmp_path):
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_simhash
+
+    sf_dir = _write_pathological_corpus(spark, tmp_path)
+    rows = dedup_simhash(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert not any(a < 300 and b < 300 for a, b in pairs)
+    # same token bag -> identical sketch -> hamming 0, cold 2-member buckets
+    assert (1002, 1003) in pairs
+    assert len(pairs) < 50

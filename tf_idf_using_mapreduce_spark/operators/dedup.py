@@ -54,6 +54,31 @@ HAMMING_THRESHOLD = 3
 SIMHASH_BANDS = 4       # 4 × 16 bits; hamming ≤ 3 ⇒ some band exact (pigeonhole)
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
 
+# Hot-bucket cap: an LSH bucket with more than this many members is
+# degenerate content (boilerplate, templates, exact-dup clusters that should
+# have been collapsed by dedup_exact upstream) and would expand to O(size²)
+# candidate pairs; such buckets are EXCLUDED from pair generation. The cap is
+# far above anything the organic fixture produces (max observed bucket ≲ 20),
+# so normal results are unchanged — tests/test_skew.py pins the pathological
+# case. Both oracles mirror the cap so parity is exact.
+LSH_BUCKET_CAP = 64
+
+
+def _drop_hot_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove all rows of buckets with more than ``cap`` members — BEFORE any
+    ``collect_list`` materializes a bucket, so a 10M-member degenerate bucket
+    never sits in one task's memory. Bucket sizes partial-aggregate map-side
+    (tiny shuffle on the same keys); the hot-key set is by construction small
+    and broadcasts into a left-anti join — no extra full shuffle of the band
+    rows."""
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .select(*keys)
+    )
+    return bands.join(F.broadcast(hot), keys, "left_anti")
+
 
 # --------------------------------------------------------------------------- #
 # exact dedup
@@ -219,8 +244,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's shingle arrays → ``array_intersect`` Jaccard. Candidate generation
     is a single grouping shuffle (the textbook band self-JOIN shuffles the
     same rows twice and recomputes the signature projection per side —
-    measured ~1s slower at sf0.1); pair blowup inside a bucket is inherent to
-    LSH either way (see SCALE.md on hot-bucket capping at 100 TB). The
+    measured ~1s slower at sf0.1); buckets above ``LSH_BUCKET_CAP`` members
+    are excluded before pair expansion (``_drop_hot_buckets`` — degenerate
+    boilerplate keys would otherwise expand O(size²); run ``dedup_exact``
+    upstream to collapse identical docs first). The
     shingle arrays are localCheckpoint'ed because the plan consumes them on
     THREE map-only branches (signatures, each verify side) — with no exchange
     to reuse, Spark would otherwise re-tokenize the corpus three times
@@ -235,6 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_sig")
+    bands = _drop_hot_buckets(bands, ["band", "band_sig"], LSH_BUCKET_CAP)
     cand = (
         bands.groupBy("band", "band_sig")
         .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
@@ -272,7 +300,12 @@ _MINHASH_BAND_SELECTS = " UNION ALL ".join(
 MINHASH_LSH_ORACLE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig16 AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_MINHASH_BAND_SELECTS}),
+allbands AS ({_MINHASH_BAND_SELECTS}),
+hot AS (SELECT band, band_sig FROM allbands
+        GROUP BY band, band_sig HAVING count(*) > {LSH_BUCKET_CAP}),
+bands AS (SELECT * FROM allbands bb
+          WHERE NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.band = bb.band AND h.band_sig = bb.band_sig)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -371,6 +404,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sim_hi", "sim_lo",
         F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("doc_id", "sim_hi", "sim_lo", "bb.band", "bb.bkey")
+    # Hot-bucket cap composed with emit-once: a pair is kept iff its SMALLEST
+    # matching band is cold — if the first matching band is degenerate
+    # (boilerplate key), the pair is dropped even when a later cold band also
+    # matches (the later emission is suppressed by the emit-once predicate).
+    # Deterministic, mirrored by the oracle; recall caveat documented above.
+    banded = _drop_hot_buckets(banded, ["band", "bkey"], LSH_BUCKET_CAP)
     # Bucket-grouped pair generation: one grouping shuffle, then a pure
     # expression expands each bucket's (doc_id-sorted) member list into
     # ordered pairs — replaces the two-sided band self-join (same rows
@@ -428,7 +467,12 @@ def simhash_oracle() -> str:
     ).replace("band <=", "a.band <=")
     return f"""
 WITH {_simhash_oracle_table()},
-banded AS ({band_selects})
+allbanded AS ({band_selects}),
+hot AS (SELECT band, bkey FROM allbanded
+        GROUP BY band, bkey HAVING count(*) > {LSH_BUCKET_CAP}),
+banded AS (SELECT * FROM allbanded bb
+           WHERE NOT EXISTS (SELECT 1 FROM hot h
+                             WHERE h.band = bb.band AND h.bkey = bb.bkey))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id

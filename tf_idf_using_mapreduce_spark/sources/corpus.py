@@ -130,27 +130,49 @@ def spread(df: DataFrame, multiplier: int = 1,
     sf0.1 corpus), so we spread only when estimated input exceeds
     ``bytes_per_partition`` (default ``SPREAD_BYTES_PER_PARTITION``; operators
     with denser per-byte compute — e.g. per-CHARACTER hashing — pass a lower
-    threshold). Unknown sizes (non-local filesystems) fall back to spreading
-    whenever partitions are scarce — the safe direction at cluster scale.
+    threshold). Current parallelism is estimated from the files' parquet
+    footers (row groups = splittable units; footer reads are memoized) —
+    NOT ``df.rdd.getNumPartitions()``, which forces a full plan conversion
+    per query. Unknown layouts (non-local/non-parquet sources, in-memory
+    frames) spread unconditionally — the safe direction at cluster scale.
     """
     threshold = SPREAD_BYTES_PER_PARTITION if bytes_per_partition is None else bytes_per_partition
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    current = df.rdd.getNumPartitions()
-    if current >= target:
-        return df
-    total_bytes = None
+    total_bytes = units = None
     try:
-        sizes = [
-            os.path.getsize(p.removeprefix("file:"))
+        stats = [
+            _file_split_stats(p.removeprefix("file:"))
             for p in df.inputFiles()
             if p.startswith(("file:", "/"))
         ]
-        total_bytes = sum(sizes) if sizes else None
+        if stats:
+            total_bytes = sum(b for b, _ in stats)
+            units = sum(u for _, u in stats)
     except OSError:
-        total_bytes = None
-    if total_bytes is not None and total_bytes / max(current, 1) < threshold:
-        return df
+        total_bytes = units = None
+    if units is not None:
+        if units >= target:
+            return df  # the scan already splits into enough partitions
+        if total_bytes / max(units, 1) < threshold:
+            return df  # partitions are small; a shuffle would be a net loss
     return df.repartition(target)
+
+
+@lru_cache(maxsize=1024)
+def _file_split_stats(path: str) -> tuple[int, int]:
+    """(bytes, splittable units) for one input file. Parquet splits at
+    row-group boundaries, so its footer's row-group count is the real
+    parallelism bound; anything else is one unit. Fixture/warehouse files are
+    immutable, so the footer read is memoized by path."""
+    size = os.path.getsize(path)
+    if path.endswith(".parquet"):
+        try:
+            import pyarrow.parquet as pq
+
+            return size, max(pq.read_metadata(path).num_row_groups, 1)
+        except Exception:
+            return size, 1
+    return size, 1
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str],
