@@ -89,3 +89,91 @@ def test_spark_udf_matches_expression(spark):
         for r in df.select("token", porter_stem_udf()("token").alias("stem")).collect()
     }
     assert expr_rows == udf_rows
+
+
+# --------------------------------------------------------------------------- #
+# OpenNLP parity table (VERDICT r1 item 5; SURVEY §7.3 commitment).
+#
+# The reference stems with OpenNLP PorterStemmer
+# (/root/reference/DocumentFreq.java:29, /root/reference/IDF.java:31), which
+# ports Martin Porter's own reference implementation. That implementation
+# departs from the published 1980 paper in two documented Step-2 rules (the
+# departures are listed on the algorithm's official page and carried verbatim
+# into the OpenNLP/Lucene ports):
+#
+#   1. "(m>0) abli -> able" is generalized to "(m>0) bli -> ble";
+#   2. an extra rule "(m>0) logi -> log".
+#
+# The engine implements the PAPER (functions/porter.py STEP2_RULES), so the
+# two engines agree everywhere except words whose Step-2 suffix hits one of
+# those rules. The fixture vocabulary (KNOWN above) and the classic test
+# vectors touch neither, so every oracled query is unaffected; the table
+# below pins the exact divergence surface.
+#
+# A third, structural divergence: OpenNLP preserves case (its rules assume
+# lowercase input, so "The" passes through mangled/unchanged), while the
+# engine always lowercases first — documented at operators/tfidf.py
+# doc_freq_of and exercised by the case-sensitive pipeline tests.
+# --------------------------------------------------------------------------- #
+
+# word -> (engine stem [paper], OpenNLP stem [reference impl departures])
+OPENNLP_DIVERGENT = {
+    # hit by "bli -> ble" (paper only rewrites literal "abli")
+    "possibly": ("possibli", "possibl"),
+    "sensibly": ("sensibli", "sensibl"),
+    "visibly": ("visibli", "visibl"),
+    "terribly": ("terribli", "terribl"),
+    "incredibly": ("incredibli", "incred"),  # ble then step-4 "ible" (m>1)
+    # hit by the extra "logi -> log"
+    "apology": ("apologi", "apolog"),
+    "geology": ("geologi", "geolog"),
+    "biology": ("biologi", "biolog"),
+    "analogy": ("analogi", "analog"),
+}
+
+# words whose Step-2 path goes through "abli -> able" in BOTH variants
+# (the generalized rule subsumes the paper rule), pinning agreement
+OPENNLP_AGREEING_EDGES = {
+    "probably": "probabl",
+    "conformably": "conform",
+    "agreed": "agre",
+    "generalization": "gener",
+    "oscillators": "oscil",
+}
+
+
+def test_opennlp_divergence_table_engine_side():
+    bad = {
+        w: (porter_stem_py(w), eng)
+        for w, (eng, _) in OPENNLP_DIVERGENT.items()
+        if porter_stem_py(w) != eng
+    }
+    assert not bad, bad
+    # the table documents true divergences, not typos
+    assert all(eng != onlp for eng, onlp in OPENNLP_DIVERGENT.values())
+
+
+def test_opennlp_agreeing_edges():
+    bad = {
+        w: (porter_stem_py(w), exp)
+        for w, exp in OPENNLP_AGREEING_EDGES.items()
+        if porter_stem_py(w) != exp
+    }
+    assert not bad, bad
+
+
+def test_sql_matches_python_on_divergence_words():
+    """The SQL codegen form must stem the divergence words exactly like the
+    Python reference — the parity risk is engine-vs-OpenNLP, never
+    engine-vs-engine."""
+    words = list(OPENNLP_DIVERGENT) + list(OPENNLP_AGREEING_EDGES)
+    res = _duck_stem(words)
+    bad = {w: (res[w], porter_stem_py(w)) for w in words if res[w] != porter_stem_py(w)}
+    assert not bad, bad
+
+
+def test_fixture_vocabulary_avoids_divergent_rules():
+    """No fixture-vocabulary stem touches bli/logi — the reason all oracled
+    TF-IDF queries are insensitive to the OpenNLP departures."""
+    for w in KNOWN:
+        assert not w.endswith(("bly", "logy", "bli", "logi")), w

@@ -45,20 +45,31 @@ def pos_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pos_tag(toks).groupBy("tag").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def pos_counts_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pos_counts_stripes(spark: SparkSession, sf_dir: str,
+                       tagger_factory=None) -> DataFrame:
     """(tag, cnt) via an explicit map-side stripe in ``mapInPandas``.
 
     Each Arrow batch emits one partial count per tag (the 'stripe'), so the
     shuffle moves O(|tagset| × n_batches) rows instead of one row per token —
     the exact data-movement win the stripes pattern buys, without the
     reference's single-reducer bottleneck.
-    """
+
+    ``tagger_factory`` is the MODEL-SWAP SEAM (the reference loads a real
+    pre-trained UD model per JVM, ``POS.java:23-25,36``): a zero-arg callable
+    returning a ``token -> tag`` function, invoked ONCE per task inside the
+    ``mapInPandas`` iterator — exactly where a production job would
+    deserialize a heavyweight model so every Arrow batch of the task reuses
+    it. Defaults to the deterministic rule tagger (oracle-checkable);
+    tests/test_pos.py swaps in a stateful model and asserts one load per
+    task and unchanged counts."""
     import re
 
     docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     token_re = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
 
     def stripes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model load: once per TASK, amortized over all its Arrow batches
+        tagger = pos_tag_py if tagger_factory is None else tagger_factory()
         # Per-task partial aggregate (the MapWritable stripe, POSstripes.java:35-47)
         # — vectorized: pandas findall/explode for tokens, one memoized tag
         # lookup per DISTINCT token (the dictionary-encoding trick again).
@@ -69,7 +80,7 @@ def pos_counts_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for tok, n in toks.value_counts().items():
                 tag = tag_cache.get(tok)
                 if tag is None:
-                    tag = tag_cache[tok] = pos_tag_py(tok)
+                    tag = tag_cache[tok] = tagger(tok)
                 acc[tag] += int(n)
         yield pd.DataFrame({"tag": list(acc.keys()), "cnt": list(acc.values())})
 
