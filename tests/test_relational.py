@@ -25,6 +25,7 @@ RELATIONAL_QUERIES = [
     "suppliers_intersect_customer_nations",
     "monthly_order_revenue",
     "events_json_stats",
+    "lineitem_price_stats",
     "events_hourly_tumbling",
 ]
 
@@ -60,3 +61,15 @@ def test_q1_scan_prunes_columns(spark):
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate",
     }, cols
+
+
+def test_price_stats_approx_tracks_exact(spark):
+    """The GK-sketch quantiles (the 100 TB path) must sit within 2% relative
+    error of the exact interpolated quantiles at accuracy=1000."""
+    exact = {r["l_returnflag"]: r for r in rel.lineitem_price_stats(spark, SF_SMOKE).collect()}
+    approx = {r["l_returnflag"]: r for r in rel.lineitem_price_stats_approx(spark, SF_SMOKE).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        for col in ("p25", "median", "p95"):
+            assert abs(a[col] - e[col]) / e[col] < 0.02, (flag, col, a[col], e[col])

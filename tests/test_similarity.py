@@ -93,3 +93,32 @@ def test_mllib_lsh_runs_and_ranks(spark):
         lst.sort()
         dists = [d for _, d in lst]
         assert dists == sorted(dists), (q, dists)
+
+
+def test_embedding_topk_pairs_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "embedding_topk_pairs")
+
+
+def test_kmeans_ivf_recall_at_5(spark):
+    """The trained-quantizer IVF must report correct cosines (subset of the
+    brute-force scoring) and usable recall. On the near-orthogonal fixture
+    vectors k-means cells are NOT better than the md5 sample (measured 0.52
+    vs 0.58 — no cluster structure to learn), so the bound is an absolute
+    floor, not a comparison."""
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.ann_topk_bruteforce(spark, SF_SMOKE, k=10**6).collect()
+    }
+    true_sets = {}
+    for r in sim.ann_topk_bruteforce(spark, SF_SMOKE).collect():
+        true_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(rows):
+        hit = sum(1 for r in rows if r["neighbor_id"] in true_sets[r["query_id"]])
+        return hit / sum(len(s) for s in true_sets.values())
+
+    km_rows = sim.ann_topk_ivf_kmeans(spark, SF_SMOKE).collect()
+    for r in km_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute and brute[key] == r["cos_sim"], (r, brute.get(key))
+    assert recall(km_rows) >= 0.4, recall(km_rows)

@@ -517,6 +517,49 @@ FROM orders GROUP BY 1
 """
 
 
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: exact interpolated quantiles,
+    sample stddev, Pearson correlation — the §2.8 numeric-aggregate surface.
+    Exact ``percentile`` sorts each group's values; fine for bounded group
+    counts, and the sketch-based twin (:func:`lineitem_price_stats_approx`)
+    is the 100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    )
+
+
+LINEITEM_PRICE_STATS_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(stddev_samp(l_extendedprice), 4) AS sd,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def lineitem_price_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of :func:`lineitem_price_stats`: ``approx_percentile``
+    (GK sketch — mergeable partial state, no per-group sort/shuffle of raw
+    values) is how quantiles survive 100 TB. Rows-only check (DuckDB's
+    approx sketch differs); relative error vs exact asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.25, 1000)").alias("p25"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("median"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("p95"),
+    )
+
+
+
+
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the numeric ``k`` from the JSON ``props`` column and aggregate.
 

@@ -207,8 +207,8 @@ WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP
 N_CENTROIDS = 16
 N_PROBE = 4
 
-# per-sf_dir anchor memo (coordinator state, like a fitted quantizer model)
-_ANCHOR_CACHE: dict[str, list] = {}
+# per-(sf_dir[, quantizer]) anchor memo (coordinator state, like a fitted model)
+_ANCHOR_CACHE: dict = {}
 
 
 def _anchor_rows(spark: SparkSession, sf_dir: str) -> list:
@@ -276,6 +276,13 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     64/65536 in a production config)."""
     anchors = _anchor_rows(spark, sf_dir)
     vecs = _vectors(spark, sf_dir)
+    return _ivf_search(vecs, anchors, k)
+
+
+def _ivf_search(vecs: DataFrame, anchors: list, k: int) -> DataFrame:
+    """The IVF plan shape shared by every quantizer (md5-sampled anchors,
+    trained k-means centroids, …): anchors → affinity projection → cell
+    equi-join → windowed exact ranking. ``anchors`` rows need ``v``/``nrm``."""
     aff = _affinity_col(anchors, "v", "nrm")
     corpus = vecs.select(
         "vec_id", "v", "nrm",
@@ -333,6 +340,68 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
   FROM scored
 ) ranked WHERE rk <= {TOP_K}
+"""
+
+
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): IVF with a TRAINED coarse
+    quantizer — MLlib KMeans centroids swapped in at the exact seam
+    (``_ivf_search``) the md5-sampled variant uses, demonstrating that the
+    quantizer is pluggable coordinator state. Rows-only check (trained
+    centroids aren't SQL-expressible); recall vs brute force is asserted in
+    tests/test_similarity.py. Production: fit once, persist the model,
+    broadcast centers — the search plan is unchanged."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = (sf_dir, "kmeans")
+    if key not in _ANCHOR_CACHE:
+        feats = _vectors(spark, sf_dir).select(array_to_vector("v").alias("features"))
+        model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
+        _ANCHOR_CACHE[key] = [
+            {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
+            for c in model.clusterCenters()
+        ]
+    return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
+
+
+TOP_PAIRS = 20
+
+
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str,
+                         top_pairs: int = TOP_PAIRS) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): the globally most-similar embedding pairs,
+    exact — the block-matmul all-pairs operator (``operators/allpairs.py``)
+    over the embeddings table, oracled against DuckDB's brute-force
+    three-way-join form. Complements the ANN queries: this is the exact
+    answer their recall is measured against, at a physical shape (replicated
+    block tiles + numpy matmul + tile-local top-k) that survives corpus sizes
+    where the naive pair join cannot."""
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_topk_pairs
+
+    vecs = _vectors(spark, sf_dir)
+    pairs = cosine_topk_pairs(vecs, top_pairs, id_col="vec_id", vec_col="v")
+    return pairs.select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cos_sim"
+    )
+
+
+EMBEDDING_TOPK_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {duck_dot('a.v', 'b.v')} AS dot,
+         round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM scored
+WHERE dot <> 0
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+LIMIT {TOP_PAIRS}
 """
 
 

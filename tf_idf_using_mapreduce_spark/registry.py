@@ -63,6 +63,8 @@ register("order_status_symmetric_difference", _rel.order_status_symmetric_differ
 register("suppliers_intersect_customer_nations", _rel.suppliers_intersect_customer_nations, _rel.NATION_INTERSECT_ORACLE)
 register("monthly_order_revenue", _rel.monthly_order_revenue, _rel.MONTHLY_REVENUE_ORACLE)
 register("events_json_stats", _rel.events_json_stats, _rel.EVENTS_JSON_ORACLE)
+register("lineitem_price_stats", _rel.lineitem_price_stats, _rel.LINEITEM_PRICE_STATS_ORACLE)
+register("lineitem_price_stats_approx", _rel.lineitem_price_stats_approx)  # rows-only: GK sketch differs from DuckDB's
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
 
 register("dedup_exact", _dedup.dedup_exact, _dedup.DEDUP_EXACT_ORACLE)
@@ -75,6 +77,8 @@ register("ann_topk_bruteforce", _sim.ann_topk_bruteforce, _sim.ANN_BRUTEFORCE_OR
 register("ann_topk_lsh", _sim.ann_topk_lsh, _sim.ANN_LSH_ORACLE)
 register("ann_topk_ivf", _sim.ann_topk_ivf, _sim.ANN_IVF_ORACLE)
 register("ann_topk_mllib", _sim.ann_topk_mllib)  # rows-only: MLlib model hashes not SQL-expressible
+register("ann_topk_ivf_kmeans", _sim.ann_topk_ivf_kmeans)  # rows-only: trained centroids not SQL-expressible
+register("embedding_topk_pairs", _sim.embedding_topk_pairs, _sim.EMBEDDING_TOPK_PAIRS_ORACLE)
 
 register("multimodal_meta", _mm.multimodal_meta, _mm.MULTIMODAL_META_ORACLE)
 register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_ORACLE)
