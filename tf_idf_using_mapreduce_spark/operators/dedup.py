@@ -364,17 +364,35 @@ def _earlier_band_mismatch(a_cols: tuple[str, str], b_cols: tuple[str, str]) -> 
 def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sim_hi, sim_lo): 64-bit sign-of-votes fingerprint over token
     occurrences (bit j set ⇔ sum over tokens of ±1 votes for md5-bit j ≥ 0),
-    as two 32-bit integer halves (lo = bits 0-31, hi = bits 32-63)."""
+    as two 32-bit integer halves (lo = bits 0-31, hi = bits 32-63).
+
+    The 64 per-bit vote terms (md5 + hex-digit arithmetic each) are
+    dictionary-encoded exactly like the stemmer: computed once per DISTINCT
+    token (Heaps-law-bounded vocabulary) and broadcast-joined back, so each
+    token OCCURRENCE costs one hash-join probe plus 64 integer additions in
+    the partial aggregate instead of 64 hash-bit extractions — measured ~3×
+    on the sf0.1 corpus. ``localCheckpoint`` cuts the 64-expression chain
+    out of the enclosing join plan (same Catalyst rationale as
+    ``tfidf.stem_dictionary``)."""
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("token"),
-    ).withColumn("h", F.md5("token"))
-    votes = [
-        F.expr(f"sum({v})").alias(f"v{j}")
-        for j, v in enumerate(simhash_vote_exprs("h", bits=SIMHASH_BITS))
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    )
+    vote_dict = (
+        toks.select("token").distinct()
+        .withColumn("h", F.md5("token"))
+        .select(
+            "token",
+            *[F.expr(v).alias(f"b{j}")
+              for j, v in enumerate(simhash_vote_exprs("h", bits=SIMHASH_BITS))],
+        )
+        .localCheckpoint(eager=False)
+    )
+    joined = toks.join(F.broadcast(vote_dict), "token")
+    agg = joined.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"v{j}") for j in range(SIMHASH_BITS)]
+    )
     half = SIMHASH_BITS // 2
     return agg.select(
         "doc_id",
