@@ -253,7 +253,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to reuse, Spark would otherwise re-tokenize the corpus three times
     (measured 2× slower at sf0.1)."""
     sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
-    sig = minhash_signatures(sets)
+    # checkpoint the signature table too: the hot-bucket count and the
+    # anti-join side BOTH consume it, and without a cut Spark recomputes the
+    # 16-seeded-md5-per-shingle projection per consumer (measured 2× at
+    # sf0.1). Production equivalent: persist the sketch table — sketches are
+    # the index, built once.
+    sig = minhash_signatures(sets).localCheckpoint(eager=False)
     n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
@@ -413,7 +418,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches: hamming is two ``bit_count(xor)``s; the emit-once band
     predicate replaces a DISTINCT shuffle over the candidates.
     """
-    sim = simhash_table(spark, sf_dir)
+    # one row per doc (two ints): cut lineage so the hot-bucket count and the
+    # anti-join side share one materialization of the 64-vote aggregation
+    sim = simhash_table(spark, sf_dir).localCheckpoint(eager=False)
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'bkey', {_band_key('sim_hi', 'sim_lo', b)})"
         for b in range(SIMHASH_BANDS)
