@@ -70,3 +70,7 @@ def test_session_windows_stream(spark):
     for r in rows:
         assert r["n"] >= 1
         assert r["w"]["end"] > r["w"]["start"]
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    assert_query_matches_oracle(spark, "events_stream_dedup")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tf_idf_using_mapreduce_spark.operators import dedup as _dedup
 from tf_idf_using_mapreduce_spark.operators import pos as _pos
 from tf_idf_using_mapreduce_spark.operators import relational as _rel
+from tf_idf_using_mapreduce_spark.operators import rangejoin as _rj
 from tf_idf_using_mapreduce_spark.operators import sessions as _sess
 from tf_idf_using_mapreduce_spark.operators import similarity as _sim
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
@@ -56,6 +57,8 @@ register("parts_never_ordered", _rel.parts_never_ordered, _rel.NOT_EXISTS_ORACLE
 register("user_event_pivot", _rel.user_event_pivot, _rel.PIVOT_ORACLE)
 register("sessionize_events", _sess.sessionize_events, _sess.SESSIONIZE_ORACLE)
 register("asof_purchase_prior_click", _sess.asof_purchase_prior_click, _sess.ASOF_ORACLE)
+register("clicks_before_purchase_5min", _rj.clicks_before_purchase_5min, _rj.RANGE_JOIN_ORACLE)
+register("events_time_rollup", _rj.events_time_rollup, _rj.TIME_ROLLUP_ORACLE)
 register("top3_orders_per_customer", _rel.top3_orders_per_customer, _rel.TOP3_PER_CUSTOMER_ORACLE)
 register("running_customer_spend", _rel.running_customer_spend, _rel.RUNNING_SPEND_ORACLE)
 register("customers_without_orders", _rel.customers_without_orders, _rel.CUSTOMERS_WITHOUT_ORDERS_ORACLE)
@@ -87,6 +90,7 @@ from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORAC
 
 register("events_hourly_streaming", _stream.events_hourly_streaming, _EV_HOURLY)
 register("events_sliding_windows", _stream.events_sliding_batch, _stream.EVENTS_SLIDING_ORACLE)
+register("events_stream_dedup", _stream.events_stream_dedup, _stream.STREAM_DEDUP_ORACLE)
 
 register("lang_id_confusion", _ts.lang_id_confusion, _ts.lang_id_oracle())
 register("text_quality", _ts.text_quality, _ts.text_quality_oracle())

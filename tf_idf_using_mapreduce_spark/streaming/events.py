@@ -55,12 +55,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withWatermark("ts", "2 hours")
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
+                         output_mode: str = "complete") -> None:
     """Drive a finite stream to completion into an in-memory table."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -78,6 +79,39 @@ def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     result_name = "events_hourly_stream_result"
     run_stream_to_memory(windowed_counts(stream), result_name)
     return spark.table(result_name)
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, minute): STREAMING dedup — collapse each user's
+    rapid repeats to one row per (user, type, minute) with
+    ``dropDuplicatesWithinWatermark``, the stream-side primitive a
+    training-data pipeline uses to de-duplicate event feeds on ingest.
+    State is bounded by the watermark (2 h here): a key's dedup entry is
+    dropped once the watermark passes it, so state size tracks the horizon,
+    not the stream. Only key columns are emitted (which physical row survives
+    is undefined), keeping the output deterministic and oracle-checkable
+    against batch SELECT DISTINCT."""
+    stream = read_events_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"),
+        "ts",  # event-time column retained for the watermark
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    result_name = "events_stream_dedup_result"
+    run_stream_to_memory(
+        deduped.select("user_id", "event_type", "minute"), result_name,
+        output_mode="append",
+    )
+    return spark.table(result_name)
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type,
+       strftime(time_bucket(INTERVAL 1 MINUTE, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS minute
+FROM events
+"""
 
 
 def user_running_counts_stateful(stream: DataFrame) -> DataFrame:
