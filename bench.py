@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "events_hourly_tumbling",
     "sessionize_events",
     "asof_purchase_prior_click",
+    "clicks_before_purchase_5min",
     # training-data extensions
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -44,6 +45,7 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "embedding_topk_pairs",
     "doc_fingerprints",
     "token_counts",
 ]

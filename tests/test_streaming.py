@@ -74,3 +74,30 @@ def test_session_windows_stream(spark):
 
 def test_stream_dedup_matches_batch_distinct(spark):
     assert_query_matches_oracle(spark, "events_stream_dedup")
+
+
+def test_stream_parquet_sink_exactly_once(spark, tmp_path):
+    """Native parquet streaming sink with a checkpoint: all rows land once,
+    and re-running the same stream against the same checkpoint writes
+    NOTHING new (offset-log replay protection) — the exactly-once contract a
+    production ingest pipeline relies on."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            se.read_events_stream(spark, SF_SMOKE)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
+    run_once()  # replay: same source files, same checkpoint
+    assert spark.read.parquet(out).count() == 1000

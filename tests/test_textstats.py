@@ -45,3 +45,20 @@ def test_fingerprints_smaller_than_gram_count(spark):
         assert 1 <= r["n_fingerprints"] <= n_grams
     avg_density = sum(r["n_fingerprints"] for r in rows) / sum(chars[r["doc_id"]] - 4 for r in rows)
     assert avg_density < 0.6, avg_density
+
+
+def test_cms_overestimate_property(spark):
+    """Count-min never under-counts: est >= exact for every token, and the
+    total over-estimate is bounded (eps = 2N/W with the fixture's N)."""
+    from tf_idf_using_mapreduce_spark.operators.textstats import CMS_WIDTH, token_freq_cms
+
+    rows = token_freq_cms(spark, SF_SMOKE).collect()
+    assert rows
+    n_total = sum(r["exact_cnt"] for r in rows)
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+        assert r["est_cnt"] - r["exact_cnt"] <= 2 * n_total / CMS_WIDTH, r
+
+
+def test_cms_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "token_freq_cms")

@@ -219,3 +219,78 @@ winnowed AS (
 SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp
 FROM winnowed
 """
+
+
+# --------------------------------------------------------------------------- #
+# Count-min sketch (declarative, oracle-exact)
+# --------------------------------------------------------------------------- #
+
+CMS_DEPTH = 4     # hash rows
+CMS_WIDTH = 256   # buckets per row — deliberately small so collisions occur
+                  # at fixture scale and the over-estimate property is visible
+
+
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, est_cnt, exact_cnt): token frequencies estimated through a
+    count-min sketch BUILT FROM RELATIONAL PRIMITIVES — ``CMS_DEPTH`` seeded
+    md5 hash rows × ``CMS_WIDTH`` buckets, the same portable hash family as
+    the minhash/simhash sketches, so the DuckDB oracle computes the
+    IDENTICAL sketch (unlike Spark's opaque ``count_min_sketch`` binary,
+    which nothing else can read).
+
+    Scale shape: the sketch is a groupBy over (seed, bucket) — D×W bounded
+    rows regardless of corpus size, built with one shuffle whose map-side
+    partials collapse each partition to ≤ D×W rows. That's the point of CMS
+    at 100 TB: a frequency table over an unbounded token stream in O(D×W)
+    memory, mergeable across partitions/streams by addition. est ≥ exact
+    always (collisions only add); error ≤ 2·N/W with prob 1-2^-D.
+    """
+    from tf_idf_using_mapreduce_spark.functions.hashing import seeded_md5
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("token")
+    )
+    bucket_structs = ", ".join(
+        f"named_struct('seed', {s}, 'bucket', "
+        f"cast(conv(substr({seeded_md5(str(s), 'token')}, 1, 8), 16, 10) as bigint) % {CMS_WIDTH})"
+        for s in range(CMS_DEPTH)
+    )
+    pairs = toks.select(
+        "token", F.explode(F.expr(f"array({bucket_structs})")).alias("sb")
+    ).select("token", "sb.seed", "sb.bucket")
+    sketch = pairs.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    lookup = pairs.select("token", "seed", "bucket").distinct()
+    est = (
+        lookup.join(sketch, ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.join(vocab, "token").select("token", "est_cnt", "exact_cnt")
+
+
+def token_freq_cms_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.functions.hashing import seeded_md5
+
+    per_seed = " UNION ALL ".join(
+        f"SELECT token, {s} AS seed,"
+        f" CAST(('0x' || substr({seeded_md5(str(s), 'token')}, 1, 8)) AS BIGINT)"
+        f" % {CMS_WIDTH} AS bucket FROM toks"
+        for s in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS token FROM documents
+),
+pairs AS ({per_seed}),
+sketch AS (SELECT seed, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+vocab AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY 1),
+lookup AS (SELECT DISTINCT token, seed, bucket FROM pairs),
+est AS (
+  SELECT l.token, min(sk.cnt) AS est_cnt
+  FROM lookup l JOIN sketch sk ON sk.seed = l.seed AND sk.bucket = l.bucket
+  GROUP BY 1
+)
+SELECT e.token, e.est_cnt, v.exact_cnt FROM est e JOIN vocab v ON v.token = e.token
+"""

@@ -96,3 +96,4 @@ register("lang_id_confusion", _ts.lang_id_confusion, _ts.lang_id_oracle())
 register("text_quality", _ts.text_quality, _ts.text_quality_oracle())
 register("token_counts", _ts.token_counts, _ts.TOKEN_COUNTS_ORACLE)
 register("doc_fingerprints", _ts.doc_fingerprints, _ts.FINGERPRINT_ORACLE)
+register("token_freq_cms", _ts.token_freq_cms, _ts.token_freq_cms_oracle())
