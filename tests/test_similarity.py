@@ -122,3 +122,22 @@ def test_kmeans_ivf_recall_at_5(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in brute and brute[key] == r["cos_sim"], (r, brute.get(key))
     assert recall(km_rows) >= 0.4, recall(km_rows)
+
+
+def test_embedding_ivf_dedup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_embedding_ivf")
+
+
+def test_embedding_ivf_dedup_pairs_are_genuine(spark):
+    """Every reported pair must be a true above-threshold pair (subset of the
+    unblocked all-pairs set) with the correct cosine."""
+    truth = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in sim.embedding_topk_pairs(spark, SF_SMOKE, top_pairs=10**6).collect()
+        if r["cos_sim"] >= sim.NEARDUP_COS_THRESHOLD
+    }
+    blocked = sim.dedup_embedding_ivf(spark, SF_SMOKE).collect()
+    assert blocked
+    for r in blocked:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in truth and truth[key] == r["cos_sim"], (r, truth.get(key))

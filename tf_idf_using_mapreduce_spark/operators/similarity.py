@@ -367,6 +367,61 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
 
 
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cos_sim): embedding near-dup pairs ≥ the cosine
+    threshold, blocked by IVF CELL — the real quantizer-slot blocking that
+    ``dedup_embedding_cosine``'s label key stands in for. Cell assignment is
+    the same anchors-as-data projection as the ANN search (no shuffle to
+    block); pair generation is a self-equi-join on the cell id, so work is
+    Σ per-cell size² instead of n² — at 100 TB the cell count k is the
+    blocking-granularity lever (recall loss = near-dup pairs straddling a
+    cell boundary; standard mitigation is multi-assignment, same idea as
+    nprobe). Oracled end-to-end because the md5-anchor quantizer is
+    SQL-expressible."""
+    anchors = _anchor_rows(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    aff = _affinity_col(anchors, "v", "nrm")
+    corpus = vecs.select(
+        "vec_id", "v", "nrm", (-F.array_max(aff).getField("ncid")).alias("cid")
+    )
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("cid"),
+                      F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("cid"),
+                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(F.expr(spark_dot("va", "vb")) / (F.col("na") * F.col("nb")), COS_ROUND)
+    return (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
+    )
+
+
+EMBEDDING_IVF_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings),
+anchors AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         v AS av, nrm AS an
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}
+),
+affinity AS (
+  SELECT e.vec_id, e.v, e.nrm, a.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({duck_dot('e.v', 'a.av')} / (e.nrm * a.an), {COS_ROUND}) DESC,
+                    a.cid ASC) AS rn
+  FROM e CROSS JOIN anchors a
+),
+assigned AS (SELECT vec_id, v, nrm, cid FROM affinity WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
+FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
 TOP_PAIRS = 20
 
 

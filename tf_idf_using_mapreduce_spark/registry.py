@@ -75,6 +75,7 @@ register("dedup_ngram_jaccard", _dedup.dedup_ngram_jaccard, _dedup.NGRAM_JACCARD
 register("dedup_minhash_lsh", _dedup.dedup_minhash_lsh, _dedup.MINHASH_LSH_ORACLE)
 register("dedup_simhash", _dedup.dedup_simhash, _dedup.simhash_oracle())
 register("dedup_embedding_cosine", _sim.dedup_embedding_cosine, _sim.EMBEDDING_COSINE_ORACLE)
+register("dedup_embedding_ivf", _sim.dedup_embedding_ivf, _sim.EMBEDDING_IVF_DEDUP_ORACLE)
 
 register("ann_topk_bruteforce", _sim.ann_topk_bruteforce, _sim.ANN_BRUTEFORCE_ORACLE)
 register("ann_topk_lsh", _sim.ann_topk_lsh, _sim.ANN_LSH_ORACLE)
