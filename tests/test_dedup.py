@@ -61,3 +61,36 @@ def test_simhash_is_deterministic(spark):
     assert a == b
     # 64-bit fingerprint as two 32-bit halves (keeps band math double-exact)
     assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for _, hi, lo in a)
+
+
+def test_connected_components_transitive(spark):
+    """A~B and B~C must land in ONE cluster even with no A~C edge — the
+    reason pair output alone can't drive dedup deletion — and a chain longer
+    than one hop must still converge under the iteration cap."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_dedup_clusters_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_clusters")
+
+
+def test_dedup_clusters_canonical_is_min_member(spark):
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_clusters
+
+    rows = dedup_clusters(spark, SF_SMOKE).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid

@@ -504,3 +504,88 @@ JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE {ham} <= {HAMMING_THRESHOLD}
   AND {emit_once}
 """
+
+
+# --------------------------------------------------------------------------- #
+# near-dup cluster formation (connected components + survivor election)
+# --------------------------------------------------------------------------- #
+
+CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the undirected pair
+    graph, cluster_id = min member id — the step a production dedup pipeline
+    runs AFTER candidate generation (pairs alone over-delete: A~B and B~C
+    must collapse to ONE surviving doc even when A~C was never scored).
+
+    Iterative min-label propagation: each round every node takes the min
+    label in its closed neighborhood; converges in O(graph diameter) rounds
+    (near-dup clusters are small and dense, so diameter is tiny — the 20
+    round cap is a safety net, asserted in tests). Each round is one
+    self-join + aggregate on the label table; the driver-side loop is
+    COORDINATOR CONTROL (same category as AQE's runtime re-planning), with a
+    single count() per round as the convergence test. At 100 TB this is the
+    standard large-star/small-star regime (Kiveris et al.), which this
+    implementation reduces to for bounded cluster sizes."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        both.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
+            )
+        )
+        # materialize the round (cuts the iterative lineage) and test fixpoint
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.select("doc_id", "cluster_id")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): near-dup clusters over the
+    minhash-LSH verified pairs, with the min-id survivor elected per
+    cluster. Docs in no pair are absent (singletons keep themselves —
+    trivially canonical)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_ORACLE.replace(chr(10), ' ')}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, a AS r FROM (SELECT DISTINCT a FROM edges) nodes0
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b
+)
+SELECT a AS doc_id, min(r) AS cluster_id,
+       (a = min(r)) AS is_canonical
+FROM reach GROUP BY a
+"""

@@ -74,6 +74,7 @@ register("dedup_exact", _dedup.dedup_exact, _dedup.DEDUP_EXACT_ORACLE)
 register("dedup_ngram_jaccard", _dedup.dedup_ngram_jaccard, _dedup.NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_lsh", _dedup.dedup_minhash_lsh, _dedup.MINHASH_LSH_ORACLE)
 register("dedup_simhash", _dedup.dedup_simhash, _dedup.simhash_oracle())
+register("dedup_clusters", _dedup.dedup_clusters, _dedup.DEDUP_CLUSTERS_ORACLE)
 register("dedup_embedding_cosine", _sim.dedup_embedding_cosine, _sim.EMBEDDING_COSINE_ORACLE)
 register("dedup_embedding_ivf", _sim.dedup_embedding_ivf, _sim.EMBEDDING_IVF_DEDUP_ORACLE)
 
