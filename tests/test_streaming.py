@@ -101,3 +101,7 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 1000
     run_once()  # replay: same source files, same checkpoint
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    assert_query_matches_oracle(spark, "events_stream_stream_join")

@@ -93,6 +93,7 @@ from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORAC
 register("events_hourly_streaming", _stream.events_hourly_streaming, _EV_HOURLY)
 register("events_sliding_windows", _stream.events_sliding_batch, _stream.EVENTS_SLIDING_ORACLE)
 register("events_stream_dedup", _stream.events_stream_dedup, _stream.STREAM_DEDUP_ORACLE)
+register("events_stream_stream_join", _stream.events_stream_stream_join, _stream.STREAM_STREAM_JOIN_ORACLE)
 
 register("lang_id_confusion", _ts.lang_id_confusion, _ts.lang_id_oracle())
 register("text_quality", _ts.text_quality, _ts.text_quality_oracle())

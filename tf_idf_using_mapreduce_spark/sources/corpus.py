@@ -184,6 +184,24 @@ def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str
     df.repartition(*partition_cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         n_buckets: int = 8, sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed managed table — the CO-LOCATED JOIN layout: two tables
+    bucketed the same way on the join key hash-partition identically at
+    WRITE time, so a join between them needs NO exchange on either side
+    (asserted in tests/test_bucketing.py). At 100 TB this converts every
+    recurring fact-fact join on the bucketing key from the single largest
+    shuffle in the pipeline into a zip of pre-sorted buckets; the cost is
+    paid once at ingest. ``sort_cols`` additionally pre-sorts within each
+    bucket so the join skips its sort step too."""
+    w = df.repartition(n_buckets, *bucket_cols).write.mode(mode).format("parquet")
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 @lru_cache(maxsize=1)
 def stopwords() -> tuple[str, ...]:
     """The reference stop-list, verbatim (``stopwords.txt``: 705 CRLF lines →

@@ -44,15 +44,19 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", slide: str | None
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       watermark: str | None = "2 hours") -> DataFrame:
     """File-source stream over the fixture parquet (ts arrives as long nanos —
-    same conversion as the batch loader), with a 2 h watermark."""
+    same conversion as the batch loader), with a 2 h watermark by default.
+    Pass ``watermark=None`` when the caller renames the event-time column
+    and sets its own (Spark forbids redefining a watermark)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withWatermark("ts", "2 hours")
+    out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return out.withWatermark("ts", watermark) if watermark else out
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
@@ -138,6 +142,55 @@ def user_running_counts_stateful(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase_id, click_id): STREAM-STREAM interval join — every
+    (purchase, click) pair by ANY user with the click in the 5 minutes up to
+    the purchase, both sides arriving as streams. The watermarks bound the
+    join state: a buffered click can be dropped once the watermark passes
+    its 5-minute relevance window, so state size tracks rate × horizon, not
+    the stream. This is the streaming twin of the batch range join
+    (``operators/rangejoin.py``) — and it NEEDS the same interval-bucketing
+    trick, because Spark rejects stream-stream joins without an equality
+    predicate: the time-bin key (probe side exploded to its 2 candidate
+    bins) IS the equality, the exact interval predicate filters in-bucket,
+    and the StreamingSymmetricHashJoin keys its state by bin.
+    """
+    W = 300
+    bin_p = f"floor(unix_timestamp(p_ts) / {W})"
+    purchases = (
+        read_events_stream(spark, sf_dir, watermark=None)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+        .withColumn("bin", F.explode(F.expr(f"array({bin_p} - 1, {bin_p})")))
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir, watermark=None)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+        .withColumn("bin", F.expr(f"floor(unix_timestamp(c_ts) / {W})"))
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases["bin"] == clicks["bin"])
+        & F.expr(f"c_ts > p_ts - INTERVAL {W} SECOND AND c_ts <= p_ts"),
+    ).select("purchase_id", "click_id")
+    result_name = "events_stream_stream_join_result"
+    run_stream_to_memory(joined, result_name, output_mode="append")
+    return spark.table(result_name)
+
+
+STREAM_STREAM_JOIN_ORACLE = """
+WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, ts AS c_ts FROM events
+      WHERE event_type = 'click')
+SELECT purchase_id, click_id
+FROM p JOIN c ON c_ts > p_ts - INTERVAL 300 SECOND AND c_ts <= p_ts
+"""
 
 
 def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
