@@ -62,3 +62,23 @@ def test_cms_overestimate_property(spark):
 
 def test_cms_oracle_parity(spark):
     assert_query_matches_oracle(spark, "token_freq_cms")
+
+
+def test_doc_splits_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "doc_splits")
+
+
+def test_doc_splits_stable_and_proportioned(spark):
+    """Assignment is a pure function of doc_id (identical across runs and
+    partitionings) and roughly honors the 80/10/10 target."""
+    from collections import Counter
+
+    from tf_idf_using_mapreduce_spark.operators.textstats import doc_splits
+
+    a = {r["doc_id"]: r["split"] for r in doc_splits(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["split"] for r in doc_splits(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) == 500
+    counts = Counter(a.values())
+    assert 0.70 <= counts["train"] / 500 <= 0.90
+    assert 0.04 <= counts["val"] / 500 <= 0.16
+    assert 0.04 <= counts["test"] / 500 <= 0.16

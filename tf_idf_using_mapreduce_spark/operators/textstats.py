@@ -294,3 +294,45 @@ est AS (
 )
 SELECT e.token, e.est_cnt, v.exact_cnt FROM est e JOIN vocab v ON v.token = e.token
 """
+
+
+# --------------------------------------------------------------------------- #
+# deterministic dataset splitting
+# --------------------------------------------------------------------------- #
+
+SPLIT_PCTS = (80, 10, 10)  # train / val / test
+
+
+def doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split): deterministic train/val/test assignment by content-free
+    hash of the doc id — the split a training pipeline must be able to
+    REPRODUCE anywhere (Spark's ``randomSplit`` is partitioning-dependent;
+    a hash of the stable key is not). Bucket = first 8 md5 hex digits of the
+    id mod 100: pure projection, no shuffle, and any engine (here: the
+    DuckDB oracle) derives the identical assignment. At 100 TB the same
+    expression splits petabytes with zero data movement and survives
+    repartitioning, backfills, and incremental appends."""
+    train, val, _ = SPLIT_PCTS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {bucket} < {train} THEN 'train'"
+            f" WHEN {bucket} < {train + val} THEN 'val'"
+            f" ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+DOC_SPLITS_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                 < {SPLIT_PCTS[0]} THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                 < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

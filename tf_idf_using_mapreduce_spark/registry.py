@@ -100,3 +100,4 @@ register("text_quality", _ts.text_quality, _ts.text_quality_oracle())
 register("token_counts", _ts.token_counts, _ts.TOKEN_COUNTS_ORACLE)
 register("doc_fingerprints", _ts.doc_fingerprints, _ts.FINGERPRINT_ORACLE)
 register("token_freq_cms", _ts.token_freq_cms, _ts.token_freq_cms_oracle())
+register("doc_splits", _ts.doc_splits, _ts.DOC_SPLITS_ORACLE)
