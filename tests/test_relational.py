@@ -26,6 +26,9 @@ RELATIONAL_QUERIES = [
     "monthly_order_revenue",
     "events_json_stats",
     "lineitem_price_stats",
+    "events_json_schema_stats",
+    "user_event_unpivot",
+    "customer_order_cadence",
     "events_hourly_tumbling",
 ]
 
@@ -73,3 +76,20 @@ def test_price_stats_approx_tracks_exact(spark):
         e = exact[flag]
         for col in ("p25", "median", "p95"):
             assert abs(a[col] - e[col]) / e[col] < 0.02, (flag, col, a[col], e[col])
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """melt(pivot(x)) == x: the reshape pair is lossless on nonzero cells."""
+    long_form = {
+        (r["user_id"], r["event_type"], r["n"])
+        for r in rel.user_event_unpivot(spark, SF_SMOKE).collect()
+    }
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+    from pyspark.sql import functions as F
+
+    direct = {
+        (r["user_id"], r["event_type"], r["n"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert long_form == direct

@@ -591,6 +591,88 @@ FROM events GROUP BY event_type
 """
 
 
+def events_json_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate as :func:`events_json_stats` but extracting ``k``
+    through ``from_json`` with an explicit schema — the idiomatic Spark JSON
+    path (schema projection, JVM-side parsing, pushdown-friendly) rather
+    than the portable regexp. The ORACLE stays the regexp form (DuckDB's
+    JSON extension can't load offline): on this data the two extractions
+    are semantically identical, which the driver's value hash now proves
+    per round."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("j", F.from_json("props", "k bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("j.k").alias("sum_k"),
+            F.min("j.k").alias("min_k"),
+            F.max("j.k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_JSON_SCHEMA_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       min(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS min_k,
+       max(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) of the pivoted per-user event counts back to long form
+    — the STACK/(UNPIVOT) half of the reshape pair. Zero-count cells are
+    dropped so the roundtrip equals the original long-form aggregate."""
+    wide = user_event_pivot(spark, sf_dir)
+    types = [c for c in wide.columns if c != "user_id"]
+    stack = ", ".join(f"'{t}', {t}" for t in types)
+    return (
+        wide.select(
+            "user_id",
+            F.expr(f"stack({len(types)}, {stack}) AS (event_type, n)"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, orderkey, next_orderkey, gap_days, quartile): per-customer
+    order cadence — ``lead`` for the follow-up order, day gap between
+    consecutive orders, ``ntile(4)`` spend quartile per customer. Rounds out
+    the window-function family (offset + distribution functions) beyond
+    rank/frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("gap_days"),
+        F.ntile(4).over(
+            Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        ).alias("quartile"),
+    )
+
+
+ORDER_CADENCE_ORACLE = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS INTEGER) AS gap_days,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming path —
     the same ``F.window`` call Structured Streaming uses)."""

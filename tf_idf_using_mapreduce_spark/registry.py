@@ -66,6 +66,9 @@ register("order_status_symmetric_difference", _rel.order_status_symmetric_differ
 register("suppliers_intersect_customer_nations", _rel.suppliers_intersect_customer_nations, _rel.NATION_INTERSECT_ORACLE)
 register("monthly_order_revenue", _rel.monthly_order_revenue, _rel.MONTHLY_REVENUE_ORACLE)
 register("events_json_stats", _rel.events_json_stats, _rel.EVENTS_JSON_ORACLE)
+register("events_json_schema_stats", _rel.events_json_schema_stats, _rel.EVENTS_JSON_SCHEMA_ORACLE)
+register("user_event_unpivot", _rel.user_event_unpivot, _rel.UNPIVOT_ORACLE)
+register("customer_order_cadence", _rel.customer_order_cadence, _rel.ORDER_CADENCE_ORACLE)
 register("lineitem_price_stats", _rel.lineitem_price_stats, _rel.LINEITEM_PRICE_STATS_ORACLE)
 register("lineitem_price_stats_approx", _rel.lineitem_price_stats_approx)  # rows-only: GK sketch differs from DuckDB's
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
