@@ -57,3 +57,46 @@ def test_topk_is_prefix_of_full_ranking(spark):
     top5 = [(r["term"], r["df"]) for r in doc_freq(spark, SF_SMOKE, top_n=5).collect()]
     full = [(r["term"], r["df"]) for r in doc_freq(spark, SF_SMOKE, top_n=10**6).collect()]
     assert top5 == full[:5]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(edge_list):
+    """Iterative min-label propagation == classic union-find on random graphs
+    (hypothesis drives the edge sets; session-scoped spark fetched directly
+    since @given can't take function-args from fixtures)."""
+    from tf_idf_using_mapreduce_spark.session import get_spark
+
+    spark = get_spark("tests", shuffle_partitions=8)
+    from tf_idf_using_mapreduce_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    nodes = {n for e in edge_list for n in e}
+    # canonical label = min member of the component
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(comp[find(n)]) for n in nodes}
+
+    edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == want

@@ -50,3 +50,34 @@ def test_binary_dir_feeds_multimodal_decode(spark, tmp_path):
     for r in rows:
         w, h, feats, raw = _decode_payload(bytes(r["content"]))
         assert 32 <= w < 256 and 32 <= h < 256 and len(feats) == 4 == len(raw)
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appends with evolving schemas read back as the merged superset
+    (mergeSchema) — the contract incremental ingest relies on."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(d + "/p1")
+    spark.createDataFrame([(2, 3.5)], "id long, b double").write.parquet(d + "/p2")
+    got = spark.read.option("mergeSchema", True).parquet(d + "/p1", d + "/p2")
+    assert sorted(got.columns) == ["a", "b", "id"]
+    rows = {r["id"]: (r["a"], r["b"]) for r in got.collect()}
+    assert rows == {1: ("x", None), 2: (None, 3.5)}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from tf_idf_using_mapreduce_spark.sources.corpus import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(0, 20000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)  # the small-files problem
+    import glob as _glob
+
+    n_small = len(_glob.glob(src + "/part-*.parquet"))
+    assert n_small >= 32
+    compact_parquet(spark, src, dst, target_mb=128)
+    n_big = len(_glob.glob(dst + "/part-*.parquet"))
+    assert n_big < n_small and n_big >= 1
+    assert spark.read.parquet(dst).count() == 20000
+    # content identical
+    a = {r["id"] for r in spark.read.parquet(dst).collect()}
+    assert a == set(range(20000))

@@ -184,6 +184,27 @@ def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str
     df.repartition(*partition_cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(spark: "SparkSession", src_dir: str, dst_dir: str,
+                    target_mb: int = 128, mode: str = "overwrite") -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files and return
+    the output file count — the SMALL-FILES compaction a 100 TB ingest
+    pipeline runs continuously (thousands of tiny task outputs → scan-sized
+    files; too many files = footer/scheduling overhead dominating the scan,
+    too few = lost parallelism). Sizing comes from the source files' on-disk
+    bytes (compressed ≈ output compressed), not a row count."""
+    import math as _math
+
+    df = spark.read.parquet(src_dir)
+    total = sum(
+        _file_split_stats(p.removeprefix("file:"))[0]
+        for p in df.inputFiles()
+        if p.startswith(("file:", "/"))
+    )
+    n_files = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode(mode).parquet(dst_dir)
+    return n_files
+
+
 def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
                          n_buckets: int = 8, sort_cols: list[str] | None = None,
                          mode: str = "overwrite") -> None:
