@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -529,9 +529,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     single count() per round as the convergence test. At 100 TB this is the
     standard large-star/small-star regime (Kiveris et al.), which this
     implementation reduces to for bounded cluster sizes."""
+    # materialize the (small) edge set once: every round joins against it,
+    # and without the cut each iteration would recompute the edge-producing
+    # pipeline (for dedup_clusters: the entire minhash-LSH run) from scratch
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).localCheckpoint(eager=False)
     labels = (
         both.select(F.col("a").alias("doc_id"))
         .distinct()
