@@ -108,10 +108,26 @@ def cosine_topk_pairs(
             # disjoint blocks: every unordered pair appears in exactly this
             # tile; order is normalized below
             mask = S != 0.0
-        ia, ib = np.nonzero(mask)
+        if not mask.any():
+            return empty
+        # Tile-local top-k WITHOUT sorting all pairs: O(pairs) threshold via
+        # np.partition, then materialize + lexsort only the >= threshold
+        # candidates (ties at the cut included, so the exact deterministic
+        # order survives). A dense tile holds (n/P)² pairs — full lexsort of
+        # those measured 6 min at 50k vectors; thresholding took it to ~20 s.
+        C = np.round(S, round_dp)
+        C[~mask] = -np.inf
+        flat = C.ravel()
+        k = min(top_pairs, flat.size)
+        thr = np.partition(flat, flat.size - k)[flat.size - k]
+        if thr == -np.inf:
+            cand = mask  # fewer than k real pairs: take them all
+        else:
+            cand = C >= thr
+        ia, ib = np.nonzero(cand)
         if ia.size == 0:
             return empty
-        cos = np.round(S[ia, ib], round_dp)
+        cos = C[ia, ib]
         id_a = np.minimum(a_ids[ia], b_ids[ib])
         id_b = np.maximum(a_ids[ia], b_ids[ib])
         order = np.lexsort((id_b, id_a, -cos))[:top_pairs]
