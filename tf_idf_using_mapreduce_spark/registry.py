@@ -32,10 +32,10 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
         ORACLES[name] = oracle
 
 
-register("doc_freq_top100", lambda spark, sf: _tfidf.doc_freq(spark, sf), _tfidf.doc_freq_oracle())
-register("doc_freq_approx", lambda spark, sf: _tfidf.doc_freq_approx(spark, sf))  # rows-only: HLL impls differ
-register("tfidf_mllib", lambda spark, sf: _tfidf.tfidf_mllib_exploded(spark, sf))  # rows-only: MLlib formula documented divergence
-register("tfidf", lambda spark, sf: _tfidf.tfidf(spark, sf), _tfidf.tfidf_oracle())
+register("doc_freq_top100", _tfidf.doc_freq, _tfidf.doc_freq_oracle())
+register("doc_freq_approx", _tfidf.doc_freq_approx)  # rows-only: HLL impls differ
+register("tfidf_mllib", _tfidf.tfidf_mllib_exploded)  # rows-only: MLlib formula documented divergence
+register("tfidf", _tfidf.tfidf, _tfidf.tfidf_oracle())
 register("tfidf_doc_similarity", _tfidf.tfidf_doc_similarity, _tfidf.tfidf_doc_similarity_oracle())
 register("top_terms_per_doc", _tfidf.top_terms_per_doc, _tfidf.top_terms_per_doc_oracle())
 register("bigram_pmi", _tfidf.bigram_pmi, _tfidf.bigram_pmi_oracle())
