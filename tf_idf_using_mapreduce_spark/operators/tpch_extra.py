@@ -1,0 +1,537 @@
+"""Extended TPC-H-shaped query surface (SURVEY.md §7.2 #6, round-2 widening).
+
+The reference has no relational layer; ``operators/relational.py`` covers the
+core operator categories. This module adds the remaining canonical TPC-H
+*shapes* — adapted to the fixture star schema, which has no ``partsupp``
+table and no ``l_shipmode``/``l_receiptdate``/``ps_supplycost`` columns —
+so every classic optimizer exercise (correlated min subquery, disjunctive
+predicate pushdown, decorrelated per-group average, scalar-max selection,
+conditional-aggregate market share) has a checked twin here:
+
+  Q2  -> cheapest supplier per part (correlated MIN -> window rank)
+  Q6  -> conjunctive range filters fully pushed to the scan
+  Q8  -> market share via conditional aggregation
+  Q9  -> product profit by nation x year (LIKE filter on part name)
+  Q10 -> returned-revenue top-k through the dimension chain
+  Q14 -> promo revenue ratio (CASE inside sum)
+  Q15 -> top supplier(s) by scalar-max subquery over an agg CTE
+  Q16 -> distinct-supplier counts with an anti-joined exclusion list
+  Q17 -> small-quantity revenue via decorrelated per-part average
+  Q18 -> large-volume customers (grouped HAVING semi-join)
+  Q19 -> OR-of-conjunctions disjunctive join predicate
+  Q22 -> idle high-balance customers (scalar avg + outer-join count filter)
+
+Scale discipline (same contract as relational.py): dimensions broadcast,
+facts shuffle at most once per agg, every ORDER BY+LIMIT carries a
+deterministic tie-break, money sums round to 2dp / ratios to 6dp so both
+engines hash identically, and integer sums in the oracles CAST to BIGINT
+(DuckDB HUGEINT -> pandas float64 trap, CORRECTNESS_r01 post-mortem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+def _rev():
+    # lazy: F.col at module import time needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------- #
+# Q2 shape: cheapest supplier per part (correlated MIN subquery)
+# --------------------------------------------------------------------------- #
+
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, p_name, s_suppkey, unit_price): for each SMALL part under
+    size 15, the supplier shipping it at the lowest unit price (classic Q2
+    correlated-MIN shape). The correlated subquery decorrelates to a window
+    rank over (price, suppkey) — one shuffle on partkey, no re-join of the
+    aggregate back onto the fact."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("l_suppkey"))
+    return (
+        priced.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("unit_price", 2).alias("unit_price"),
+        )
+    )
+
+
+Q2_ORACLE = """
+SELECT p_partkey, p_name, l_suppkey AS s_suppkey, round(unit_price, 2) AS unit_price
+FROM (
+  SELECT p_partkey, p_name, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY l_extendedprice / l_quantity ASC, l_suppkey ASC) AS rk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL' AND p_size < 15
+) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q6 shape: pure conjunctive-range filter aggregation (pushdown showcase)
+# --------------------------------------------------------------------------- #
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row revenue-change forecast: every predicate is a range on a
+    scanned column, so the whole WHERE clause pushes into the parquet reader
+    (PushedFilters in the plan) — the canonical Q6 exercise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q8 shape: market share by conditional aggregation
+# --------------------------------------------------------------------------- #
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_year, mkt_share): NATION_2 suppliers' share of revenue on orders
+    placed by ASIA-region customers, per order year. The nested
+    all-vs-subset division becomes ONE pass with a CASE inside the sum —
+    no second join or self-union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", _rev()).otherwise(F.lit(0.0)))
+                / F.sum(_rev()),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+) GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q9 shape: product profit by supplier nation x year (LIKE on part name)
+# --------------------------------------------------------------------------- #
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, o_year, profit): revenue from parts whose name contains
+    'ring', by supplier nation and order year. (The fixture has no
+    ps_supplycost, so profit = discounted revenue — the join/agg shape is
+    Q9's, the formula is simplified.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("ring"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ring%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q10 shape: returned-revenue top-k through the dimension chain
+# --------------------------------------------------------------------------- #
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returns ('R' lines) on orders from
+    1997H1 — join chain + agg + TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q14 shape: promo revenue ratio (CASE inside sum)
+# --------------------------------------------------------------------------- #
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single row: percentage of 1997-03 shipped revenue from PROMO parts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
+                / F.sum(_rev()),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q15 shape: top supplier(s) by scalar-max subquery over an aggregated CTE
+# --------------------------------------------------------------------------- #
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue): supplier(s) whose 1997Q1 shipped
+    revenue equals the maximum. The revenue CTE is aggregated (one row per
+    supplier), so the max is a scalar subquery Catalyst broadcasts — the
+    fact table is scanned ONCE."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.max_revenue)
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q16 shape: distinct-supplier counts with an anti-joined exclusion list
+# --------------------------------------------------------------------------- #
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, p_size, supplier_cnt): how many distinct suppliers ship each
+    non-PROMO (brand, size), excluding blacklisted suppliers (negative
+    account balance stands in for Q16's complaints list). The exclusion is a
+    broadcast ANTI join — NOT IN's null-swallowing trap avoided on both
+    sides (oracle uses NOT EXISTS, ADVICE.md round 1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") != "PROMO")
+    bad_supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q17 shape: small-quantity revenue via decorrelated per-part average
+# --------------------------------------------------------------------------- #
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single row: average yearly revenue that would vanish if orders below
+    20% of a part's mean quantity were dropped (Brand#1 only). The
+    correlated per-part AVG decorrelates to a tiny aggregate (≤ one row per
+    part) broadcast back onto the fact scan — the scalable form of Q17; at
+    100 TB the agg side stays dimension-sized because part count, not
+    lineitem count, bounds it."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cutoff")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), "p_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q18 shape: large-volume customers (grouped HAVING semi-join)
+# --------------------------------------------------------------------------- #
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 (customer, order) pairs whose order exceeds 250 total quantity.
+    The HAVING subquery is the same grouped aggregate the outer query needs,
+    so it's computed once and joined — not recomputed as a semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q19 shape: OR-of-conjunctions disjunctive join predicate
+# --------------------------------------------------------------------------- #
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single row: revenue matched by any of three (brand, size-range,
+    quantity-range) conjunctions. The disjunction sits ABOVE a plain
+    equi-join on partkey, so the join stays hash/broadcast (no nested-loop
+    blowup) and each OR arm's column bounds still derive pushable ranges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 20)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(21, 30)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.where(arm1 | arm2 | arm3).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue")
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q22 shape: idle high-balance customers (scalar avg + outer-join count)
+# --------------------------------------------------------------------------- #
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, numcust, totacctbal): by nation, customers whose balance
+    beats the positive-balance average yet placed fewer than 7 orders (well below the ~10-order fixture mean).
+    (Q22's no-orders-at-all filter is empty on this fixture — every customer
+    orders, ~10 each — so the cutoff is <7; same scalar-subquery + outer-join-count
+    shape.) count(*) per customer aggregates BEFORE the dimension join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    order_counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    rich = (
+        cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("avg_bal"))
+        .join(order_counts, cust.c_custkey == order_counts.o_custkey, "left")
+        .where(F.coalesce(F.col("n_orders"), F.lit(0)) < 7)
+    )
+    return (
+        rich.join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+LEFT JOIN counts ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND coalesce(n_orders, 0) < 7
+GROUP BY n_name
+"""

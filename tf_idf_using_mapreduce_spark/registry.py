@@ -17,6 +17,7 @@ from tf_idf_using_mapreduce_spark.operators import relational as _rel
 from tf_idf_using_mapreduce_spark.operators import rangejoin as _rj
 from tf_idf_using_mapreduce_spark.operators import sessions as _sess
 from tf_idf_using_mapreduce_spark.operators import similarity as _sim
+from tf_idf_using_mapreduce_spark.operators import tpch_extra as _tpch
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
@@ -47,6 +48,18 @@ register("q3_shipping_priority", _rel.q3_shipping_priority, _rel.Q3_ORACLE)
 register("q5_local_supplier_volume", _rel.q5_local_supplier_volume, _rel.Q5_ORACLE)
 register("q7_nation_trade_volume", _rel.q7_nation_trade_volume, _rel.Q7_ORACLE)
 register("q13_customer_order_distribution", _rel.q13_customer_order_distribution, _rel.Q13_ORACLE)
+register("q2_cheapest_supplier", _tpch.q2_cheapest_supplier, _tpch.Q2_ORACLE)
+register("q6_forecast_revenue", _tpch.q6_forecast_revenue, _tpch.Q6_ORACLE)
+register("q8_market_share", _tpch.q8_market_share, _tpch.Q8_ORACLE)
+register("q9_product_profit", _tpch.q9_product_profit, _tpch.Q9_ORACLE)
+register("q10_returned_items", _tpch.q10_returned_items, _tpch.Q10_ORACLE)
+register("q14_promo_revenue", _tpch.q14_promo_revenue, _tpch.Q14_ORACLE)
+register("q15_top_supplier", _tpch.q15_top_supplier, _tpch.Q15_ORACLE)
+register("q16_supplier_part_counts", _tpch.q16_supplier_part_counts, _tpch.Q16_ORACLE)
+register("q17_small_quantity_revenue", _tpch.q17_small_quantity_revenue, _tpch.Q17_ORACLE)
+register("q18_large_volume_customers", _tpch.q18_large_volume_customers, _tpch.Q18_ORACLE)
+register("q19_disjunctive_revenue", _tpch.q19_disjunctive_revenue, _tpch.Q19_ORACLE)
+register("q22_idle_customers", _tpch.q22_idle_customers, _tpch.Q22_ORACLE)
 register("topk_orders", _rel.topk_orders, _rel.TOPK_ORDERS_ORACLE)
 register("rollup_customer_geo", _rel.rollup_customer_geo, _rel.ROLLUP_ORACLE)
 register("cube_lineitem_flags", _rel.cube_lineitem_flags, _rel.CUBE_ORACLE)
