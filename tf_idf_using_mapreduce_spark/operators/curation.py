@@ -1,0 +1,313 @@
+"""Training-corpus curation operators (SURVEY.md §7.2 #7 extension): the
+dataset-hygiene passes an LLM data pipeline runs between raw text and
+training shards — benchmark-contamination detection, deterministic
+stratified sampling, vocabulary/OOV coverage, and repetition-based quality
+filtering (the Gopher/C4 rules).
+
+Everything is deterministic portable SQL (Spark JVM-side expressions with
+DuckDB twins), composed from the same primitives the dedup/fingerprint
+operators use, so each op is oracle-checked end to end.
+
+Scale notes (100 TB):
+- ``train_eval_contamination`` joins on winnowing fingerprints — the same
+  content-key join as minhash-LSH candidate generation, linear in corpus
+  size plus candidate output. Boilerplate fingerprints (the hot-bucket
+  analog) would fan out; production adds the LSH-style bucket cap before
+  the join (see ``dedup.LSH_BUCKET_CAP``); the eval side is orders of
+  magnitude smaller than train, so the joined fingerprint set is bounded
+  by eval volume, and Spark broadcast-joins it when the planner sees that.
+- ``stratified_sample`` is one window shuffle keyed by stratum; at extreme
+  per-stratum cardinality swap row_number for the threshold trick (rank by
+  hash, keep < k/n_stratum quantile estimate).
+- ``vocab_coverage`` broadcasts a bounded top-V vocabulary — the two-pass
+  (build-dictionary, score-corpus) shape every tokenizer-training pipeline uses;
+  V is fixed, never corpus-sized.
+- ``doc_repetition`` is map-only per-document array math: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.operators.textstats import (
+    GRAM_K,
+    SPLIT_PCTS,
+    WINNOW_W,
+)
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
+
+SAMPLE_PER_STRATUM = 20
+# Contamination ignores fingerprints present in more than this many documents:
+# ubiquitous n-grams (boilerplate, stock phrases) carry no contamination signal
+# but quadratically dominate the join (the hot-bucket problem — measured on the
+# closed-vocab fixture: 6.0M join pairs uncapped vs 9.5k at cap 16). Real
+# decontamination pipelines (BFF, Dolma) apply the same rule.
+CONTAM_FP_CAP = 16
+VOCAB_V = 10          # small so the closed-vocabulary fixture has real OOV
+REPETITION_MAX = 0.3  # Gopher-style duplicate-trigram cutoff
+
+_TOKENS = "regexp_extract_all(lower(text), '([a-z]+)', 1)"  # both dialects
+
+
+# --------------------------------------------------------------------------- #
+# benchmark contamination: eval docs sharing fingerprints with train docs
+# --------------------------------------------------------------------------- #
+
+def _fps_with_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, fp) — winnowing fingerprints (same expression as
+    ``textstats.doc_fingerprints``) exploded to join rows, tagged with the
+    deterministic hash split (same expression as ``textstats.doc_splits``)."""
+    train, val, _ = SPLIT_PCTS
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    hs = (
+        f"transform(sequence(1, length(text) - {GRAM_K - 1}), "
+        f"i -> md5(substr(lower(text), i, {GRAM_K})))"
+    )
+    wins = (
+        f"transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W})))"
+    )
+    bucket = "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    return (
+        docs.where(F.length("text") >= GRAM_K)
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN {bucket} < {train} THEN 'train'"
+                f" WHEN {bucket} < {train + val} THEN 'val'"
+                f" ELSE 'test' END"
+            ).alias("split"),
+            F.expr(hs).alias("hs"),
+        )
+        .select("doc_id", "split", F.explode(F.expr(f"array_distinct({wins})")).alias("fp"))
+    )
+
+
+def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(eval_doc_id, split, n_shared_fps, n_train_docs): held-out documents
+    whose winnowed content fingerprints also appear in the train split — the
+    decontamination report an LLM pipeline runs before trusting its evals.
+    One equi-join on the fingerprint key, preceded by a linear hot-key
+    filter: fingerprints in more than ``CONTAM_FP_CAP`` documents are
+    boilerplate, not contamination, and would explode the join (see the
+    constant's note). Counts are distinct so duplicated fingerprints within
+    a doc don't inflate the signal."""
+    fps = _fps_with_split(spark, sf_dir)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") <= CONTAM_FP_CAP)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    train_fps = fps.where(F.col("split") == "train").select(
+        F.col("fp"), F.col("doc_id").alias("train_doc_id")
+    )
+    eval_fps = fps.where(F.col("split") != "train").select(
+        F.col("fp"), F.col("doc_id").alias("eval_doc_id"), "split"
+    )
+    return (
+        eval_fps.join(train_fps, "fp")
+        .groupBy("eval_doc_id", "split")
+        .agg(
+            F.count_distinct("fp").alias("n_shared_fps"),
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   < {SPLIT_PCTS[0]} THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   < {SPLIT_PCTS[0] + SPLIT_PCTS[1]} THEN 'val'
+              ELSE 'test' END AS split,
+         list_transform(range(1, length(text) - {GRAM_K - 2}),
+                        i -> md5(substr(lower(text), i, {GRAM_K}))) AS hs,
+         length(text) - {GRAM_K - 1} AS n_grams
+  FROM documents WHERE length(text) >= {GRAM_K}
+),
+winnowed AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(range(1, greatest(n_grams - {WINNOW_W - 1}, 1) + 1),
+                                      i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fps
+  FROM hashed
+),
+exploded_all AS (
+  SELECT doc_id, split, unnest(fps) AS fp FROM winnowed
+),
+rare AS (
+  SELECT fp FROM exploded_all GROUP BY fp
+  HAVING count(DISTINCT doc_id) <= {CONTAM_FP_CAP}
+),
+exploded AS (
+  SELECT doc_id, split, e.fp FROM exploded_all e JOIN rare USING (fp)
+)
+SELECT e.doc_id AS eval_doc_id, e.split,
+       CAST(count(DISTINCT e.fp) AS BIGINT) AS n_shared_fps,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+FROM exploded e
+JOIN exploded t ON e.fp = t.fp AND t.split = 'train'
+WHERE e.split <> 'train'
+GROUP BY e.doc_id, e.split
+"""
+
+
+# --------------------------------------------------------------------------- #
+# deterministic stratified sampling
+# --------------------------------------------------------------------------- #
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, rk): the first ``SAMPLE_PER_STRATUM`` documents per
+    language by md5-of-id order — a stratified sample that is REPRODUCIBLE
+    on any engine and any partitioning (``df.sampleBy`` is neither). One
+    window shuffle keyed by the stratum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr("md5(cast(doc_id as string))"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT lang, doc_id, rk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_PER_STRATUM}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------- #
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate): per-document out-of-vocabulary
+    rate against the corpus top-``VOCAB_V`` vocabulary — the two-pass
+    dictionary-then-score shape of tokenizer training. Pass 1 aggregates
+    token frequencies (partial aggregation, one small shuffle) and reduces
+    the vocabulary to ONE array row; pass 2 broadcasts it into a map-only
+    membership filter — no join shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    vocab = (
+        tokens.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(VOCAB_V)
+        .agg(F.array_sort(F.collect_list("token")).alias("vocab"))
+    )
+    return (
+        tokens.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("size(toks)").alias("n_tokens"),
+            F.expr("size(filter(toks, t -> NOT array_contains(vocab, t)))").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0.0 "
+                "ELSE round(cast(n_oov as double) / n_tokens, 6) END"
+            ).alias("oov_rate"),
+        )
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS toks
+  FROM documents
+),
+freq AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS token FROM toks)
+  GROUP BY token ORDER BY cnt DESC, token LIMIT {VOCAB_V}
+),
+vocab AS (
+  SELECT list_sort(list(token)) AS vocab FROM freq
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, t -> NOT list_contains(vocab, t))) AS BIGINT) AS n_oov,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(CAST(len(list_filter(toks, t -> NOT list_contains(vocab, t)))
+                            AS DOUBLE) / len(toks), 6) END AS oov_rate
+FROM toks CROSS JOIN vocab
+"""
+
+
+# --------------------------------------------------------------------------- #
+# repetition-based quality filter (Gopher duplicate-trigram rule)
+# --------------------------------------------------------------------------- #
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_trigrams, n_dup, dup_ratio, keep): fraction of word
+    trigrams that are repeats of an earlier trigram in the same document —
+    the Gopher-style intra-document repetition filter. Map-only array math:
+    one row per document end to end, no explode, no shuffle."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    tris = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
+    )
+    return (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr("size(toks) >= 3"))
+        .select("doc_id", F.expr(tris).alias("tris"))
+        .select(
+            "doc_id",
+            F.expr("size(tris)").alias("n_trigrams"),
+            F.expr("size(tris) - size(array_distinct(tris))").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_dup",
+            F.expr("round(cast(n_dup as double) / n_trigrams, 6)").alias("dup_ratio"),
+            F.expr(
+                f"cast(cast(n_dup as double) / n_trigrams <= {REPETITION_MAX} as boolean)"
+            ).alias("keep"),
+        )
+    )
+
+
+DOC_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS toks
+  FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tris
+  FROM toks WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(tris) AS BIGINT) AS n_trigrams,
+       CAST(len(tris) - len(list_distinct(tris)) AS BIGINT) AS n_dup,
+       round(CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris), 6) AS dup_ratio,
+       (CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris))
+           <= {REPETITION_MAX} AS keep
+FROM tris
+"""

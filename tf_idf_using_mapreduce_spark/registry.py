@@ -18,6 +18,7 @@ from tf_idf_using_mapreduce_spark.operators import rangejoin as _rj
 from tf_idf_using_mapreduce_spark.operators import sessions as _sess
 from tf_idf_using_mapreduce_spark.operators import similarity as _sim
 from tf_idf_using_mapreduce_spark.operators import tpch_extra as _tpch
+from tf_idf_using_mapreduce_spark.operators import curation as _cur
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
@@ -117,3 +118,7 @@ register("token_counts", _ts.token_counts, _ts.TOKEN_COUNTS_ORACLE)
 register("doc_fingerprints", _ts.doc_fingerprints, _ts.FINGERPRINT_ORACLE)
 register("token_freq_cms", _ts.token_freq_cms, _ts.token_freq_cms_oracle())
 register("doc_splits", _ts.doc_splits, _ts.DOC_SPLITS_ORACLE)
+register("train_eval_contamination", _cur.train_eval_contamination, _cur.CONTAMINATION_ORACLE)
+register("stratified_sample", _cur.stratified_sample, _cur.STRATIFIED_SAMPLE_ORACLE)
+register("vocab_coverage", _cur.vocab_coverage, _cur.VOCAB_COVERAGE_ORACLE)
+register("doc_repetition", _cur.doc_repetition, _cur.DOC_REPETITION_ORACLE)
