@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "sessionize_events",
     "asof_purchase_prior_click",
     "clicks_before_purchase_5min",
+    # streaming surface: a REAL Structured Streaming run (availableNow file
+    # source -> windowed agg -> memory sink), so stream wall-clock is on record
+    "events_hourly_streaming",
     # training-data extensions
     "dedup_exact",
     "dedup_minhash_lsh",

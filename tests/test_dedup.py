@@ -94,3 +94,39 @@ def test_dedup_clusters_canonical_is_min_member(spark):
         assert cid == min(m["doc_id"] for m in members)
         canon = [m for m in members if m["is_canonical"]]
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
+
+
+def test_connected_components_twostar_matches_propagation(spark):
+    """Large-star/small-star and min-label propagation must produce the
+    identical labeling: a long path (diameter 9 — the regime two-star is
+    built for), a star, and singleton-adjacent pairs."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    path = [(i, i + 1) for i in range(1, 10)]          # 1-2-3-...-10
+    star = [(50, x) for x in (51, 52, 53, 54)]          # hub 50
+    extra = [(70, 71), (80, 81), (81, 82)]
+    edges = spark.createDataFrame(path + star + extra, "doc_a long, doc_b long")
+    a = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    b = {r["doc_id"]: r["cluster_id"] for r in connected_components_twostar(edges).collect()}
+    assert a == b
+    assert b[10] == 1 and b[54] == 50 and b[82] == 80
+
+
+def test_connected_components_twostar_round_bound(spark):
+    """Two-star's value proposition: a 16-node path converges well inside the
+    iteration cap (O(log n) rounds, not diameter=15)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import connected_components_twostar
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components_twostar(edges, max_iters=8).collect()}
+    assert got == {i: 1 for i in range(1, 17)}
+
+
+def test_dedup_clusters_twostar_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_clusters_twostar")

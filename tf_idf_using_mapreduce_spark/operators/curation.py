@@ -199,8 +199,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate against the corpus top-``VOCAB_V`` vocabulary — the two-pass
     dictionary-then-score shape of tokenizer training. Pass 1 aggregates
     token frequencies (partial aggregation, one small shuffle) and reduces
-    the vocabulary to ONE array row; pass 2 broadcasts it into a map-only
-    membership filter — no join shuffle at any corpus size."""
+    the vocabulary to ONE row; pass 2 broadcasts it into a map-only
+    membership filter — no join shuffle at any corpus size. Membership is a
+    hash-map key probe (``map_contains_key``), not a linear ``array_contains``
+    scan, so per-token cost stays O(1) at a production V≈50k vocabulary."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tokens = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     vocab = (
@@ -209,14 +211,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(VOCAB_V)
-        .agg(F.array_sort(F.collect_list("token")).alias("vocab"))
+        .agg(F.collect_list("token").alias("vocab"))
+        .select(F.expr("map_from_arrays(vocab, array_repeat(true, size(vocab)))").alias("vmap"))
     )
     return (
         tokens.crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.expr("size(toks)").alias("n_tokens"),
-            F.expr("size(filter(toks, t -> NOT array_contains(vocab, t)))").alias("n_oov"),
+            F.expr("size(filter(toks, t -> NOT map_contains_key(vmap, t)))").alias("n_oov"),
         )
         .select(
             "doc_id",

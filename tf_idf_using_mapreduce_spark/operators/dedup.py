@@ -564,6 +564,93 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     return labels
 
 
+def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                                 max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(doc_id, cluster_id): connected components via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm). Same output contract
+    as :func:`connected_components` (cluster_id = min member id), different
+    convergence regime: O(log n) rounds in the component SIZE, not the
+    diameter, so a 100 TB web-crawl graph with long path-shaped near-dup
+    chains converges in ~log rounds where plain label propagation needs
+    diameter rounds. Each half-round is one groupBy over the current edge
+    set; edge count shrinks monotonically toward the star forest.
+
+    - large-star(u): m = min(Γ(u) ∪ {u}); connect every STRICTLY LARGER
+      neighbor to m — long tails fold upward without touching the minimum.
+    - small-star(u): over edges oriented child≥parent, m = min(Γ≤(u) ∪ {u});
+      reconnect u and its ≤-neighbors to m — flattens local stars.
+
+    Fixpoint when the edge set stops changing (count + order-insensitive
+    bit_xor of per-edge xxhash64 — one tiny aggregate per round, same
+    coordinator-control category as the sibling's per-round count; xor is
+    safe because the edge set is distinct)."""
+    # symmetric closure, self-loops dropped; one materialization up front so
+    # rounds don't recompute the upstream pair pipeline
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = cur.select(F.col("u").alias("doc_id")).distinct().localCheckpoint(eager=False)
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iters):
+        # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u})
+        lmin = cur.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            cur.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star on child≥parent orientation: u and its ≤-neighbors
+        # attach to the local minimum
+        oriented = cur.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+        )
+        cur = (
+            large.unionByName(small).distinct()
+            # symmetric closure restored for the next large-star
+            .unionByName(
+                large.unionByName(small).distinct()
+                .select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _sig(cur)
+        if sig == prev:
+            break
+        prev = sig
+    # at fixpoint the oriented edges form stars: (child, root). Singleton
+    # components that collapsed away keep themselves.
+    stars = (
+        cur.select(F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("cluster_id"))
+        .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        nodes.join(stars, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id, is_canonical): near-dup clusters over the
     minhash-LSH verified pairs, with the min-id survivor elected per
@@ -571,6 +658,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially canonical)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs)
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as :func:`dedup_clusters`, computed with the
+    large-star/small-star algorithm — the variant you'd run when near-dup
+    chains are long (diameter ≫ log n). Checked against the identical
+    recursive-CTE oracle."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_twostar(pairs)
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),

@@ -1,7 +1,8 @@
 """Document Frequency + TF-IDF pipelines (SURVEY.md §2/§3, reference
 ``DocumentFreq.java`` + ``IDF.java``), Spark-first.
 
-Physical shape (the plan we WANT at 100 TB, verified by tests/test_plans.py):
+Physical shape (the plan we WANT at 100 TB, plan-asserted in
+tests/test_harness.py and tests/test_tfidf.py):
 
 - one Parquet scan per pass with column pruning to (doc_id, text);
 - tokenize/stop-filter/stem entirely in whole-stage codegen (no Python);

@@ -17,6 +17,7 @@ in tests/test_streaming.py (session gaps).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,9 +25,26 @@ from pyspark.sql import functions as F
 
 from tf_idf_using_mapreduce_spark.sources.corpus import load_table
 
-EVENTS_SCHEMA = (
+# Fixture footers have shipped ts as both TIMESTAMP(NANOS) (reads as bigint
+# under nanosAsLong) and TIMESTAMP(MICROS) (reads as timestamp); the stream
+# schema must match whichever the batch reader sees — probed per sf_dir below.
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_ts_is_long_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Driver-side footer probe (one metadata read, no data scan): mirrors the
+    batch loader's dtype guard (sources/corpus.py) so stream and batch agree
+    on the event-time unit regardless of which parquet timestamp flavor the
+    fixture was written with."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    return dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", slide: str | None = None) -> DataFrame:
@@ -46,16 +64,19 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", slide: str | None
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        watermark: str | None = "2 hours") -> DataFrame:
-    """File-source stream over the fixture parquet (ts arrives as long nanos —
-    same conversion as the batch loader), with a 2 h watermark by default.
-    Pass ``watermark=None`` when the caller renames the event-time column
-    and sets its own (Spark forbids redefining a watermark)."""
+    """File-source stream over the fixture parquet, with a 2 h watermark by
+    default. The event-time unit is probed from the footer (nanos-as-long vs
+    native micros) and normalized to a timestamp column exactly like the
+    batch loader. Pass ``watermark=None`` when the caller renames the
+    event-time column and sets its own (Spark forbids redefining a
+    watermark)."""
+    nanos = _events_ts_is_long_nanos(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_TS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")) if nanos else raw
     return out.withWatermark("ts", watermark) if watermark else out
 
 
