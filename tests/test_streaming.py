@@ -105,3 +105,54 @@ def test_stream_parquet_sink_exactly_once(spark, tmp_path):
 
 def test_stream_stream_interval_join_matches_batch(spark):
     assert_query_matches_oracle(spark, "events_stream_stream_join")
+
+
+def test_user_running_totals_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "events_user_running_totals")
+
+
+def test_user_running_totals_across_micro_batches(spark, tmp_path):
+    """The max_by final-state collapse must hold when the stream arrives in
+    MANY micro-batches (the fixture file yields just one): split events
+    into 4 files, force one file per trigger, and the per-user finals must
+    still equal the batch aggregate."""
+    from pyspark.sql import functions as F
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    # round-robin repartition: every user's rows spread across all 4 files
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = se.user_running_counts_stateful(stream)
+    q = (
+        out.writeStream.format("memory").queryName("multi_batch_stateful")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    snap = spark.table("multi_batch_stateful")
+    n_batches = snap.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert n_batches > 1, "expected the same user across multiple micro-batches"
+    final = (
+        snap.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.expr("max_by(total_value, n_events)").alias("v"))
+        .collect()
+    )
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    }
+    got = {r["user_id"]: (r["n"], round(r["v"], 6)) for r in final}
+    assert {u: g[0] for u, g in got.items()} == {u: e[0] for u, e in expected.items()}
+    for u in expected:
+        assert abs(got[u][1] - expected[u][1]) < 1e-4, (u, got[u], expected[u])
+
+
+def test_session_stream_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "events_session_stream")

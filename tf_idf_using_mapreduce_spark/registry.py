@@ -62,6 +62,8 @@ register("vocab_coverage", _cur.vocab_coverage, _cur.VOCAB_COVERAGE_ORACLE)
 register("doc_repetition", _cur.doc_repetition, _cur.DOC_REPETITION_ORACLE)
 register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES_ORACLE)
 register("dedup_clusters_twostar", _dedup.dedup_clusters_twostar, _dedup.DEDUP_CLUSTERS_ORACLE)  # new in r4
+register("events_user_running_totals", _stream.events_user_running_totals, _stream.USER_RUNNING_TOTALS_ORACLE)  # new in r4
+register("events_session_stream", _stream.events_session_stream, _stream.SESSION_STREAM_ORACLE)  # new in r4
 
 # -- block 2: last checked round 1 ------------------------------------------
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
@@ -100,10 +102,10 @@ register("q13_customer_order_distribution", _rel.q13_customer_order_distribution
 register("q2_cheapest_supplier", _tpch.q2_cheapest_supplier, _tpch.Q2_ORACLE)
 register("q6_forecast_revenue", _tpch.q6_forecast_revenue, _tpch.Q6_ORACLE)
 register("q8_market_share", _tpch.q8_market_share, _tpch.Q8_ORACLE)
-register("q9_product_profit", _tpch.q9_product_profit, _tpch.Q9_ORACLE)
-register("q10_returned_items", _tpch.q10_returned_items, _tpch.Q10_ORACLE)
 
 # -- block 4: fresh green rows from round 3 (rotate forward next round) -----
+register("q9_product_profit", _tpch.q9_product_profit, _tpch.Q9_ORACLE)
+register("q10_returned_items", _tpch.q10_returned_items, _tpch.Q10_ORACLE)
 register("q14_promo_revenue", _tpch.q14_promo_revenue, _tpch.Q14_ORACLE)
 register("q15_top_supplier", _tpch.q15_top_supplier, _tpch.Q15_ORACLE)
 register("q16_supplier_part_counts", _tpch.q16_supplier_part_counts, _tpch.Q16_ORACLE)

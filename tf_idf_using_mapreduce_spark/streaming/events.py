@@ -165,6 +165,82 @@ def user_running_counts_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start, n): per-user session windows (30 min gap)
+    computed by a REAL stream with ``F.session_window`` — Spark's native
+    merging session state, watermark-bounded. Session semantics are
+    SQL-expressible after all (islands-and-gaps: a session breaks exactly
+    when the gap to the previous event reaches the 30-minute threshold —
+    same >= boundary as session_window's exclusive end), so this runs under
+    the full value gate rather than rows-only."""
+    stream = read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+    )
+    result_name = "events_session_stream_result"
+    run_stream_to_memory(sessions, result_name)
+    return spark.table(result_name)
+
+
+SESSION_STREAM_ORACLE = """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 0
+              WHEN CAST(ts AS TIMESTAMP)
+                   >= lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
+def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, total_value): the FINAL per-user running totals
+    from the ``applyInPandasWithState`` operator above, driven as a REAL
+    stream (availableNow → memory sink). In update mode the sink receives
+    one row per user per micro-batch that touched the user; the final state
+    is the row with the largest ``n_events`` (counts are strictly monotone
+    per user), so ``max_by`` collapses the batch-boundary nondeterminism and
+    the result equals the batch aggregate — which is exactly the oracle.
+    This puts the arbitrary-keyed-state surface (SURVEY.md §2.9/§2.10) under
+    the same SQL gate as the window/dedup/join streaming queries."""
+    stream = read_events_stream(spark, sf_dir, watermark=None)
+    counted = user_running_counts_stateful(stream)
+    result_name = "events_user_running_totals_result"
+    run_stream_to_memory(counted, result_name, output_mode="update")
+    snap = spark.table(result_name)
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("total_value"),
+        )
+    )
+
+
+USER_RUNNING_TOTALS_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(purchase_id, click_id): STREAM-STREAM interval join — every
     (purchase, click) pair by ANY user with the click in the 5 minutes up to
