@@ -1,0 +1,57 @@
+"""Curation operators: oracle parity + the composite-filter decision cascade."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import curation as cur
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["train_eval_contamination", "stratified_sample", "vocab_coverage",
+     "doc_repetition", "curation_filter", "dedup_apply"],
+)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_curation_cascade_order(spark, duck, tmp_path):
+    """All four branches of the decision cascade, and their precedence:
+    a document failing MULTIPLE rules records only the FIRST (too_short
+    beats repetitive beats stopword_ratio)."""
+    docs = [
+        (1, "one two"),                                     # < MIN_TOKENS -> too_short
+        (2, "cat dog " * 40),                               # repeats, no stopwords -> repetitive
+        (3, "the of and to in is it a an or " * 5),         # all stopwords -> would be repetitive BUT...
+        # NOTE: the tokenizer is [a-z]+ — digits would collapse "w0 w1" to "w w";
+        # use letter pairs to keep tokens distinct
+        (4, " ".join(f"w{chr(97 + i)}{chr(97 + i // 2)} the" for i in range(26))),  # varied + stopwords -> ok
+        (5, " ".join(f"u{chr(97 + i)}{chr(97 + i)}" for i in range(26))),           # zero stopwords -> stopword_ratio
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: (r["reason"], r["keep"])
+           for r in cur.curation_filter(spark, sf_dir).collect()}
+    assert got[1] == ("too_short", False)
+    assert got[2] == ("repetitive", False)
+    # doc 3 is both repetitive and stopword-heavy; repetitive comes first
+    assert got[3] == ("repetitive", False)
+    assert got[4] == ("ok", True)
+    assert got[5] == ("stopword_ratio", False)
+
+
+def test_dedup_apply_removes_exactly_the_losers(spark):
+    """Survivor count == corpus minus non-canonical cluster members, and no
+    surviving doc is a non-canonical member."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_apply, dedup_clusters
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    losers = {r["doc_id"] for r in dedup_clusters(spark, SF_SMOKE)
+              .where("NOT is_canonical").collect()}
+    survivors = {r["doc_id"] for r in dedup_apply(spark, SF_SMOKE).collect()}
+    assert len(survivors) == total - len(losers)
+    assert not (survivors & losers)

@@ -314,3 +314,79 @@ SELECT doc_id,
            <= {REPETITION_MAX} AS keep
 FROM tris
 """
+
+
+# --------------------------------------------------------------------------- #
+# composite curation decision (the end-to-end keep/drop a pipeline applies)
+# --------------------------------------------------------------------------- #
+
+MIN_TOKENS = 5
+
+
+def _curation_case(n_tok: str, dup: str, stop: str) -> str:
+    """Shared (Spark == DuckDB) decision cascade: first failing rule names
+    the drop reason; 'ok' keeps the document."""
+    return (
+        f"CASE WHEN {n_tok} < {MIN_TOKENS} THEN 'too_short' "
+        f"WHEN {dup} > {REPETITION_MAX} THEN 'repetitive' "
+        f"WHEN {stop} < 0.01 OR {stop} > 0.5 THEN 'stopword_ratio' "
+        f"ELSE 'ok' END"
+    )
+
+
+def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reason, keep): the composed curation decision — length,
+    Gopher-style trigram repetition, and stopword-band rules in ONE map-only
+    pass over the corpus (every rule is per-row array math; no shuffle at
+    any corpus size). The cascade order is the contract: the FIRST failing
+    rule is the recorded drop reason, so downstream loss accounting
+    (how much data did each rule cost?) is a plain groupBy(reason)."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    stops_arr = ", ".join(f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+    # sequence(1, n) counts DOWN when n < 1, so short docs need the guard
+    tris = (
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2))) ELSE array() END"
+    )
+    n_tok = "size(toks)"
+    dup = "CASE WHEN size(tris) > 0 THEN cast(size(tris) - size(array_distinct(tris)) as double) / size(tris) ELSE cast(0 as double) END"
+    stop = f"cast(size(filter(toks, t -> array_contains(array({stops_arr}), t))) as double) / greatest({n_tok}, 1)"
+    case = _curation_case(n_tok, f"({dup})", f"({stop})")
+    return (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select("doc_id", "toks", F.expr(tris).alias("tris"))
+        .select(
+            "doc_id",
+            F.expr(case).alias("reason"),
+        )
+        .select("doc_id", "reason", F.expr("reason = 'ok'").alias("keep"))
+    )
+
+
+def curation_filter_oracle() -> str:
+    stops_arr = ", ".join(f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+    n_tok = "len(toks)"
+    dup = ("CASE WHEN len(tris) > 0 THEN CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) / len(tris) "
+           "ELSE CAST(0 AS DOUBLE) END")
+    stop = f"CAST(len(list_filter(toks, t -> list_contains([{stops_arr}], t))) AS DOUBLE) / greatest({n_tok}, 1)"
+    case = _curation_case(n_tok, f"({dup})", f"({stop})")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS toks
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tris
+  FROM toks
+),
+decided AS (
+  SELECT doc_id, {case} AS reason FROM tri
+)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM decided
+"""

@@ -677,6 +677,21 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id): the DEDUPLICATED CORPUS — what a training-data pipeline
+    actually materializes: every document except the non-canonical members
+    of near-dup clusters. One left-anti join of the full corpus against the
+    (tiny relative to the corpus) loser set; at scale the loser side is a
+    shuffle-hash/broadcast build side, the corpus side streams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    losers = (
+        dedup_clusters(spark, sf_dir)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE pairs AS ({MINHASH_LSH_ORACLE.replace(chr(10), ' ')}),
 edges AS (
@@ -691,4 +706,13 @@ reach AS (
 SELECT a AS doc_id, min(r) AS cluster_id,
        (a = min(r)) AS is_canonical
 FROM reach GROUP BY a
+"""
+
+
+DEDUP_APPLY_ORACLE = f"""
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN ({DEDUP_CLUSTERS_ORACLE}) c
+  ON d.doc_id = c.doc_id AND NOT c.is_canonical
+WHERE c.doc_id IS NULL
 """

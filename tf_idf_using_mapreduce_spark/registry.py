@@ -64,6 +64,8 @@ register("multimodal_features", _mm.multimodal_features, _mm.MULTIMODAL_FEATURES
 register("dedup_clusters_twostar", _dedup.dedup_clusters_twostar, _dedup.DEDUP_CLUSTERS_ORACLE)  # new in r4
 register("events_user_running_totals", _stream.events_user_running_totals, _stream.USER_RUNNING_TOTALS_ORACLE)  # new in r4
 register("events_session_stream", _stream.events_session_stream, _stream.SESSION_STREAM_ORACLE)  # new in r4
+register("dedup_apply", _dedup.dedup_apply, _dedup.DEDUP_APPLY_ORACLE)  # new in r4
+register("curation_filter", _cur.curation_filter, _cur.curation_filter_oracle())  # new in r4
 
 # -- block 2: last checked round 1 ------------------------------------------
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
@@ -100,10 +102,10 @@ register("q5_local_supplier_volume", _rel.q5_local_supplier_volume, _rel.Q5_ORAC
 register("q7_nation_trade_volume", _rel.q7_nation_trade_volume, _rel.Q7_ORACLE)
 register("q13_customer_order_distribution", _rel.q13_customer_order_distribution, _rel.Q13_ORACLE)
 register("q2_cheapest_supplier", _tpch.q2_cheapest_supplier, _tpch.Q2_ORACLE)
-register("q6_forecast_revenue", _tpch.q6_forecast_revenue, _tpch.Q6_ORACLE)
-register("q8_market_share", _tpch.q8_market_share, _tpch.Q8_ORACLE)
 
 # -- block 4: fresh green rows from round 3 (rotate forward next round) -----
+register("q6_forecast_revenue", _tpch.q6_forecast_revenue, _tpch.Q6_ORACLE)
+register("q8_market_share", _tpch.q8_market_share, _tpch.Q8_ORACLE)
 register("q9_product_profit", _tpch.q9_product_profit, _tpch.Q9_ORACLE)
 register("q10_returned_items", _tpch.q10_returned_items, _tpch.Q10_ORACLE)
 register("q14_promo_revenue", _tpch.q14_promo_revenue, _tpch.Q14_ORACLE)
