@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, assert_query_matches_oracle
 from tf_idf_using_mapreduce_spark.operators import curation as cur
@@ -11,10 +12,38 @@ from tf_idf_using_mapreduce_spark.operators import curation as cur
 @pytest.mark.parametrize(
     "name",
     ["train_eval_contamination", "stratified_sample", "vocab_coverage",
-     "doc_repetition", "curation_filter", "dedup_apply"],
+     "doc_repetition", "curation_filter", "dedup_apply",
+     "source_mixture", "mixture_sample"],
 )
 def test_oracle_parity(spark, name):
     assert_query_matches_oracle(spark, name)
+
+
+def test_source_mixture_shares_sum_to_one(spark):
+    rows = cur.source_mixture(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_mixture_sample_tracks_rates(spark):
+    """Per-source keep fraction must track the declared rate
+    (N mod 4 + 1)/4 within hash-Bernoulli noise, and be deterministic."""
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    totals = {r["source"]: r["cnt"] for r in
+              load_table(spark, SF_SMOKE, "documents")
+              .groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    kept1 = cur.mixture_sample(spark, SF_SMOKE).collect()
+    kept2 = cur.mixture_sample(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, kept1)) == sorted(map(tuple, kept2))  # reproducible
+    by_src = {}
+    for r in kept1:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    for src, total in totals.items():
+        rate = ((int(src[3:]) % 4) + 1) / 4.0
+        frac = by_src.get(src, 0) / total
+        # 25 docs/source at smoke SF: allow wide hash-noise band around rate
+        assert abs(frac - rate) <= 0.35, (src, rate, frac)
 
 
 def test_curation_cascade_order(spark, duck, tmp_path):

@@ -390,3 +390,68 @@ decided AS (
 )
 SELECT doc_id, reason, reason = 'ok' AS keep FROM decided
 """
+
+
+# --------------------------------------------------------------------------- #
+# data mixing: per-source mixture report + deterministic rate sampling
+# --------------------------------------------------------------------------- #
+
+MIX_BUCKETS = 10000  # hash-Bernoulli resolution for mixture_sample
+
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share): the per-source mixture
+    report every multi-corpus training run starts from (the Pile/Dolma
+    "how many tokens does each domain contribute" table). One partial+final
+    aggregate over the corpus to ~#sources rows; the grand total joins back
+    as a broadcast single-row scalar, so corpus size never touches a second
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    agg = (
+        docs.select("source", F.expr(f"size({_TOKENS})").alias("nt"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    total = agg.agg(F.sum("n_tokens").alias("tot"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("round(cast(n_tokens as double) / tot, 6)").alias("token_share"),
+    )
+
+
+SOURCE_MIXTURE_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '([a-z]+)', 1))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+FROM per
+"""
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source): deterministic per-source Bernoulli downsampling —
+    the mixture-reweighting step that turns the raw corpus into the target
+    domain mix. The keep decision is a pure hash of doc_id against a
+    per-source rate (here rate(srcN) = (N mod 4 + 1)/4, i.e. 0.25/0.5/
+    0.75/1.0), so the sample is REPRODUCIBLE on any engine, any
+    partitioning, any row order — none of which is true of df.sample().
+    Map-only: filter + project, no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (
+        f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % {MIX_BUCKETS}"
+    )
+    rate = f"((cast(substr(source, 4) as int) % 4) + 1) / 4.0"
+    return docs.where(F.expr(f"{bucket} < {rate} * {MIX_BUCKETS}")).select("doc_id", "source")
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {MIX_BUCKETS}
+      < ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0 * {MIX_BUCKETS}
+"""

@@ -66,6 +66,8 @@ register("events_user_running_totals", _stream.events_user_running_totals, _stre
 register("events_session_stream", _stream.events_session_stream, _stream.SESSION_STREAM_ORACLE)  # new in r4
 register("dedup_apply", _dedup.dedup_apply, _dedup.DEDUP_APPLY_ORACLE)  # new in r4
 register("curation_filter", _cur.curation_filter, _cur.curation_filter_oracle())  # new in r4
+register("source_mixture", _cur.source_mixture, _cur.SOURCE_MIXTURE_ORACLE)  # new in r4
+register("mixture_sample", _cur.mixture_sample, _cur.MIXTURE_SAMPLE_ORACLE)  # new in r4
 
 # -- block 2: last checked round 1 ------------------------------------------
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
@@ -100,10 +102,9 @@ register("q1_pricing_summary", _rel.q1_pricing_summary, _rel.Q1_ORACLE)
 register("q3_shipping_priority", _rel.q3_shipping_priority, _rel.Q3_ORACLE)
 register("q5_local_supplier_volume", _rel.q5_local_supplier_volume, _rel.Q5_ORACLE)
 register("q7_nation_trade_volume", _rel.q7_nation_trade_volume, _rel.Q7_ORACLE)
+# -- block 4: fresh green rows from round 3 (rotate forward next round) -----
 register("q13_customer_order_distribution", _rel.q13_customer_order_distribution, _rel.Q13_ORACLE)
 register("q2_cheapest_supplier", _tpch.q2_cheapest_supplier, _tpch.Q2_ORACLE)
-
-# -- block 4: fresh green rows from round 3 (rotate forward next round) -----
 register("q6_forecast_revenue", _tpch.q6_forecast_revenue, _tpch.Q6_ORACLE)
 register("q8_market_share", _tpch.q8_market_share, _tpch.Q8_ORACLE)
 register("q9_product_profit", _tpch.q9_product_profit, _tpch.Q9_ORACLE)
