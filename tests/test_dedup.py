@@ -130,3 +130,29 @@ def test_connected_components_twostar_round_bound(spark):
 
 def test_dedup_clusters_twostar_oracle_parity(spark):
     assert_query_matches_oracle(spark, "dedup_clusters_twostar")
+
+
+def test_connected_components_warns_on_cap_exhaustion(spark):
+    """Hitting the iteration cap must be LOUD (silent non-convergence would
+    over/under-delete in dedup), while still returning a valid coarser
+    labeling."""
+    import warnings as _w
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 16)], "doc_a long, doc_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(edges, max_iters=2).collect()}
+    assert any("round cap" in str(w.message) for w in rec)
+    # still a valid partial labeling: labels only move toward minima
+    assert all(cid <= d for d, cid in got.items())
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        connected_components_twostar(edges, max_iters=1).collect()
+    assert any("round cap" in str(w.message) for w in rec2)

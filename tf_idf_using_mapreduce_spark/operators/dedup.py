@@ -32,6 +32,8 @@ Scale design:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -561,6 +563,18 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         labels = updated.select("doc_id", "cluster_id")
         if n_changed == 0:
             break
+    else:
+        # Non-convergence means some labels may not be component minima —
+        # a silently wrong dedup would over/under-delete. Loud, not fatal:
+        # the partial labeling is still a valid (coarser) clustering.
+        warnings.warn(
+            f"connected_components hit the {max_iters}-round cap with "
+            f"{n_changed} labels still changing; components with diameter "
+            f"> {max_iters} are incompletely merged — raise max_iters or "
+            "switch to connected_components_twostar",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -639,6 +653,14 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
         if sig == prev:
             break
         prev = sig
+    else:
+        warnings.warn(
+            f"connected_components_twostar hit the {max_iters}-round cap "
+            "before the edge set reached a fixpoint; the star extraction "
+            "below still yields a valid but possibly coarser labeling",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # at fixpoint the oriented edges form stars: (child, root). Singleton
     # components that collapsed away keep themselves.
     stars = (

@@ -36,15 +36,22 @@ EVENTS_SCHEMA_TS = (
 )
 
 
+_TS_UNIT_MEMO: dict[str, bool] = {}
+
+
 def _events_ts_is_long_nanos(spark: SparkSession, sf_dir: str) -> bool:
     """Driver-side footer probe (one metadata read, no data scan): mirrors the
     batch loader's dtype guard (sources/corpus.py) so stream and batch agree
     on the event-time unit regardless of which parquet timestamp flavor the
-    fixture was written with."""
+    fixture was written with. Memoized by path — the file's physical type
+    can't change under a running pipeline, and the stream-stream join would
+    otherwise probe once per stream leg."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    return dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if path not in _TS_UNIT_MEMO:
+        _TS_UNIT_MEMO[path] = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    return _TS_UNIT_MEMO[path]
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", slide: str | None = None) -> DataFrame:
