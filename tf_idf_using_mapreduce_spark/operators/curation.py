@@ -269,10 +269,13 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         bytes_per_partition=128 * 1024,
     )
+    # CASE guard makes the expression total: Catalyst CSE can evaluate it
+    # inside a reordered Filter predicate, where a <3-token doc would hit
+    # sequence()'s descending branch and element_at(_, 0) would raise
     tris = (
-        "transform(sequence(1, size(toks) - 2), "
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
-        "element_at(toks, i + 2)))"
+        "element_at(toks, i + 2))) ELSE array() END"
     )
     return (
         docs.select("doc_id", F.expr(_TOKENS).alias("toks"))

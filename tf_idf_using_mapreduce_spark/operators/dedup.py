@@ -122,11 +122,18 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bytes_per_partition=128 * 1024,
     )
     toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    # The expression is TOTAL (CASE-guarded), not merely filter-protected:
+    # Catalyst's subexpression elimination can hoist it into a Filter
+    # predicate where conjunct order is not guaranteed, so a short document
+    # would otherwise hit sequence()'s descending branch and raise
+    # INVALID_ARRAY_INDEX under ANSI (found by tests/test_fuzz_dialect.py).
     return toks.where(F.size("t") >= SHINGLE_K).select(
         "doc_id",
         F.expr(
+            f"CASE WHEN size(t) >= {SHINGLE_K} THEN "
             f"array_distinct(transform(sequence(0, size(t) - {SHINGLE_K}), "
-            f"i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            f"i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) "
+            f"ELSE array() END"
         ).alias("sh"),
     )
 

@@ -125,8 +125,10 @@ def text_quality_oracle() -> str:
     exprs = _quality_exprs(_count_in_list_duck, "len", toks)
     # DuckDB spells fold 'list_reduce'; rebuild mean_token_len portably
     n_tok = f"len({toks})"
+    # coalesce: DuckDB's list_sum([]) is NULL where Spark's 0-seeded fold
+    # yields 0 — surfaced by the adversarial-docs fuzz (empty documents)
     exprs["mean_token_len"] = (
-        f"round(list_sum(list_transform({toks}, t -> length(t))) * 1.0"
+        f"round(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) * 1.0"
         f" / greatest({n_tok}, 1), {QUALITY_ROUND})"
     )
     cols = ", ".join(f"{e} AS {name}" for name, e in exprs.items())
