@@ -33,6 +33,7 @@ FUZZ_QUERIES = [
     "doc_freq_top100",
     "tfidf",
     "top_terms_per_doc",
+    "bigram_pmi",
     # misc per-row / window
     "lang_id_confusion",
     "stratified_sample",

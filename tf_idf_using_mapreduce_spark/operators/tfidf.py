@@ -247,9 +247,16 @@ def bigram_pmi(spark: SparkSession, sf_dir: str, top_n: int = 20,
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t"),
     )
+    # CASE-guarded (total) like the shingle exprs: Catalyst CSE can evaluate
+    # this inside a reordered Filter predicate, where a <2-token doc would
+    # hit sequence()'s descending branch and t[i] would raise under ANSI
     bigrams = toks.where(F.size("t") >= 2).select(
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i+1]))")
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i+1])) "
+                "ELSE array() END"
+            )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     unigrams = toks.select(F.explode("t").alias("w"))
