@@ -105,3 +105,125 @@ def test_dialect_parity_on_adversarial_docs(spark, fuzz_dir, name):
     assert s_norm == d_norm, f"{name}: first diff " + str(
         next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
     )
+
+
+# --------------------------------------------------------------------------- #
+# events fuzz: boundary-exact timestamps through windows / range joins /
+# REAL streams and their SQL oracles
+# --------------------------------------------------------------------------- #
+
+EVENTS_FUZZ_QUERIES = [
+    "events_hourly_tumbling",
+    "events_sliding_windows",
+    "events_time_rollup",
+    "sessionize_events",
+    "asof_purchase_prior_click",
+    "clicks_before_purchase_5min",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "events_json_stats",
+    "events_json_schema_stats",
+    # REAL Structured Streaming runs against the same SQL oracles
+    "events_hourly_streaming",
+    "events_stream_dedup",
+    "events_stream_stream_join",
+    "events_user_running_totals",
+    "events_session_stream",
+]
+
+
+def _fuzz_events(n: int = 300, seed: int = 20260813):
+    """Adversarial event stream: timestamps EXACTLY on hour/half-hour/minute
+    boundaries (window edge semantics), click-purchase gaps exactly at the
+    300 s range-join boundary, session gaps exactly 30 min, duplicate
+    (user, type, minute) keys, zero/negative/huge values, and degenerate
+    JSON props."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(ts, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, float(value), props))
+        eid += 1
+
+    # exact boundaries: hour, half-hour, minute, and ±1 microsecond
+    for h in range(6):
+        t0 = base + dt.timedelta(hours=h)
+        add(t0, 1, "click", 1.0, '{"k": 1}')
+        add(t0 + dt.timedelta(minutes=30), 1, "view", 0.0, '{"k": 0}')
+        add(t0 - dt.timedelta(microseconds=1), 2, "click", -1.5, '{"k": -5}')
+        # 1e6, not 1e15: huge magnitudes expose float-summation ORDER
+        # (non-associativity), which is not a dialect defect
+        add(t0 + dt.timedelta(microseconds=1), 2, "view", 1e6, '{"k": 999999}')
+    # range-join boundary: clicks exactly 300 s before, at, and 1 us around
+    for i in range(8):
+        p = base + dt.timedelta(hours=8, minutes=13 * i, seconds=7)
+        add(p, 3, "purchase", 10.0, '{"k": 3}')
+        add(p - dt.timedelta(seconds=300), 3, "click", 1.0, '{"k": 3}')  # excluded (> p-300)
+        add(p - dt.timedelta(seconds=300) + dt.timedelta(microseconds=1), 3, "click", 1.0, '{"k": 3}')
+        add(p, 3, "click", 1.0, '{"k": 3}')                              # included (<= p)
+        add(p + dt.timedelta(microseconds=1), 3, "click", 1.0, '{"k": 3}')  # excluded
+    # session gaps exactly 30 min and 30 min ± 1 s for one user
+    t = base + dt.timedelta(days=1)
+    for gap_s in (1799, 1800, 1801, 60, 1800, 7200):
+        add(t, 4, "view", 0.5, '{"k": 4}')
+        t += dt.timedelta(seconds=gap_s)
+    # duplicate (user, type, minute) bursts for stream dedup
+    burst = base + dt.timedelta(days=2, hours=3, minutes=7)
+    for s in (0, 5, 5, 30, 59):
+        add(burst + dt.timedelta(seconds=s), 5, "click", 2.0, '{"k": 5}')
+    # degenerate props (regexp and from_json must agree on these)
+    for j, props in enumerate(['{"k": 0}', '{"k": 100}', '{"k": 7}']):
+        add(base + dt.timedelta(days=3, minutes=j), 6, "error", 0.0, props)
+    # random fill across all types/users
+    types = ["click", "view", "purchase", "signup", "error"]
+    while len(rows) < n:
+        add(base + dt.timedelta(seconds=rng.randint(0, 6 * 86400)),
+            rng.randint(1, 25), rng.choice(types),
+            round(rng.uniform(-100, 100), 3), f'{{"k": {rng.randint(0, 100)}}}')
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("fuzz_ev"))
+    rows = _fuzz_events()
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    # single FILE (not a directory): the streaming reader's pathGlobFilter
+    # matches leaf file names, and DuckDB reads it directly
+    pq.write_table(table, f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", EVENTS_FUZZ_QUERIES)
+def test_dialect_parity_on_adversarial_events(spark, fuzz_events_dir, name):
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    spdf = e.queries()[name](spark, fuzz_events_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{fuzz_events_dir}/events.parquet')"
+    )
+    ddf = con.sql(e.oracle_sql()[name]).df()
+    con.close()
+    assert sorted(spdf.columns) == sorted(ddf.columns), name
+    assert len(spdf) == len(ddf), f"{name}: {len(spdf)} != {len(ddf)}"
+    s_norm, d_norm = canon_rows(spdf), canon_rows(ddf)
+    assert s_norm == d_norm, f"{name}: first diff " + str(
+        next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
+    )

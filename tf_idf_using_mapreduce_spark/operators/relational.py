@@ -569,7 +569,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle honest.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("cast(regexp_extract(props, '([0-9]+)', 1) as bigint)")
+    k = F.expr("cast(regexp_extract(props, '(-?[0-9]+)', 1) as bigint)")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -586,7 +586,7 @@ SELECT event_type, count(*) AS n,
        round(avg(value), 6) AS avg_value,
        -- outer CAST: DuckDB's sum(BIGINT) is HUGEINT -> pandas float64 ->
        -- driver hash mismatch vs Spark's int64 (CORRECTNESS_r01 root cause)
-       CAST(sum(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(sum(cast(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -614,9 +614,9 @@ def events_json_schema_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SCHEMA_ORACLE = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       min(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS min_k,
-       max(cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS max_k
+       CAST(sum(cast(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       min(cast(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS min_k,
+       max(cast(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
 

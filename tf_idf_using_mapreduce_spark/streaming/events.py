@@ -176,10 +176,11 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, session_start, n): per-user session windows (30 min gap)
     computed by a REAL stream with ``F.session_window`` — Spark's native
     merging session state, watermark-bounded. Session semantics are
-    SQL-expressible after all (islands-and-gaps: a session breaks exactly
-    when the gap to the previous event reaches the 30-minute threshold —
-    same >= boundary as session_window's exclusive end), so this runs under
-    the full value gate rather than rows-only."""
+    SQL-expressible after all (islands-and-gaps: a session breaks only when
+    the gap to the previous event EXCEEDS the 30-minute threshold —
+    session_window merges an event landing exactly at last+gap, verified by
+    the boundary fuzz), so this runs under the full value gate rather than
+    rows-only."""
     stream = read_events_stream(spark, sf_dir)
     sessions = (
         stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -198,9 +199,12 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_STREAM_ORACLE = """
 WITH o AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         -- strictly greater: Spark's session_window MERGES an event at
+         -- exactly last+gap (end-inclusive; verified empirically by the
+         -- boundary fuzz in tests/test_fuzz_dialect.py)
          CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 0
               WHEN CAST(ts AS TIMESTAMP)
-                   >= lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE THEN 1
+                   > lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE THEN 1
               ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
