@@ -227,3 +227,84 @@ def test_dialect_parity_on_adversarial_events(spark, fuzz_events_dir, name):
     assert s_norm == d_norm, f"{name}: first diff " + str(
         next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
     )
+
+
+# --------------------------------------------------------------------------- #
+# embeddings fuzz: zero-norm / duplicate / adversarial vectors through the
+# cosine similarity and ANN operators
+# --------------------------------------------------------------------------- #
+
+EMBED_FUZZ_QUERIES = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_topk_pairs",
+]
+
+
+def _fuzz_embeddings(n: int = 200, dim: int = 64, seed: int = 20260813):
+    """Adversarial vectors: the all-zero vector (zero norm — division
+    hazard in cosine), exact duplicates (cos=1 ties), negated pairs
+    (cos=-1), one-hot axes, tiny-magnitude vectors, plus random fill."""
+    rng = random.Random(seed)
+    rows = []
+
+    def add(vec, label):
+        rows.append((len(rows), [float(x) for x in vec], label))
+
+    add([0.0] * dim, 0)                                   # zero norm
+    add([1e-20] * dim, 0)                                 # near-zero norm
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    add(base, 1)
+    add(base, 1)                                          # exact duplicate
+    add([-x for x in base], 1)                            # negation, cos=-1
+    add([x * 1e-6 for x in base], 1)                      # same direction, tiny
+    for a in range(4):                                    # one-hot axes
+        v = [0.0] * dim
+        v[a] = 1.0
+        add(v, 2)
+    while len(rows) < n:
+        add([rng.gauss(0, 1) for _ in range(dim)], rng.randint(0, 9))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_embed_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("fuzz_emb"))
+    rows = _fuzz_embeddings()
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(table, f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", EMBED_FUZZ_QUERIES)
+def test_dialect_parity_on_adversarial_embeddings(spark, fuzz_embed_dir, name):
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    q = e.queries()[name]
+    sql = e.oracle_sql().get(name)
+    spdf = q(spark, fuzz_embed_dir).toPandas()
+    if sql is None:
+        return  # rows-only op: executed without error is the contract
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{fuzz_embed_dir}/embeddings.parquet')"
+    )
+    ddf = con.sql(sql).df()
+    con.close()
+    assert sorted(spdf.columns) == sorted(ddf.columns), name
+    assert len(spdf) == len(ddf), f"{name}: {len(spdf)} != {len(ddf)}"
+    s_norm, d_norm = canon_rows(spdf), canon_rows(ddf)
+    assert s_norm == d_norm, f"{name}: first diff " + str(
+        next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
+    )

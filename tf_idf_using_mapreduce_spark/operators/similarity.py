@@ -45,12 +45,16 @@ NEARDUP_COS_THRESHOLD = 0.3  # fixture embeddings are near-orthogonal (max ~0.4)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zero-norm vectors (failed encoder outputs, padding rows) have no
+    # direction: cosine against them is undefined and raises DIVIDE_BY_ZERO
+    # under ANSI (found by the embeddings fuzz). Excluded here and by the
+    # matching `WHERE nrm > 0` in every oracle's embeddings CTE.
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
         F.expr(CAST_DOUBLE.format(v="embedding")).alias("v"),
-    ).withColumn("nrm", F.expr(spark_norm("v")))
+    ).withColumn("nrm", F.expr(spark_norm("v"))).where(F.col("nrm") > 0)
 
 
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -70,7 +74,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
 ANN_BRUTEFORCE_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE nrm > 0),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({duck_dot('c.v', 'q.v')} / (c.nrm * q.nrm), {COS_ROUND}) AS cos_sim
@@ -149,7 +153,7 @@ def _ann_lsh_oracle() -> str:
     return f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE nrm > 0),
 b AS (SELECT *, {_sign_bucket_duck('v')} AS bucket FROM e),
 qp AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([{probes}]) AS bucket
@@ -192,7 +196,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_COSINE_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings)
+           FROM embeddings WHERE nrm > 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -311,7 +315,7 @@ def _ivf_search(vecs: DataFrame, anchors: list, k: int) -> DataFrame:
 ANN_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE nrm > 0),
 anchors AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          v AS av, nrm AS an
@@ -400,7 +404,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_IVF_DEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE nrm > 0),
 anchors AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          v AS av, nrm AS an
@@ -446,7 +450,7 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str,
 EMBEDDING_TOPK_PAIRS_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
-           FROM embeddings),
+           FROM embeddings WHERE nrm > 0),
 scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {duck_dot('a.v', 'b.v')} AS dot,
