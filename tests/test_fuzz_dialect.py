@@ -66,6 +66,10 @@ def _fuzz_rows(n: int = 120, seed: int = 20260813):
     rows = []
     for i, t in enumerate(_EDGE_TEXTS):
         rows.append((i, t, "en", f"src{i % 20}", len(t)))
+    # nullable columns are the norm in real data lakes; Spark and DuckDB
+    # propagate NULL through the shared expressions identically (verified)
+    rows.append((len(rows), None, "en", "src0", 0))
+    rows.append((len(rows), "plain words here", None, "src1", 16))
     for i in range(len(_EDGE_TEXTS), n):
         k = rng.randint(0, 60)
         text = " ".join(rng.choice(vocab) for _ in range(k))

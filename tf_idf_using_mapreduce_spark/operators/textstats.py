@@ -125,10 +125,13 @@ def text_quality_oracle() -> str:
     exprs = _quality_exprs(_count_in_list_duck, "len", toks)
     # DuckDB spells fold 'list_reduce'; rebuild mean_token_len portably
     n_tok = f"len({toks})"
-    # coalesce: DuckDB's list_sum([]) is NULL where Spark's 0-seeded fold
-    # yields 0 — surfaced by the adversarial-docs fuzz (empty documents)
+    # DuckDB's list_sum is NULL for BOTH an empty and a NULL list; Spark's
+    # 0-seeded fold is 0 for empty but NULL for NULL (unknown stays unknown).
+    # The CASE keeps NULL text NULL while coalescing empty text to 0 —
+    # both cases surfaced by the adversarial-docs fuzz.
     exprs["mean_token_len"] = (
-        f"round(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) * 1.0"
+        f"round(CASE WHEN {toks} IS NULL THEN NULL"
+        f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
         f" / greatest({n_tok}, 1), {QUALITY_ROUND})"
     )
     cols = ", ".join(f"{e} AS {name}" for name, e in exprs.items())
