@@ -312,3 +312,195 @@ def test_dialect_parity_on_adversarial_embeddings(spark, fuzz_embed_dir, name):
     assert s_norm == d_norm, f"{name}: first diff " + str(
         next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
     )
+
+
+# --------------------------------------------------------------------------- #
+# TPC-H star-schema fuzz: predicate-boundary rows, rank ties, childless
+# parents — through the 31 relational queries and their SQL oracles
+# --------------------------------------------------------------------------- #
+
+TPCH_FUZZ_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q13_customer_order_distribution",
+    "q2_cheapest_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue", "q22_idle_customers",
+    "topk_orders", "rollup_customer_geo", "cube_lineitem_flags",
+    "grouping_sets_revenue", "orders_with_returns_exists",
+    "customers_above_avg_balance", "parts_never_ordered",
+    "customers_without_orders", "order_status_symmetric_difference",
+    "suppliers_intersect_customer_nations", "monthly_order_revenue",
+    "customer_order_cadence", "lineitem_price_stats", "running_customer_spend",
+    "top3_orders_per_customer",
+]
+
+# the date constants the query predicates compare against (grep'd from
+# operators/relational.py + tpch_extra.py); boundary rows land exactly on
+# each and one day to either side
+_PRED_DATES = ["1996-01-01", "1997-01-01", "1997-03-01", "1997-04-01",
+               "1997-07-01", "1997-12-31", "1998-01-01", "1998-09-01"]
+
+
+def _fuzz_tpch(seed: int = 20260813):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    regions = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nations = [(i, f"NATION_{i}", i % 5) for i in range(25)]
+
+    segs = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+    customers = []
+    for c in range(60):
+        # acctbal edges: exactly 0, negative, and exact duplicates (ties for
+        # the above-average-balance scalar subquery)
+        bal = [0.0, -999.99, 500.0, 500.0][c % 4] if c < 8 else round(rng.uniform(-1000, 10000), 2)
+        customers.append((c, f"Customer#{c:09d}", c % 25, bal, segs[c % 5]))
+        # customers 50..59 get no orders (q13 zero-bucket, q22, anti-joins)
+
+    suppliers = []
+    for s in range(20):
+        # suppliers 0/1 in NATION_20 and NATION_11 (q7 pair), 2 in NATION_2
+        # (q8 market share); 18/19 get no lineitems
+        nk = {0: 20, 1: 11, 2: 2}.get(s, s % 25)
+        suppliers.append((s, f"Supplier#{s:09d}", nk, round(rng.uniform(-100, 5000), 2)))
+
+    types = ["ECONOMY", "MEDIUM", "SMALL", "PROMO", "LARGE", "STANDARD"]
+    parts = []
+    for p in range(30):
+        # p_size 14/15/16 straddle the q2/q16 `p_size < 15` boundary;
+        # Brand#1 parts feed q17/q19; parts 28/29 are never ordered
+        size = [14, 15, 16][p % 3]
+        brand = "Brand#1" if p % 5 == 0 else f"Brand#{p % 25}"
+        parts.append((p, f"part {p}", brand, types[p % 6], size,
+                      round(rng.uniform(900, 2000), 2)))
+
+    statuses = ["P", "O", "F"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders, lineitems = [], []
+    ok = 0
+
+    def add_order(cust, date_str, price, status=None, prio=None):
+        nonlocal ok
+        d = dt.datetime.strptime(date_str, "%Y-%m-%d")
+        orders.append((ok, cust, status or statuses[ok % 3], price, d, prio or prios[ok % 5]))
+        ok += 1
+        return ok - 1
+
+    def add_line(okey, part, supp, ln, qty, price, disc, tax, rf, ls, ship_str):
+        lineitems.append((okey, part, supp, ln, float(qty), float(price),
+                          float(disc), float(tax), rf, ls,
+                          dt.datetime.strptime(ship_str, "%Y-%m-%d")))
+
+    # boundary orders: one exactly ON each predicate date, one the day
+    # before, one the day after — with lineitems shipping the same days
+    for i, ds in enumerate(_PRED_DATES):
+        d = dt.datetime.strptime(ds, "%Y-%m-%d")
+        for delta in (-1, 0, 1):
+            day = (d + dt.timedelta(days=delta)).strftime("%Y-%m-%d")
+            o = add_order(i % 50, day, round(1000 + 100 * i + delta, 2))
+            # quantity 23/24/25 straddles `l_quantity < 24`; discount
+            # 0.05/0.06/0.07 are the classic q6 band edges
+            add_line(o, i % 28, i % 18, 1, 23 + delta + 1, 1000.0,
+                     [0.05, 0.06, 0.07][i % 3], 0.04,
+                     ["A", "N", "R"][i % 3], ["O", "F"][i % 2], day)
+            add_line(o, (i + 5) % 28, (i + 3) % 18, 2, 0, 0.0, 0.0, 0.0,
+                     "N", "O", day)  # zero-qty/zero-price degenerate line
+    # exact-tie orders for topk/top3 tie-breaks: same customer, same price
+    for j in range(6):
+        o = add_order(7, "1997-05-05", 5000.0)
+        add_line(o, j % 28, j % 18, 1, 10, 2500.0, 0.1, 0.05, "R", "F", "1997-05-06")
+    # same-date order pairs (cadence datediff=0, monthly grouping)
+    for j in range(4):
+        add_order(9, "1997-06-15", round(100.0 * (j + 1), 2))
+    # q15 revenue tie: suppliers 10 and 11 each get one identical lineitem
+    for s in (10, 11):
+        o = add_order(11, "1997-02-10", 3333.0)
+        add_line(o, 3, s, 1, 5, 1234.56, 0.0, 0.0, "N", "O", "1997-02-11")
+    # random fill
+    while ok < 150:
+        day = (dt.datetime(1995, 1, 1) +
+               dt.timedelta(days=rng.randint(0, 2100))).strftime("%Y-%m-%d")
+        o = add_order(rng.randint(0, 49), day, round(rng.uniform(10, 20000), 2))
+        for ln in range(rng.randint(0, 4)):  # some orders keep NO lineitems
+            ship = (dt.datetime.strptime(day, "%Y-%m-%d") +
+                    dt.timedelta(days=rng.randint(0, 90))).strftime("%Y-%m-%d")
+            add_line(o, rng.randint(0, 27), rng.randint(0, 17), ln + 1,
+                     rng.randint(1, 50), round(rng.uniform(1, 5000), 2),
+                     round(rng.choice([0.0, 0.02, 0.05, 0.07, 0.1]), 2),
+                     round(rng.uniform(0, 0.08), 2),
+                     rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]), ship)
+    return regions, nations, customers, suppliers, parts, orders, lineitems
+
+
+@pytest.fixture(scope="module")
+def fuzz_tpch_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("fuzz_tpch"))
+    regions, nations, customers, suppliers, parts, orders, lineitems = _fuzz_tpch()
+
+    def write(name, cols):
+        pq.write_table(pa.table(cols), f"{d}/{name}.parquet")
+
+    write("region", {"r_regionkey": pa.array([r[0] for r in regions], pa.int32()),
+                     "r_name": [r[1] for r in regions]})
+    write("nation", {"n_nationkey": pa.array([n[0] for n in nations], pa.int32()),
+                     "n_name": [n[1] for n in nations],
+                     "n_regionkey": pa.array([n[2] for n in nations], pa.int32())})
+    write("customer", {"c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+                       "c_name": [c[1] for c in customers],
+                       "c_nationkey": pa.array([c[2] for c in customers], pa.int32()),
+                       "c_acctbal": pa.array([c[3] for c in customers], pa.float64()),
+                       "c_mktsegment": [c[4] for c in customers]})
+    write("supplier", {"s_suppkey": pa.array([s[0] for s in suppliers], pa.int64()),
+                       "s_name": [s[1] for s in suppliers],
+                       "s_nationkey": pa.array([s[2] for s in suppliers], pa.int32()),
+                       "s_acctbal": pa.array([s[3] for s in suppliers], pa.float64())})
+    write("part", {"p_partkey": pa.array([p[0] for p in parts], pa.int64()),
+                   "p_name": [p[1] for p in parts],
+                   "p_brand": [p[2] for p in parts],
+                   "p_type": [p[3] for p in parts],
+                   "p_size": pa.array([p[4] for p in parts], pa.int32()),
+                   "p_retailprice": pa.array([p[5] for p in parts], pa.float64())})
+    write("orders", {"o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                     "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+                     "o_orderstatus": [o[2] for o in orders],
+                     "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+                     "o_orderdate": pa.array([o[4] for o in orders], pa.timestamp("us")),
+                     "o_orderpriority": [o[5] for o in orders]})
+    write("lineitem", {"l_orderkey": pa.array([l[0] for l in lineitems], pa.int64()),
+                       "l_partkey": pa.array([l[1] for l in lineitems], pa.int64()),
+                       "l_suppkey": pa.array([l[2] for l in lineitems], pa.int64()),
+                       "l_linenumber": pa.array([l[3] for l in lineitems], pa.int32()),
+                       "l_quantity": pa.array([l[4] for l in lineitems], pa.float64()),
+                       "l_extendedprice": pa.array([l[5] for l in lineitems], pa.float64()),
+                       "l_discount": pa.array([l[6] for l in lineitems], pa.float64()),
+                       "l_tax": pa.array([l[7] for l in lineitems], pa.float64()),
+                       "l_returnflag": [l[8] for l in lineitems],
+                       "l_linestatus": [l[9] for l in lineitems],
+                       "l_shipdate": pa.array([l[10] for l in lineitems], pa.timestamp("us"))})
+    return d
+
+
+@pytest.mark.parametrize("name", TPCH_FUZZ_QUERIES)
+def test_dialect_parity_on_adversarial_tpch(spark, fuzz_tpch_dir, name):
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    spdf = e.queries()[name](spark, fuzz_tpch_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzz_tpch_dir}/{t}.parquet')"
+        )
+    ddf = con.sql(e.oracle_sql()[name]).df()
+    con.close()
+    assert sorted(spdf.columns) == sorted(ddf.columns), name
+    assert len(spdf) == len(ddf), f"{name}: {len(spdf)} != {len(ddf)}"
+    s_norm, d_norm = canon_rows(spdf), canon_rows(ddf)
+    assert s_norm == d_norm, f"{name}: first diff " + str(
+        next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
+    )
