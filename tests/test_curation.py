@@ -84,3 +84,23 @@ def test_dedup_apply_removes_exactly_the_losers(spark):
     survivors = {r["doc_id"] for r in dedup_apply(spark, SF_SMOKE).collect()}
     assert len(survivors) == total - len(losers)
     assert not (survivors & losers)
+
+
+def test_r4_plan_shapes(spark):
+    """Plan-shape guards for the round-4 operators: the map-only cascade and
+    the hash sampler must stay shuffle-free and Python-free, and the mixture
+    report must broadcast its scalar total instead of shuffling the corpus a
+    second time."""
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(cur.curation_filter(spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in p, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+    p = plan(cur.mixture_sample(spark, SF_SMOKE))
+    assert "Exchange" not in p, p[:2000]
+    assert "PushedFilters: [IsNotNull" in p, p[:2000]
+
+    p = plan(cur.source_mixture(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p[:2000]  # scalar total joins broadcast
