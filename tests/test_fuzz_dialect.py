@@ -38,6 +38,9 @@ FUZZ_QUERIES = [
     "lang_id_confusion",
     "stratified_sample",
     "vocab_coverage",
+    # packing (map-only chunking + distributed prefix-sum packing)
+    "doc_chunks",
+    "pack_sequences",
 ]
 
 _EDGE_TEXTS = [

@@ -1,0 +1,55 @@
+"""Sequence packing / chunking: oracle parity, conservation laws, and the
+distributed-prefix-sum plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import packing as pk
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+
+@pytest.mark.parametrize("name", ["doc_chunks", "pack_sequences"])
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_chunks_conserve_tokens(spark):
+    """Every token lands in exactly one chunk; every chunk except a doc's
+    last is exactly CHUNK_LEN tokens."""
+    total = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.expr(f"size({pk._TOKENS})").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    chunks = pk.doc_chunks(spark, SF_SMOKE)
+    assert chunks.agg(F.sum("n_tokens")).collect()[0][0] == total
+    last = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last"))
+    non_last = chunks.join(last, "doc_id").where(F.col("chunk_idx") < F.col("last"))
+    assert non_last.where(F.col("n_tokens") != pk.CHUNK_LEN).count() == 0
+
+
+def test_pack_conserves_and_fills(spark):
+    """Packing conserves the token stream, and every sequence except the
+    final one holds exactly MAX_SEQ tokens (the concatenate-then-split
+    contract)."""
+    total = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.expr(f"size({pk._TOKENS})").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    rows = pk.pack_sequences(spark, SF_SMOKE).orderBy("seq_id").collect()
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))  # dense ids
+    for r in rows[:-1]:
+        assert r["n_tokens"] == pk.MAX_SEQ, r
+    assert 0 < rows[-1]["n_tokens"] <= pk.MAX_SEQ
+
+
+def test_prefix_sum_is_distributed_not_single_task(spark):
+    """The pack plan must range-partition the prefix sum (two-phase form),
+    never a bare global-order Window over the full document table."""
+    plan = pk.pack_sequences(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(doc_id" in plan, plan[:3000]

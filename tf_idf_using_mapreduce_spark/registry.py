@@ -19,6 +19,7 @@ from tf_idf_using_mapreduce_spark.operators import sessions as _sess
 from tf_idf_using_mapreduce_spark.operators import similarity as _sim
 from tf_idf_using_mapreduce_spark.operators import tpch_extra as _tpch
 from tf_idf_using_mapreduce_spark.operators import curation as _cur
+from tf_idf_using_mapreduce_spark.operators import packing as _pack
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
@@ -68,6 +69,8 @@ register("dedup_apply", _dedup.dedup_apply, _dedup.DEDUP_APPLY_ORACLE)  # new in
 register("curation_filter", _cur.curation_filter, _cur.curation_filter_oracle())  # new in r4
 register("source_mixture", _cur.source_mixture, _cur.SOURCE_MIXTURE_ORACLE)  # new in r4
 register("mixture_sample", _cur.mixture_sample, _cur.MIXTURE_SAMPLE_ORACLE)  # new in r4
+register("doc_chunks", _pack.doc_chunks, _pack.DOC_CHUNKS_ORACLE)  # new in r4
+register("pack_sequences", _pack.pack_sequences, _pack.PACK_SEQUENCES_ORACLE)  # new in r4
 
 # -- block 2: last checked round 1 ------------------------------------------
 register("events_hourly_tumbling", _rel.events_hourly_tumbling, _rel.EVENTS_HOURLY_ORACLE)
