@@ -52,6 +52,18 @@ BENCH_QUERIES = [
     "embedding_topk_pairs",
     "doc_fingerprints",
     "token_counts",
+    # round-4 curation/packing/mixing tier + the log-bound CC and the
+    # stateful stream-stream join — wall-clock on record per round-4 verdict
+    "dedup_clusters_twostar",
+    "doc_chunks",
+    "pack_sequences",
+    "train_eval_contamination",
+    "curation_filter",
+    "mixture_sample",
+    "multimodal_features",
+    "events_stream_stream_join",
+    # round-5: corpus-trained bigram-LM scoring (perplexity-filter shape)
+    "doc_lm_score",
 ]
 
 

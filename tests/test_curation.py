@@ -104,3 +104,30 @@ def test_r4_plan_shapes(spark):
 
     p = plan(cur.source_mixture(spark, SF_SMOKE))
     assert "BroadcastExchange" in p, p[:2000]  # scalar total joins broadcast
+
+
+def test_mixture_sample_unknown_source_keeps_default_rate(spark):
+    """A source value outside the fixture shape must NOT be silently
+    dropped (round-4 advisor finding): it keeps ``default_rate``."""
+    docs = spark.createDataFrame(
+        [(i, "weird-domain") for i in range(200)], "doc_id long, source string"
+    )
+    kept = cur.mixture_sample_df(docs).count()
+    assert kept == 200  # default_rate=1.0 keeps everything
+    half = cur.mixture_sample_df(docs, default_rate=0.5).count()
+    assert 60 <= half <= 140  # hash-Bernoulli around 0.5
+
+
+def test_mixture_sample_explicit_rates_map(spark):
+    """An explicit {source: rate} map drives per-source keep fractions;
+    unmapped sources fall back to default_rate."""
+    rows = [(i, "a") for i in range(200)] + [(i + 1000, "b") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = cur.mixture_sample_df(docs, rates={"a": 1.0}, default_rate=0.0)
+    by_src = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_src.get("a", 0) == 200 and "b" not in by_src
+    kept2 = cur.mixture_sample_df(docs, rates={"a": 0.25, "b": 0.75})
+    by2 = {r["source"]: r["cnt"] for r in
+           kept2.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert 20 <= by2.get("a", 0) <= 90 and 110 <= by2.get("b", 0) <= 190

@@ -156,3 +156,15 @@ def test_connected_components_warns_on_cap_exhaustion(spark):
         _w.simplefilter("always")
         connected_components_twostar(edges, max_iters=1).collect()
     assert any("round cap" in str(w.message) for w in rec2)
+
+
+def test_clusters_unified_entry_point(spark):
+    """clusters() is the single CC entry point: both algorithms produce the
+    identical labeling on the fixture graph, the default is the log-bound
+    two-star form, and an unknown algorithm fails loudly."""
+    default = sorted(map(tuple, dedup.clusters(spark, SF_SMOKE).collect()))
+    two = sorted(map(tuple, dedup.clusters(spark, SF_SMOKE, algorithm="twostar").collect()))
+    lab = sorted(map(tuple, dedup.clusters(spark, SF_SMOKE, algorithm="labelprop").collect()))
+    assert default == two == lab and default
+    with pytest.raises(ValueError, match="unknown clustering algorithm"):
+        dedup.clusters(spark, SF_SMOKE, algorithm="galactic")

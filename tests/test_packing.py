@@ -53,3 +53,27 @@ def test_prefix_sum_is_distributed_not_single_task(spark):
     never a bare global-order Window over the full document table."""
     plan = pk.pack_sequences(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(doc_id" in plan, plan[:3000]
+
+
+def test_prefix_partition_count_scales_with_input_bytes():
+    """The prefix-sum partition count is derived from input size: fixed
+    per-task byte budget, so the count grows linearly past the parallelism
+    floor — the round-4 fixed default of 8 partitions would put corpus/8
+    rows in one task at scale."""
+    par = 32
+    floor = pk._derive_prefix_partitions(1024, par)
+    assert floor == par  # tiny input: parallelism floor
+    one_gb = pk._derive_prefix_partitions(1 << 30, par)
+    assert one_gb == (1 << 30 + 0) // pk.PACK_BYTES_PER_PARTITION
+    hundred_tb = pk._derive_prefix_partitions(100 * (1 << 40), par)
+    assert hundred_tb == 100 * (1 << 40) // pk.PACK_BYTES_PER_PARTITION
+    assert hundred_tb > one_gb > floor  # monotone in bytes
+    assert pk._derive_prefix_partitions(0, par) == par
+
+
+def test_prefix_partitions_real_corpus_uses_footer_estimate(spark):
+    """On the fixture corpus the derived count hits the parallelism floor
+    (input ≪ per-task budget) — and never the old hard-coded 8."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = pk._prefix_partitions(docs)
+    assert n == spark.sparkContext.defaultParallelism

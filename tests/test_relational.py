@@ -93,3 +93,9 @@ def test_unpivot_roundtrips_pivot(spark):
         .groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert long_form == direct
+
+
+def test_lineitem_price_stats_approx_err_oracle_parity(spark):
+    """GK rank-error gate: every approx percentile's rank interval within
+    eps of target — the round-5 value check for lineitem_price_stats_approx."""
+    assert_query_matches_oracle(spark, "lineitem_price_stats_approx_err")

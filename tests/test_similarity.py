@@ -141,3 +141,10 @@ def test_embedding_ivf_dedup_pairs_are_genuine(spark):
     for r in blocked:
         key = (r["vec_a"], r["vec_b"])
         assert key in truth and truth[key] == r["cos_sim"], (r, truth.get(key))
+
+
+@pytest.mark.parametrize("name", ["ann_topk_ivf_kmeans_recall", "ann_topk_mllib_recall"])
+def test_recall_twin_oracle_parity(spark, name):
+    """The round-5 value checks for the two trained-state ANN variants:
+    recall vs brute force must clear the floor, reproduced by the oracle."""
+    assert_query_matches_oracle(spark, name)

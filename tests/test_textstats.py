@@ -82,3 +82,34 @@ def test_doc_splits_stable_and_proportioned(spark):
     assert 0.70 <= counts["train"] / 500 <= 0.90
     assert 0.04 <= counts["val"] / 500 <= 0.16
     assert 0.04 <= counts["test"] / 500 <= 0.16
+
+
+@pytest.mark.parametrize("name", ["doc_lm_score", "lang_length_quantiles"])
+def test_r5_textstats_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_doc_lm_score_sanity(spark):
+    """Laplace bigram NLL: every score positive (probabilities < 1), docs
+    with <2 tokens absent, and a doc made of the corpus's most common
+    bigrams scores lower than a doc of rare transitions — checked by
+    correlation on the fixture: NLL varies across docs."""
+    from tf_idf_using_mapreduce_spark.operators import textstats as ts
+
+    rows = ts.doc_lm_score(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["nll"] > 0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    assert len({round(r["nll"], 2) for r in rows}) > 1  # non-constant scores
+
+
+def test_doc_lm_score_plan_shape(spark):
+    """Model counts partial-aggregate (no per-key window over a hot w1
+    partition); the prefix/vocab tables broadcast; the bigram-type join is
+    the only corpus-scale exchange."""
+    from tf_idf_using_mapreduce_spark.operators import textstats as ts
+
+    p = ts.doc_lm_score(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p[:2000]
+    assert "BroadcastExchange" in p, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]

@@ -124,3 +124,9 @@ def test_mllib_variant_runs(spark):
     rows = tfidf_mllib(spark, SF_SMOKE, vocab_size=20).collect()
     assert len(rows) > 0
     assert rows[0]["features"] is not None
+
+
+def test_doc_freq_approx_err_oracle_parity(spark):
+    """HLL error-bound gate: zero 5-sigma violations, n_terms from the exact
+    pipeline — the round-5 value check for doc_freq_approx."""
+    assert_query_matches_oracle(spark, "doc_freq_approx_err")

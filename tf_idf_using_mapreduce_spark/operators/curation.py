@@ -436,20 +436,52 @@ FROM per
 """
 
 
-def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source): deterministic per-source Bernoulli downsampling —
-    the mixture-reweighting step that turns the raw corpus into the target
-    domain mix. The keep decision is a pure hash of doc_id against a
-    per-source rate (here rate(srcN) = (N mod 4 + 1)/4, i.e. 0.25/0.5/
-    0.75/1.0), so the sample is REPRODUCIBLE on any engine, any
-    partitioning, any row order — none of which is true of df.sample().
-    Map-only: filter + project, no shuffle at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+def mixture_sample_df(docs: DataFrame, rates: dict[str, float] | None = None,
+                      default_rate: float = 1.0) -> DataFrame:
+    """Core of :func:`mixture_sample` over any (doc_id, source) frame.
+
+    ``rates`` maps source → keep probability; it enters the plan as a
+    broadcast literal ``map(...)`` probed with O(1) ``element_at`` — no join,
+    still map-only. Sources absent from the map (and, for the default
+    fixture rule, any source not shaped ``srcN``) keep ``default_rate``
+    EXPLICITLY instead of NULL-dropping: a typo'd source name must never
+    silently delete a corpus slice (round-4 advisor finding)."""
     bucket = (
         f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % {MIX_BUCKETS}"
     )
-    rate = f"((cast(substr(source, 4) as int) % 4) + 1) / 4.0"
-    return docs.where(F.expr(f"{bucket} < {rate} * {MIX_BUCKETS}")).select("doc_id", "source")
+    if rates is None:
+        # fixture rule: rate(srcN) = (N mod 4 + 1)/4, i.e. 0.25/0.5/0.75/1.0
+        rate = ("coalesce(((try_cast(substr(source, 4) as int) % 4) + 1) / 4.0, "
+                f"cast({default_rate} as double))")
+        rate_col = F.expr(rate)
+    else:
+        entries: list = []
+        for k, v in sorted(rates.items()):
+            entries.extend([F.lit(k), F.lit(float(v))])
+        rate_col = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col("source")),
+            F.lit(float(default_rate)),
+        )
+    return (
+        docs.select("doc_id", "source", rate_col.alias("_rate"))
+        .where(F.expr(bucket) < F.col("_rate") * MIX_BUCKETS)
+        .select("doc_id", "source")
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str,
+                   rates: dict[str, float] | None = None,
+                   default_rate: float = 1.0) -> DataFrame:
+    """(doc_id, source): deterministic per-source Bernoulli downsampling —
+    the mixture-reweighting step that turns the raw corpus into the target
+    domain mix. The keep decision is a pure hash of doc_id against a
+    per-source rate (default: the fixture rule rate(srcN) = (N mod 4 + 1)/4;
+    pass ``rates`` for an explicit {source: rate} map), so the sample is
+    REPRODUCIBLE on any engine, any partitioning, any row order — none of
+    which is true of df.sample(). Map-only: filter + project, no shuffle at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample_df(docs, rates=rates, default_rate=default_rate)
 
 
 MIXTURE_SAMPLE_ORACLE = f"""

@@ -605,7 +605,19 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
     Fixpoint when the edge set stops changing (count + order-insensitive
     bit_xor of per-edge xxhash64 — one tiny aggregate per round, same
     coordinator-control category as the sibling's per-round count; xor is
-    safe because the edge set is distinct)."""
+    safe because the edge set is distinct). The check compares against ALL
+    signatures seen so far, not just the previous round's, so a periodic
+    oscillation of the edge set (period 2+) terminates instead of spinning
+    to the cap (round-4 advisor finding; Kiveris et al. prove monotone
+    convergence, so a revisited state can never progress further).
+
+    CAP-EXHAUSTION CONTRACT: if ``max_iters`` is hit before a fixpoint, the
+    star extraction (min neighbor per node) can assign labels that are NOT
+    component minima — i.e. an OVER-SPLIT labeling (one true component
+    reported as several), not merely a coarser merge. For dedup that
+    direction is safe (keeps extra docs, never deletes across a split), but
+    callers must treat the RuntimeWarning as a correctness signal and raise
+    the cap."""
     # symmetric closure, self-loops dropped; one materialization up front so
     # rounds don't recompute the upstream pair pipeline
     cur = (
@@ -624,7 +636,7 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = None
+    seen: set[tuple] = set()
     for _ in range(max_iters):
         # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u})
         lmin = cur.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -657,14 +669,16 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
             .localCheckpoint(eager=True)
         )
         sig = _sig(cur)
-        if sig == prev:
+        if sig in seen:
             break
-        prev = sig
+        seen.add(sig)
     else:
         warnings.warn(
             f"connected_components_twostar hit the {max_iters}-round cap "
             "before the edge set reached a fixpoint; the star extraction "
-            "below still yields a valid but possibly coarser labeling",
+            "below may OVER-SPLIT components (labels that are not component "
+            "minima) — safe for dedup (never merges across components) but "
+            "raise max_iters before trusting the clustering",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -685,12 +699,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-LSH verified pairs, with the min-id survivor elected per
     cluster. Docs in no pair are absent (singletons keep themselves —
     trivially canonical)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
-    return labels.select(
-        "doc_id", "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-    )
+    return clusters(spark, sf_dir, algorithm="labelprop")
 
 
 def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,8 +707,40 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star algorithm — the variant you'd run when near-dup
     chains are long (diameter ≫ log n). Checked against the identical
     recursive-CTE oracle."""
+    return clusters(spark, sf_dir, algorithm="twostar")
+
+
+CLUSTER_ALGORITHMS = {
+    "labelprop": connected_components,
+    "twostar": connected_components_twostar,
+}
+
+
+def clusters(spark: SparkSession, sf_dir: str,
+             algorithm: str = "twostar") -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): THE near-dup clustering entry
+    point — minhash-LSH candidate pairs → connected components → min-id
+    survivor election, one output contract for every CC algorithm.
+
+    ``algorithm`` picks the component solver:
+    - ``"twostar"`` (DEFAULT — the 100 TB choice): Kiveris large-star/
+      small-star, O(log component-size) rounds regardless of diameter.
+      Web-crawl near-dup graphs contain long template chains whose diameter
+      grows with the crawl, so the log-bound form is the safe default.
+    - ``"labelprop"``: min-label propagation, O(diameter) rounds — fewer,
+      cheaper rounds when clusters are known small and dense (in-domain
+      corpora after exact dedup).
+    Both are oracled against the identical recursive-CTE oracle
+    (``DEDUP_CLUSTERS_ORACLE``)."""
+    try:
+        cc = CLUSTER_ALGORITHMS[algorithm]
+    except KeyError:
+        raise ValueError(
+            f"unknown clustering algorithm {algorithm!r}; "
+            f"expected one of {sorted(CLUSTER_ALGORITHMS)}"
+        ) from None
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components_twostar(pairs)
+    labels = cc(pairs)
     return labels.select(
         "doc_id", "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),

@@ -18,15 +18,50 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import _file_split_stats, load_table
 
 _TOKENS = "regexp_extract_all(lower(text), '([a-z]+)', 1)"  # both dialects
 
 CHUNK_LEN = 50    # tokens per document chunk (stand-in for context length)
 MAX_SEQ = 256     # tokens per packed training sequence
+
+# compressed parquet bytes a single prefix-sum task may own: the within-
+# partition window sorts/scans this much input per task, so it bounds
+# per-task memory and wall-clock independent of corpus size
+PACK_BYTES_PER_PARTITION = 8 * 1024 * 1024
+
+
+def _derive_prefix_partitions(total_bytes: int, parallelism: int) -> int:
+    """Partition count for the two-phase prefix sum: enough that (a) every
+    core has work and (b) no single range partition exceeds
+    ``PACK_BYTES_PER_PARTITION`` compressed bytes. Pure so the scaling law is
+    unit-testable: grows linearly with input bytes past the parallelism
+    floor — at 100 TB this is ~13M partitions of bounded size, never
+    ``corpus/8`` rows in one task (the round-4 fixed default)."""
+    by_bytes = math.ceil(total_bytes / PACK_BYTES_PER_PARTITION) if total_bytes > 0 else 0
+    return max(parallelism, by_bytes, 1)
+
+
+def _prefix_partitions(docs: DataFrame) -> int:
+    """Derive the prefix-sum partition count from the input's on-disk size
+    (parquet footer stats, memoized — same estimator as ``spread()``).
+    Unknown layouts (in-memory frames, non-local sources) fall back to the
+    cluster parallelism floor."""
+    total = 0
+    try:
+        for p in docs.inputFiles():
+            if p.startswith(("file:", "/")):
+                total += _file_split_stats(p.removeprefix("file:"))[0]
+    except Exception:
+        total = 0
+    return _derive_prefix_partitions(
+        total, docs.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,15 +112,21 @@ FROM ix
 """
 
 
-def _token_offsets(spark: SparkSession, sf_dir: str, n_partitions: int = 8) -> DataFrame:
+def _token_offsets(spark: SparkSession, sf_dir: str,
+                   n_partitions: int | None = None) -> DataFrame:
     """(doc_id, n, start): each document's token count and its exclusive
     prefix sum in doc_id order — the DISTRIBUTED two-phase prefix sum.
     Phase 1: range-partition by doc_id, subtotal per partition (tiny).
     Phase 2: broadcast the partition offsets back, run the window WITHIN
-    each partition only. No single-task global window anywhere."""
+    each partition only. No single-task global window anywhere. The
+    partition count derives from input bytes (``_prefix_partitions``) so
+    per-task volume stays bounded as the corpus grows; pass
+    ``n_partitions`` explicitly only in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    if n_partitions is None:
+        n_partitions = _prefix_partitions(docs)
     counts = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
+        docs.select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
         .repartitionByRange(n_partitions, "doc_id")
         .withColumn("pid", F.spark_partition_id())
     )

@@ -558,6 +558,52 @@ def lineitem_price_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GK sketch at accuracy=1000 guarantees rank error ≤ 1/1000; the gate allows
+# 10× slack so only a broken sketch (not boundary duplicates) trips it
+GK_RANK_ERR_MAX = 0.01
+
+
+def lineitem_price_stats_approx_err(spark: SparkSession, sf_dir: str,
+                                    rank_err_max: float = GK_RANK_ERR_MAX) -> DataFrame:
+    """(l_returnflag, n, n_violations): the ERROR-BOUND gate for
+    :func:`lineitem_price_stats_approx`. The GK sketch's contract is on
+    RANK, not value: each approx percentile must be an element whose rank in
+    its group lies within ``rank_err_max`` of the target fraction. Per group
+    we join the 3-row approx result back (broadcast) and count, for each
+    target p, rows strictly below / at-or-below the sketch value — the
+    value's rank interval — and flag a violation when that interval misses
+    [p − ε, p + ε]. The oracle reproduces the group sizes exactly and pins
+    ``n_violations = 0``."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    apx = lineitem_price_stats_approx(spark, sf_dir)
+    j = li.join(F.broadcast(apx), "l_returnflag")
+
+    def ranks(col: str):
+        lt = F.sum((F.col("l_extendedprice") < F.col(col)).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= F.col(col)).cast("long"))
+        return lt, le
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
+        lt, le = ranks(col)
+        aggs += [lt.alias(f"lt_{col}"), le.alias(f"le_{col}")]
+    stats = j.groupBy("l_returnflag").agg(*aggs)
+    viol_terms = []
+    for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
+        too_high = F.col(f"lt_{col}") / F.col("n") > F.lit(p + rank_err_max)
+        too_low = F.col(f"le_{col}") / F.col("n") < F.lit(p - rank_err_max)
+        viol_terms.append((too_high | too_low).cast("long"))
+    n_viol = viol_terms[0] + viol_terms[1] + viol_terms[2]
+    return stats.select("l_returnflag", "n", n_viol.alias("n_violations"))
+
+
+LINEITEM_PRICE_STATS_APPROX_ERR_ORACLE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS n_violations
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

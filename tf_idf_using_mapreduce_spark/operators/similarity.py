@@ -211,8 +211,19 @@ WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP
 N_CENTROIDS = 16
 N_PROBE = 4
 
-# per-(sf_dir[, quantizer]) anchor memo (coordinator state, like a fitted model)
+# per-(sf_dir[, quantizer]) anchor memo (coordinator state, like a fitted
+# model). Bounded: entries are tiny (N_CENTROIDS rows), but a long-lived
+# session scanning many warehouse dirs shouldn't grow it without limit —
+# oldest-inserted entries are evicted past the cap (dict preserves insertion
+# order).
 _ANCHOR_CACHE: dict = {}
+_ANCHOR_CACHE_MAX = 32
+
+
+def _anchor_cache_put(key, value) -> None:
+    while len(_ANCHOR_CACHE) >= _ANCHOR_CACHE_MAX:
+        _ANCHOR_CACHE.pop(next(iter(_ANCHOR_CACHE)))
+    _ANCHOR_CACHE[key] = value
 
 
 def _anchor_rows(spark: SparkSession, sf_dir: str) -> list:
@@ -229,12 +240,13 @@ def _anchor_rows(spark: SparkSession, sf_dir: str) -> list:
     sessions) don't re-scan the corpus; production would persist the
     centroids as a model table."""
     if sf_dir not in _ANCHOR_CACHE:
-        _ANCHOR_CACHE[sf_dir] = (
+        _anchor_cache_put(
+            sf_dir,
             _vectors(spark, sf_dir)
             .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
             .limit(N_CENTROIDS)
             .select("v", "nrm")
-            .collect()
+            .collect(),
         )
     return _ANCHOR_CACHE[sf_dir]
 
@@ -364,10 +376,10 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     if key not in _ANCHOR_CACHE:
         feats = _vectors(spark, sf_dir).select(array_to_vector("v").alias("features"))
         model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
-        _ANCHOR_CACHE[key] = [
+        _anchor_cache_put(key, [
             {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
             for c in model.clusterCenters()
-        ]
+        ])
     return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
 
 
@@ -461,6 +473,55 @@ SELECT vec_a, vec_b, cos_sim FROM scored
 WHERE dot <> 0
 ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
 LIMIT {TOP_PAIRS}
+"""
+
+
+# recall floors for the driver-gated recall twins: deliberately BELOW the
+# tighter pytest pins (kmeans ≥ 0.4 at smoke SF) so the driver check fails
+# only on real regressions, not fixture-noise — but far above the ~k/n
+# random-guess recall, so a broken quantizer/join cannot pass.
+RECALL_FLOOR_KMEANS = 0.3
+RECALL_FLOOR_MLLIB = 0.3
+
+
+def _recall_twin(approx: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """(n_true, recall_ok): aggregate recall of ``approx`` against the exact
+    top-k ``exact``, thresholded — the SQL-expressible VALUE CHECK for ANN
+    variants whose trained state (k-means centroids, MLlib LSH hashes) is not
+    itself SQL-expressible. The oracle side reproduces ``n_true`` (the exact
+    top-k row count) and pins ``recall_ok = 1``; if recall regresses below
+    ``floor`` the value hash mismatches. One left-semi join on
+    (query_id, neighbor_id) + two scalar aggregates — metadata-scale."""
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    return total.crossJoin(F.broadcast(hits)).select(
+        "n_true",
+        (F.col("hits") >= F.lit(floor) * F.col("n_true")).cast("int").alias("recall_ok"),
+    )
+
+
+def ann_topk_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated recall of the trained-quantizer IVF vs brute force."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_topk_ivf_kmeans(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_twin(approx, exact, RECALL_FLOOR_KMEANS)
+
+
+def ann_topk_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated recall of the MLlib BucketedRandomProjectionLSH twin vs
+    brute force (euclidean on the normalized vectors is rank-equivalent to
+    cosine, so the exact cosine top-k is the right truth set)."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_topk_mllib(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_twin(approx, exact, RECALL_FLOOR_MLLIB)
+
+
+ANN_RECALL_TWIN_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS recall_ok
+FROM ({ANN_BRUTEFORCE_ORACLE}) exact_topk
 """
 
 

@@ -341,3 +341,120 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------- #
+# corpus-trained bigram LM scoring (the CCNet/"perplexity filter" shape)
+# --------------------------------------------------------------------------- #
+
+LM_ROUND = 6
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, nll): per-document average negative log-likelihood
+    under a bigram language model with Laplace (add-1) smoothing trained on
+    the corpus itself — the SQL-expressible stand-in for the CCNet-style
+    perplexity quality filter (score each document under a reference LM;
+    high NLL = out-of-distribution text). Documents with <2 tokens produce
+    no bigrams and are excluded, mirrored in the oracle.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), V = |unigram vocab|;
+    nll = avg over the doc's bigrams of −ln P.
+
+    Scale shape: bigram extraction is a map-only array expression (the
+    ``bigram_pmi`` pattern); model "training" is two partial+final hash
+    aggregations (bigram and bigram-prefix counts — Zipf keys collapse
+    map-side, never a per-key window that would drag a hot ``w1`` partition
+    into one task); scoring joins the bigram stream to the count tables on
+    (w1,w2) — an equi-shuffle co-location at corpus scale with AQE skew
+    splitting, while the vocab-sized prefix table and the scalar V
+    broadcast. One final groupBy(doc_id) produces the score. Nothing holds
+    state beyond the count tables — exactly how you'd score 100 TB under a
+    frozen n-gram LM (counts persisted as the "model" table)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t")
+    )
+    doc_bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        doc_bigrams.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("nl"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nl"), LM_ROUND).alias("nll"),
+    )
+
+
+DOC_LM_SCORE_ORACLE = f"""
+WITH toksarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                         i -> {{'w1': t[i], 'w2': t[i+1]}})) AS bg
+    FROM toksarr WHERE len(t) >= 2
+  ) bgx
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM doc_bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM doc_bigrams GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toksarr) u)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c12.c12 + 1) * 1.0 / (c1.c1 + vocab.v))), {LM_ROUND}) AS nll
+FROM doc_bigrams b
+JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
+def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, p10, p50, p90): per-language token-length quantiles —
+    the profile a length-filter curation rule is calibrated from (length
+    cutoffs are language-dependent: ideographic scripts tokenize shorter).
+    Exact interpolated percentiles per group (bounded group count = #langs);
+    at 100 TB swap ``percentile`` for ``approx_percentile`` exactly as
+    ``lineitem_price_stats_approx`` demonstrates, same plan otherwise."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    n = F.expr("size(regexp_extract_all(lower(text), '([a-z]+)', 1))")
+    return (
+        docs.select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n, 0.1)"), 4).alias("p10"),
+            F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+LANG_LENGTH_QUANTILES_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(len(regexp_extract_all(lower(text), '([a-z]+)', 1)), 0.1), 4) AS p10,
+       round(quantile_cont(len(regexp_extract_all(lower(text), '([a-z]+)', 1)), 0.5), 4) AS p50,
+       round(quantile_cont(len(regexp_extract_all(lower(text), '([a-z]+)', 1)), 0.9), 4) AS p90
+FROM documents GROUP BY lang
+"""

@@ -325,6 +325,40 @@ def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
     )
 
 
+HLL_REL_ERR_MAX = 0.25  # 5× the declared rsd (0.05) — violations mean a broken sketch
+
+
+def doc_freq_approx_err(spark: SparkSession, sf_dir: str, rsd: float = 0.05,
+                        rel_err_max: float = HLL_REL_ERR_MAX) -> DataFrame:
+    """(n_terms, n_violations): the ERROR-BOUND gate for
+    :func:`doc_freq_approx` — per term, |HLL df − exact df| / exact must stay
+    within ``rel_err_max`` (5× the declared rsd; HLL++ error is
+    approximately Gaussian, so 5σ violations mean a broken sketch, not
+    noise). Fully oracled where the sketch itself cannot be: the oracle
+    reproduces ``n_terms`` from the exact pipeline and pins
+    ``n_violations = 0``. Both counts come from ONE aggregation over the
+    stemmed tokens (exact countDistinct and the HLL run side by side)."""
+    toks = stemmed_tokens(spark, sf_dir)
+    per_term = toks.groupBy(F.col("stem").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.approx_count_distinct("doc_id", rsd).alias("df_approx"),
+    )
+    viol = (
+        F.abs(F.col("df_approx") - F.col("df")) / F.col("df") > F.lit(rel_err_max)
+    ).cast("long")
+    return per_term.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(viol).alias("n_violations"),
+    )
+
+
+def doc_freq_approx_err_oracle() -> str:
+    return (
+        "SELECT CAST(count(DISTINCT stem) AS BIGINT) AS n_terms, "
+        f"CAST(0 AS BIGINT) AS n_violations FROM ({_stemmed_tokens_sql()}) st"
+    )
+
+
 def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
     """MLlib variant (CountVectorizer + IDF) — documented PARALLEL pipeline,
     NOT the reference score: MLlib computes ``log((N+1)/(df+1))`` vs the

@@ -89,7 +89,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
                          output_mode: str = "complete") -> None:
-    """Drive a finite stream to completion into an in-memory table."""
+    """Drive a finite stream to completion into an in-memory table.
+
+    A hung availableNow stream must surface as an ERROR, not as a partial
+    memory table that downstream oracle checks would compare as if complete
+    (round-4 advisor finding) — so a query still active at the deadline is
+    stopped and raised."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -101,6 +106,12 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
     deadline = time.time() + timeout_s
     while q.isActive and time.time() < deadline:
         time.sleep(0.5)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still active after {timeout_s}s; "
+            "memory table is partial — refusing to return it"
+        )
 
 
 def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
