@@ -80,14 +80,16 @@ def main() -> int:
     # warmup: pay JVM/codegen startup outside the measured window
     qs["doc_freq_top100"](spark, sf_dir).collect()
 
-    # two timed runs per query, report the min: a single pass is exposed to
-    # transient machine stalls (measured: the same query 3.8 s and 17 s in
-    # back-to-back single-pass suites); min-of-2 reports the query's actual
-    # cost. First run also pays that query's codegen, which min() discards.
+    # three timed runs per query, report the min: a single pass is exposed
+    # to transient machine stalls (measured: the same query 3.8 s and 17 s
+    # in back-to-back single-pass suites, and a 2.1 s query reporting
+    # 14.7 s when BOTH of two passes stalled); min-of-3 reports the query's
+    # actual cost. First run also pays that query's codegen, which min()
+    # discards.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.time() - t0)

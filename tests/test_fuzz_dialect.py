@@ -41,6 +41,9 @@ FUZZ_QUERIES = [
     # packing (map-only chunking + distributed prefix-sum packing)
     "doc_chunks",
     "pack_sequences",
+    # round-5 text analysis (bigram-LM scoring + per-lang length profile)
+    "doc_lm_score",
+    "lang_length_quantiles",
 ]
 
 _EDGE_TEXTS = [

@@ -618,16 +618,27 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
     direction is safe (keeps extra docs, never deletes across a split), but
     callers must treat the RuntimeWarning as a correctness signal and raise
     the cap."""
-    # symmetric closure, self-loops dropped; one materialization up front so
-    # rounds don't recompute the upstream pair pipeline
-    cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # canonical (child=max, parent=min) pairs, self-loops dropped; one
+    # materialization up front so rounds don't recompute the upstream pair
+    # pipeline. Storing CANONICAL pairs (r5) halves the per-round distinct
+    # work: the symmetric closure each large-star needs is then a pure
+    # projection union (a distinct canonical set cannot contain both
+    # orientations), where the r4 form ran a second corpus-scale DISTINCT
+    # over 2|E| rows per round — and every new edge either star emits is
+    # already child>parent, so one distinct per round suffices.
+    pairs = (
+        edges.select(F.greatest(F.col(src), F.col(dst)).alias("u"),
+                     F.least(F.col(src), F.col(dst)).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = cur.select(F.col("u").alias("doc_id")).distinct().localCheckpoint(eager=False)
+    nodes = (
+        pairs.select(F.col("u").alias("doc_id"))
+        .unionByName(pairs.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def _sig(df: DataFrame) -> tuple:
         row = df.agg(
@@ -638,37 +649,31 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
 
     seen: set[tuple] = set()
     for _ in range(max_iters):
-        # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u})
-        lmin = cur.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # symmetric closure by projection (no distinct needed — see above)
+        sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u});
+        # m ≤ u < v, so the emitted (v, m) is already child>parent
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
-            cur.join(lmin, "u")
+            sym.join(lmin, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
-        # small-star on child≥parent orientation: u and its ≤-neighbors
-        # attach to the local minimum
-        oriented = cur.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star on the child≥parent orientation (= the canonical pairs
+        # themselves): u and its ≤-neighbors attach to the local minimum
+        smin = pairs.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            oriented.join(smin, "u")
+            pairs.join(smin, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
         )
-        cur = (
+        pairs = (
             large.unionByName(small).distinct()
-            # symmetric closure restored for the next large-star
-            .unionByName(
-                large.unionByName(small).distinct()
-                .select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = _sig(cur)
+        sig = _sig(pairs)
         if sig in seen:
             break
         seen.add(sig)
@@ -682,10 +687,10 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
             RuntimeWarning,
             stacklevel=2,
         )
-    # at fixpoint the oriented edges form stars: (child, root). Singleton
+    # at fixpoint the canonical edges form stars: (child, root). Singleton
     # components that collapsed away keep themselves.
     stars = (
-        cur.select(F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("cluster_id"))
+        pairs.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
     )
     return (

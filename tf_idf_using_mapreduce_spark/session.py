@@ -27,7 +27,11 @@ def get_spark(app_name: str = "tfidf-spark-engine", shuffle_partitions: int | No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: the bench session runs 35 queries × 2 passes with per-round
+        # localCheckpoint blocks (CC iterations) and memory-sink tables
+        # retained until the async ContextCleaner runs — 8g showed 2× GC
+        # wobble on unchanged queries between back-to-back suites
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS); read as long and convert

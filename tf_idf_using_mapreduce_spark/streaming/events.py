@@ -87,31 +87,53 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     return out.withWatermark("ts", watermark) if watermark else out
 
 
+# State-store partition count for the fixture-scale streams. Streaming state
+# cost is (partitions × state stores per stateful operator × microbatches)
+# checkpoint files per run — at 32 shuffle partitions the stream-stream join
+# paid 6.9 s of which ~4.4 s was empty-partition store churn (measured:
+# 2.5-2.7 s at 4-8 partitions, identical results). State partitioning is a
+# CAPACITY knob, not a semantics knob: size it to rate × watermark horizon
+# (at 100 TB/day ingest that's thousands of partitions; here, 8).
+STATE_PARTITIONS = 8
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
-                         output_mode: str = "complete") -> None:
+                         output_mode: str = "complete",
+                         state_partitions: int | None = STATE_PARTITIONS) -> None:
     """Drive a finite stream to completion into an in-memory table.
 
     A hung availableNow stream must surface as an ERROR, not as a partial
     memory table that downstream oracle checks would compare as if complete
     (round-4 advisor finding) — so a query still active at the deadline is
-    stopped and raised."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    deadline = time.time() + timeout_s
-    while q.isActive and time.time() < deadline:
-        time.sleep(0.5)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name!r} still active after {timeout_s}s; "
-            "memory table is partial — refusing to return it"
+    stopped and raised.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (state partitioning is fixed at first start); the
+    session value is restored after termination."""
+    spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination(timeout_s)
+        deadline = time.time() + timeout_s
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} still active after {timeout_s}s; "
+                "memory table is partial — refusing to return it"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
