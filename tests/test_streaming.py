@@ -156,3 +156,19 @@ def test_user_running_totals_across_micro_batches(spark, tmp_path):
 
 def test_session_stream_oracle_parity(spark):
     assert_query_matches_oracle(spark, "events_session_stream")
+
+
+def test_documents_stream_curation_matches_batch(spark):
+    """Ingest-time curation: the streaming run must produce the exact same
+    keep/drop decisions as the batch cascade (same expression tree, same
+    oracle) — the batch↔stream portability contract."""
+    from tf_idf_using_mapreduce_spark.operators.curation import curation_filter
+    from tf_idf_using_mapreduce_spark.streaming.corpus import documents_stream_curation
+
+    batch = sorted(map(tuple, curation_filter(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_curation(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+def test_documents_stream_curation_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "documents_stream_curation")

@@ -337,17 +337,11 @@ def _curation_case(n_tok: str, dup: str, stop: str) -> str:
     )
 
 
-def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, reason, keep): the composed curation decision — length,
-    Gopher-style trigram repetition, and stopword-band rules in ONE map-only
-    pass over the corpus (every rule is per-row array math; no shuffle at
-    any corpus size). The cascade order is the contract: the FIRST failing
-    rule is the recorded drop reason, so downstream loss accounting
-    (how much data did each rule cost?) is a plain groupBy(reason)."""
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        bytes_per_partition=128 * 1024,
-    )
+def curation_decide(docs: DataFrame) -> DataFrame:
+    """The curation cascade over ANY (doc_id, text) frame — batch or
+    STREAMING (every rule is stateless per-row array math, so the identical
+    expression tree runs under Structured Streaming at ingest time; see
+    ``streaming/corpus.py:documents_stream_curation``)."""
     stops_arr = ", ".join(f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
     # sequence(1, n) counts DOWN when n < 1, so short docs need the guard
     tris = (
@@ -368,6 +362,20 @@ def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "reason", F.expr("reason = 'ok'").alias("keep"))
     )
+
+
+def curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reason, keep): the composed curation decision — length,
+    Gopher-style trigram repetition, and stopword-band rules in ONE map-only
+    pass over the corpus (every rule is per-row array math; no shuffle at
+    any corpus size). The cascade order is the contract: the FIRST failing
+    rule is the recorded drop reason, so downstream loss accounting
+    (how much data did each rule cost?) is a plain groupBy(reason)."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    return curation_decide(docs)
 
 
 def curation_filter_oracle() -> str:

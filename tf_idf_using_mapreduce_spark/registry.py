@@ -23,6 +23,7 @@ from tf_idf_using_mapreduce_spark.operators import packing as _pack
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
+from tf_idf_using_mapreduce_spark.streaming import corpus as _stream_corpus
 from tf_idf_using_mapreduce_spark.streaming import events as _stream
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -65,6 +66,7 @@ register("lineitem_price_stats_approx_err", _rel.lineitem_price_stats_approx_err
          _rel.LINEITEM_PRICE_STATS_APPROX_ERR_ORACLE)
 register("doc_lm_score", _ts.doc_lm_score, _ts.DOC_LM_SCORE_ORACLE)
 register("lang_length_quantiles", _ts.lang_length_quantiles, _ts.LANG_LENGTH_QUANTILES_ORACLE)
+register("documents_stream_curation", _stream_corpus.documents_stream_curation, _cur.curation_filter_oracle())
 
 # -- block 2: implementation changed in round 5 -----------------------------
 register("pack_sequences", _pack.pack_sequences, _pack.PACK_SEQUENCES_ORACLE)

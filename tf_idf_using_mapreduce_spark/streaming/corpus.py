@@ -1,0 +1,48 @@
+"""Streaming corpus ingest: the documents table arriving as a file stream,
+with curation applied AT INGEST TIME — the shape a 100 TB training-data
+pipeline actually wants (filter while landing, not in a post-hoc batch pass
+over already-persisted data).
+
+The curation cascade (``operators/curation.py:curation_decide``) is stateless
+per-row expression work, so the IDENTICAL expression tree runs under
+Structured Streaming with no watermark and no state store: each microbatch is
+a map-only pass, and a crawler that lands files continuously gets its
+keep/drop decisions continuously. Correctness is pinned by the batch oracle —
+a finite stream over the same files must produce the exact same decisions as
+the batch operator (``curation_filter``'s DuckDB oracle), which is what the
+registry checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tf_idf_using_mapreduce_spark.operators.curation import curation_decide
+from tf_idf_using_mapreduce_spark.streaming.events import run_stream_to_memory
+
+# explicit schema: a streaming parquet source cannot infer one
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream reader over the documents parquet — at production scale
+    this is the landing directory a crawler appends to; availableNow drains
+    whatever has arrived and terminates."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, reason, keep): the curation cascade evaluated ON THE STREAM —
+    same expression tree, same oracle as the batch ``curation_filter``.
+    Stateless (no watermark, no state store): microbatches are map-only, so
+    ingest-time filtering adds zero shuffle at any corpus size."""
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_curation_result"
+    run_stream_to_memory(curation_decide(stream), result_name, output_mode="append")
+    return spark.table(result_name)
