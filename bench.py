@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "events_stream_stream_join",
     # round-5: corpus-trained bigram-LM scoring (perplexity-filter shape)
     "doc_lm_score",
+    # round-5: daily-batch near-dup probe against the persisted band index
+    "dedup_incremental",
 ]
 
 

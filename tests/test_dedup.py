@@ -168,3 +168,37 @@ def test_clusters_unified_entry_point(spark):
     assert default == two == lab and default
     with pytest.raises(ValueError, match="unknown clustering algorithm"):
         dedup.clusters(spark, SF_SMOKE, algorithm="galactic")
+
+
+def test_dedup_incremental_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_incremental")
+
+
+def test_dedup_incremental_split_contract(spark):
+    """Every reported match pairs a NEW doc (doc_id % INCR_BATCH_MOD == 0)
+    with an INDEXED doc, and is a subset of the full-corpus LSH pairs (the
+    incremental path may only find batch-vs-index duplicates, never invent
+    or mis-score one)."""
+    full = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
+        for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    rows = dedup.dedup_incremental(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % dedup.INCR_BATCH_MOD == 0
+        assert r["dup_of"] % dedup.INCR_BATCH_MOD != 0
+        key = tuple(sorted((r["doc_id"], r["dup_of"])))
+        # full LSH applies the hot-bucket cap on ALL buckets while the
+        # incremental path caps the index side only, so incremental ⊆ full
+        # holds whenever the pair survived both paths' capping
+        if key in full:
+            assert full[key] == r["jaccard"], (r, full[key])
+
+
+def test_dedup_incremental_plan_broadcasts_batch_side(spark):
+    """The daily-batch probe must broadcast into the index (the index is
+    write-once state and must never reshuffle): no sort-merge or shuffled
+    hash join anywhere in the plan."""
+    p = dedup.dedup_incremental(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]

@@ -343,6 +343,100 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 
 
 # --------------------------------------------------------------------------- #
+# incremental dedup (daily-ingest batch vs persisted index)
+# --------------------------------------------------------------------------- #
+
+# deterministic fixture split: every 5th doc arrives as the "new batch",
+# the rest are the already-indexed corpus (oracle-expressible, no state file)
+INCR_BATCH_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, jaccard): INCREMENTAL near-dup — each newly arriving
+    document (fixture split: ``doc_id % INCR_BATCH_MOD = 0``) checked
+    against the already-indexed corpus (the rest), verified with exact
+    Jaccard ≥ 0.8. This is the operator a pipeline runs DAILY: the
+    full-corpus ``dedup_minhash_lsh`` is the backfill; this is the steady
+    state.
+
+    Scale shape — the reason this exists as its own operator: the index's
+    band table is write-once state (in production: the persisted sketch/band
+    table, rebuilt never, appended after each batch). A daily batch computes
+    signatures for ITS documents only (map-only, linear in batch size) and
+    probes the index with a broadcast of the SMALL batch side — the index is
+    never reshuffled, so daily cost is O(batch + matches), not O(corpus).
+    Hot index buckets are excluded exactly as in the batch operator
+    (boilerplate band keys are non-discriminative), mirrored in the oracle.
+    """
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
+    sig = minhash_signatures(sets).localCheckpoint(eager=False)
+    n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
+        for b in range(n_bands)
+    )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx_bands = _drop_hot_buckets(bands.where(~is_new), ["band", "band_sig"], LSH_BUCKET_CAP)
+    new_bands = bands.where(is_new).withColumnRenamed("doc_id", "new_id")
+    cand = (
+        idx_bands.join(F.broadcast(new_bands), ["band", "band_sig"])
+        .select(F.col("new_id").alias("doc_id"), F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_id"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_id")
+        .join(sb, "dup_of")
+        .withColumn("common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .select(
+            "doc_id", "dup_of",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig16 AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
+allbands AS ({_MINHASH_BAND_SELECTS}),
+idx0 AS (SELECT * FROM allbands WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+hot AS (SELECT band, band_sig FROM idx0
+        GROUP BY band, band_sig HAVING count(*) > {LSH_BUCKET_CAP}),
+idx AS (SELECT * FROM idx0 bb
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = bb.band AND h.band_sig = bb.band_sig)),
+newb AS (SELECT * FROM allbands WHERE doc_id % {INCR_BATCH_MOD} = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, i.doc_id AS dup_of
+  FROM newb n JOIN idx i ON n.band = i.band AND n.band_sig = i.band_sig
+),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.doc_id, c.dup_of, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT co.doc_id, co.dup_of,
+       round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM common co
+JOIN cnt ca ON ca.doc_id = co.doc_id
+JOIN cnt cb ON cb.doc_id = co.dup_of
+WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------------- #
 

@@ -67,6 +67,7 @@ register("lineitem_price_stats_approx_err", _rel.lineitem_price_stats_approx_err
 register("doc_lm_score", _ts.doc_lm_score, _ts.DOC_LM_SCORE_ORACLE)
 register("lang_length_quantiles", _ts.lang_length_quantiles, _ts.LANG_LENGTH_QUANTILES_ORACLE)
 register("documents_stream_curation", _stream_corpus.documents_stream_curation, _cur.curation_filter_oracle())
+register("dedup_incremental", _dedup.dedup_incremental, _dedup.DEDUP_INCREMENTAL_ORACLE)
 
 # -- block 2: implementation changed in round 5 -----------------------------
 register("pack_sequences", _pack.pack_sequences, _pack.PACK_SEQUENCES_ORACLE)
