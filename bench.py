@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "doc_lm_score",
     # round-5: daily-batch near-dup probe against the persisted band index
     "dedup_incremental",
+    # round-5: the composed curation->dedup->mixture->packing pipeline
+    "pretraining_shards",
 ]
 
 

@@ -77,3 +77,30 @@ def test_prefix_partitions_real_corpus_uses_footer_estimate(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     n = pk._prefix_partitions(docs)
     assert n == spark.sparkContext.defaultParallelism
+
+
+def test_pretraining_shards_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "pretraining_shards")
+
+
+def test_pretraining_shards_composition(spark):
+    """The composed pipeline's output is a packed version of exactly the
+    docs that survive curation + exact-dedup + mixture: fewer tokens than
+    the raw corpus pack, dense seq_ids, all non-final sequences full."""
+    from tf_idf_using_mapreduce_spark.operators.pretrain import pretraining_shards
+
+    rows = pretraining_shards(spark, SF_SMOKE).orderBy("seq_id").collect()
+    assert rows
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == pk.MAX_SEQ, r
+    raw_total = sum(r["n_tokens"] for r in pk.pack_sequences(spark, SF_SMOKE).collect())
+    cur_total = sum(r["n_tokens"] for r in rows)
+    assert 0 < cur_total < raw_total  # curation/dedup/mixture dropped something
+
+
+def test_pretraining_shards_plan_uses_distributed_prefix_sum(spark):
+    from tf_idf_using_mapreduce_spark.operators.pretrain import pretraining_shards
+
+    plan = pretraining_shards(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(doc_id" in plan, plan[:3000]

@@ -341,7 +341,14 @@ def curation_decide(docs: DataFrame) -> DataFrame:
     """The curation cascade over ANY (doc_id, text) frame — batch or
     STREAMING (every rule is stateless per-row array math, so the identical
     expression tree runs under Structured Streaming at ingest time; see
-    ``streaming/corpus.py:documents_stream_curation``)."""
+    ``streaming/corpus.py:documents_stream_curation``).
+
+    COMPOSITION WARNING: do not ``.where(keep)`` directly on this output
+    inside a larger plan — predicate pushdown inlines the cascade CASE into
+    the filter with the tokenize expression re-expanded per trigram-lambda
+    element (O(tokens²) per doc; measured 34 s vs 0.2 s at sf0.1). Cut the
+    lineage first (``localCheckpoint``/persisted decision table), as
+    ``operators/pretrain.py`` does."""
     stops_arr = ", ".join(f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
     # sequence(1, n) counts DOWN when n < 1, so short docs need the guard
     tris = (

@@ -112,17 +112,17 @@ FROM ix
 """
 
 
-def _token_offsets(spark: SparkSession, sf_dir: str,
-                   n_partitions: int | None = None) -> DataFrame:
-    """(doc_id, n, start): each document's token count and its exclusive
-    prefix sum in doc_id order — the DISTRIBUTED two-phase prefix sum.
+def token_offsets_of(docs: DataFrame,
+                     n_partitions: int | None = None) -> DataFrame:
+    """(doc_id, n, start) over ANY (doc_id, text) frame: each document's
+    token count and its exclusive prefix sum in doc_id order — the
+    DISTRIBUTED two-phase prefix sum.
     Phase 1: range-partition by doc_id, subtotal per partition (tiny).
     Phase 2: broadcast the partition offsets back, run the window WITHIN
     each partition only. No single-task global window anywhere. The
     partition count derives from input bytes (``_prefix_partitions``) so
     per-task volume stays bounded as the corpus grows; pass
     ``n_partitions`` explicitly only in tests."""
-    docs = load_table(spark, sf_dir, "documents")
     if n_partitions is None:
         n_partitions = _prefix_partitions(docs)
     counts = (
@@ -148,15 +148,12 @@ def _token_offsets(spark: SparkSession, sf_dir: str,
     )
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(seq_id, n_docs, n_tokens): concatenate the corpus token stream in
-    doc_id order and split it into ``MAX_SEQ``-token training sequences —
-    exactly how LLM pretraining packs documents (a doc may straddle two
-    sequences). Each document expands to the bins it overlaps (≤ a few per
-    doc), then one groupBy; the prefix sum underneath is the two-phase
-    distributed form (see ``_token_offsets``)."""
+def pack_sequences_of(docs: DataFrame) -> DataFrame:
+    """:func:`pack_sequences` over ANY (doc_id, text) frame — the composable
+    form the end-to-end pipeline (``operators/pretrain.py``) packs its
+    curated survivors with."""
     m = MAX_SEQ
-    spans = _token_offsets(spark, sf_dir).where(F.col("n") > 0)
+    spans = token_offsets_of(docs).where(F.col("n") > 0)
     binned = spans.select(
         "doc_id", "n", "start",
         F.explode(
@@ -174,6 +171,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(overlap).alias("n_tokens"),
         )
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq_id, n_docs, n_tokens): concatenate the corpus token stream in
+    doc_id order and split it into ``MAX_SEQ``-token training sequences —
+    exactly how LLM pretraining packs documents (a doc may straddle two
+    sequences). Each document expands to the bins it overlaps (≤ a few per
+    doc), then one groupBy; the prefix sum underneath is the two-phase
+    distributed form (see ``token_offsets_of``)."""
+    return pack_sequences_of(load_table(spark, sf_dir, "documents"))
 
 
 PACK_SEQUENCES_ORACLE = f"""

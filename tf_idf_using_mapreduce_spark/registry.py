@@ -20,6 +20,7 @@ from tf_idf_using_mapreduce_spark.operators import similarity as _sim
 from tf_idf_using_mapreduce_spark.operators import tpch_extra as _tpch
 from tf_idf_using_mapreduce_spark.operators import curation as _cur
 from tf_idf_using_mapreduce_spark.operators import packing as _pack
+from tf_idf_using_mapreduce_spark.operators import pretrain as _pre
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
@@ -68,6 +69,7 @@ register("doc_lm_score", _ts.doc_lm_score, _ts.DOC_LM_SCORE_ORACLE)
 register("lang_length_quantiles", _ts.lang_length_quantiles, _ts.LANG_LENGTH_QUANTILES_ORACLE)
 register("documents_stream_curation", _stream_corpus.documents_stream_curation, _cur.curation_filter_oracle())
 register("dedup_incremental", _dedup.dedup_incremental, _dedup.DEDUP_INCREMENTAL_ORACLE)
+register("pretraining_shards", _pre.pretraining_shards, _pre.pretraining_shards_oracle())
 
 # -- block 2: implementation changed in round 5 -----------------------------
 register("pack_sequences", _pack.pack_sequences, _pack.PACK_SEQUENCES_ORACLE)
