@@ -332,6 +332,8 @@ TPCH_FUZZ_QUERIES = [
     "q9_product_profit", "q10_returned_items", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q19_disjunctive_revenue", "q22_idle_customers",
+    "q4_order_priority", "q11_important_parts", "q12_priority_by_returnflag",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
     "topk_orders", "rollup_customer_geo", "cube_lineitem_flags",
     "grouping_sets_revenue", "orders_with_returns_exists",
     "customers_above_avg_balance", "parts_never_ordered",

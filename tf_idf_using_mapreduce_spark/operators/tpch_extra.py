@@ -21,6 +21,22 @@ conditional-aggregate market share) has a checked twin here:
   Q19 -> OR-of-conjunctions disjunctive join predicate
   Q22 -> idle high-balance customers (scalar avg + outer-join count filter)
 
+Round 5 completes the full 22-shape suite (the fixture has no
+``l_commitdate``/``l_receiptdate``/``l_shipmode``/``partsupp``, so the
+lateness/stock semantics are re-cut onto ``l_shipdate`` lag and shipped
+quantities — the OPTIMIZER exercise each query exists for is preserved):
+
+  Q4  -> order-priority counts over an EXISTS with a non-equi correlated
+         predicate (late shipment = shipped >60 days after order date)
+  Q11 -> important part values: group HAVING a scalar-subquery fraction
+         of the grand total
+  Q12 -> category x priority-class conditional counts (returnflag stands
+         in for shipmode)
+  Q20 -> dominant suppliers of a part family: nested agg -> per-group
+         threshold -> semi-join chain
+  Q21 -> suppliers who kept orders waiting: double EXISTS/NOT-EXISTS
+         self-join, decorrelated to one window pass on the Spark side
+
 Scale discipline (same contract as relational.py): dimensions broadcast,
 facts shuffle at most once per agg, every ORDER BY+LIMIT carries a
 deterministic tie-break, money sums round to 2dp / ratios to 6dp so both
@@ -534,4 +550,268 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND coalesce(n_orders, 0) < 7
 GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q4 shape: order-priority checking (EXISTS with a correlated non-equi term)
+# --------------------------------------------------------------------------- #
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, order_count): 1997Q1 orders with at least one line
+    shipped more than 60 days after the order date (the fixture has no
+    l_commitdate/l_receiptdate, so late-shipment lag stands in for Q4's
+    commit-vs-receipt test). The EXISTS is a LEFT SEMI join whose condition
+    carries the correlated non-equi term, so each order is emitted at most
+    once no matter how many lines are late — one shuffle on orderkey, the
+    quarter filter pushed to the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q11 shape: important part values (HAVING a scalar fraction of the total)
+# --------------------------------------------------------------------------- #
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, part_value): parts whose discounted revenue shipped by
+    NATION_7 suppliers exceeds 0.1% of that nation's grand total (no
+    partsupp table, so shipped revenue stands in for supplycost x availqty;
+    the shape — group, then HAVING against a scalar subquery over the SAME
+    filtered fact — is Q11's). The nation-filtered supplier list broadcasts
+    into the fact scan; the scalar total is one extra reduction over the
+    per-part aggregate (NOT a second fact scan) and broadcasts back as a
+    single-row crossJoin."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("raw_value"))
+    )
+    total = per_part.agg(F.sum("raw_value").alias("grand_total"))
+    return (
+        per_part.join(F.broadcast(total), F.col("raw_value") > 0.001 * F.col("grand_total"))
+        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+    )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS raw_value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_7')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(raw_value, 2) AS part_value
+FROM per_part
+WHERE raw_value > 0.001 * (SELECT sum(raw_value) FROM per_part)
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q12 shape: category x priority-class conditional counts
+# --------------------------------------------------------------------------- #
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, high_line_count, low_line_count): for lines shipped in
+    1997, how many belong to critical-priority orders vs not, per return
+    flag (the fixture has no l_shipmode; l_returnflag is the stand-in
+    category). Q12's optimizer exercise is intact: the CASE collapses the
+    order-priority dimension inside ONE aggregation pass over the
+    fact-to-fact join, instead of two filtered scans."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q20 shape: dominant suppliers of a part family (nested agg -> threshold)
+# --------------------------------------------------------------------------- #
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_suppkey, s_name, n_parts_dominated): suppliers who shipped more
+    than 30% of 1997's total quantity of some part whose name contains 'a'
+    (no partsupp/availqty, so quantity share stands in for Q20's
+    excess-stock test; the nested-aggregate -> per-group threshold ->
+    semi-join-chain shape is preserved). Per-(part,supplier) totals reuse
+    the SAME shuffle for the per-part window total — one exchange on
+    partkey, then the supplier dimension broadcasts."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("a"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pair_qty.withColumn("part_qty", F.sum("pair_qty").over(w))
+        .where(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+    )
+
+
+Q20_ORACLE = """
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT l_suppkey, l_partkey
+  FROM (SELECT l_suppkey, l_partkey, pair_qty,
+               sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM pair_qty)
+  WHERE pair_qty > 0.3 * part_qty
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts_dominated
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Q21 shape: suppliers who kept orders waiting (double EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------- #
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, numwait): for finalized ('F') multi-supplier orders, count
+    each supplier's lines that no OTHER supplier shipped after (the
+    fixture's l_shipdate stands in for Q21's receipt/commit lag; the classic
+    EXISTS other-supplier / NOT EXISTS later-other-supplier pair is the
+    shape). The correlated pair decorrelates to ONE window pass over
+    per-(order,supplier) maxima: a line waits iff its shipdate >= the max
+    shipdate among OTHER suppliers' lines of the same order — computed from
+    (m1, count-at-m1, m2) without a self-join, so the fact shuffles once on
+    orderkey and never re-probes itself. Top 20 with the unique s_name as
+    the deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+
+    pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    pair = (
+        pair.withColumn("m1", F.max("smax").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "cnt_m1",
+            F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "m2",
+            F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax"))).over(w),
+        )
+        .where(F.col("nsupp") >= 2)
+        .withColumn(
+            "max_other",
+            F.when(
+                (F.col("smax") < F.col("m1")) | (F.col("cnt_m1") >= 2), F.col("m1")
+            ).otherwise(F.col("m2")),
+        )
+        .select("l_orderkey", "l_suppkey", "max_other")
+    )
+    waiting = lines.join(pair, ["l_orderkey", "l_suppkey"]).where(
+        F.col("l_shipdate") >= F.col("max_other")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+WITH flines AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flines l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM flines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM flines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
 """

@@ -60,6 +60,11 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORACLE as _EV_HOURLY
 
 # -- block 1: new in round 5 — never driver-checked -------------------------
+register("q4_order_priority", _tpch.q4_order_priority, _tpch.Q4_ORACLE)
+register("q11_important_parts", _tpch.q11_important_parts, _tpch.Q11_ORACLE)
+register("q12_priority_by_returnflag", _tpch.q12_priority_by_returnflag, _tpch.Q12_ORACLE)
+register("q20_dominant_suppliers", _tpch.q20_dominant_suppliers, _tpch.Q20_ORACLE)
+register("q21_waiting_suppliers", _tpch.q21_waiting_suppliers, _tpch.Q21_ORACLE)
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())
