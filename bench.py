@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "dedup_incremental",
     # round-5: the composed curation->dedup->mixture->packing pipeline
     "pretraining_shards",
+    # round-5: PII scrub, deterministic training shuffle, Zipf profile
+    "pii_redaction",
+    "corpus_shuffle",
+    "token_zipf",
 ]
 
 

@@ -131,3 +131,43 @@ def test_mixture_sample_explicit_rates_map(spark):
     by2 = {r["source"]: r["cnt"] for r in
            kept2.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert 20 <= by2.get("a", 0) <= 90 and 110 <= by2.get("b", 0) <= 190
+
+
+# --------------------------------------------------------------------------- #
+# round-5: PII redaction
+# --------------------------------------------------------------------------- #
+
+def test_pii_redaction_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "pii_redaction")
+
+
+def test_pii_redaction_stages_and_null(spark):
+    """Emails scrub before IPs before digit runs; an IP's digits are never
+    re-counted as a digit run; NULL text stays NULL end to end."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and ip 10.0.0.1 and card 4111111111111111"),
+            (2, "version 1.2.3.4 reads like an ip"),
+            (3, "digits 123456 stay (six); 1234567 goes (seven)"),
+            (4, None),
+            (5, "two mails x@y.org z@w.io one run 99999999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cur.pii_redaction_df(docs).collect()}
+    assert out[1]["clean_text"] == "mail [EMAIL] and ip [IP] and card [NUM]"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_digitruns"]) == (1, 1, 1)
+    # dotted version lookalike matches the (boundary-free) IPv4 class —
+    # documented approximation, same on both engines
+    assert out[2]["n_ips"] == 1
+    assert out[3]["clean_text"].count("[NUM]") == 1
+    assert out[3]["n_digitruns"] == 1
+    assert out[4]["clean_text"] is None and out[4]["n_emails"] is None
+    assert (out[5]["n_emails"], out[5]["n_digitruns"]) == (2, 1)
+
+
+def test_pii_redaction_plan_is_map_only(spark):
+    p = (cur.pii_redaction(spark, SF_SMOKE)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]

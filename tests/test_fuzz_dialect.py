@@ -44,6 +44,11 @@ FUZZ_QUERIES = [
     # round-5 text analysis (bigram-LM scoring + per-lang length profile)
     "doc_lm_score",
     "lang_length_quantiles",
+    # round-5 redaction / shuffle / Zipf tier (PII shapes live in _EDGE_TEXTS)
+    "pii_redaction",
+    "corpus_shuffle",
+    "token_zipf",
+    "zipf_slope",
 ]
 
 _EDGE_TEXTS = [
@@ -62,6 +67,13 @@ _EDGE_TEXTS = [
     "ALLCAPS SHOUTING TEXT HERE",
     "punct,comma.dot;semi:colon-dash",
     "mixed123digits456inside789words",
+    # PII shapes for the redaction surface: emails (plus a bare @ and a
+    # trailing-dot near-miss), IPv4s (plus a version-number lookalike and
+    # an overlong octet), digit runs straddling the 7-digit threshold
+    "contact me at jane.doe+spam@mail.example.org or admin@host.io today",
+    "not-an-email @ example. com but v1.2.3.4000 looks like an ip",
+    "server 10.0.255.1 and 192.168.1.1, phone 5551234567, short 123456",
+    "card 4111111111111111 ip.in.text 8.8.8.8end no-space",
 ]
 
 

@@ -104,3 +104,45 @@ def test_pretraining_shards_plan_uses_distributed_prefix_sum(spark):
 
     plan = pretraining_shards(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning(doc_id" in plan, plan[:3000]
+
+
+# --------------------------------------------------------------------------- #
+# round-5: deterministic global training shuffle
+# --------------------------------------------------------------------------- #
+
+def test_corpus_shuffle_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "corpus_shuffle")
+
+
+def test_corpus_shuffle_is_partitioning_invariant(spark):
+    """The permutation must be identical no matter how the input is laid
+    out — the property df.orderBy(rand()) does NOT have."""
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, pk.corpus_shuffle_df(docs).collect()))
+    b = sorted(map(tuple, pk.corpus_shuffle_df(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_corpus_shuffle_positions_are_dense_per_shard(spark):
+    """Within every shard, pos must be exactly 0..count-1 (a readable
+    training stream), and a different seed must give a different order."""
+    docs = spark.range(400).withColumnRenamed("id", "doc_id")
+    out = pk.corpus_shuffle_df(docs).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert all(0 <= s < pk.SHUFFLE_SHARDS for s in by_shard)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    other = pk.corpus_shuffle_df(docs, seed="epoch1").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in other
+    }
+
+
+def test_corpus_shuffle_plan_has_single_exchange(spark):
+    p = (pk.corpus_shuffle(spark, SF_SMOKE)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "Exchange SinglePartition" not in p, p[:2000]

@@ -113,3 +113,24 @@ def test_doc_lm_score_plan_shape(spark):
     assert "Window" not in p, p[:2000]
     assert "BroadcastExchange" in p, p[:2000]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+# --------------------------------------------------------------------------- #
+# round-5: Zipf profile
+# --------------------------------------------------------------------------- #
+
+def test_token_zipf_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "token_zipf")
+
+
+def test_zipf_slope_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "zipf_slope")
+
+
+def test_token_zipf_ranks_are_dense_and_slope_negative(spark):
+    rows = ts.token_zipf(spark, SF_SMOKE).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    slope = ts.zipf_slope(spark, SF_SMOKE).collect()[0]["slope"]
+    assert slope < 0

@@ -505,3 +505,61 @@ FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {MIX_BUCKETS}
       < ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0 * {MIX_BUCKETS}
 """
+
+
+# --------------------------------------------------------------------------- #
+# PII redaction (map-only scrubbing pass)
+# --------------------------------------------------------------------------- #
+
+# Backslash-free character-class patterns so the SAME literal compiles
+# identically under Java regex (Spark) and RE2 (DuckDB) with no escaping
+# divergence: [.] for a literal dot, explicit digit classes, no \b / \d.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_DIGITRUN = "[0-9]{7,}"
+
+
+def pii_redaction_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_digitruns) over any
+    (doc_id, text) frame. Three sequential scrub stages — emails, IPv4
+    addresses, then 7+-digit runs (phone/SSN/account shapes) — each counted
+    on ITS OWN input so an IP's digits are never double-counted as a digit
+    run. Pure per-row projection: no shuffle, no UDF, whole-stage codegen;
+    at 100 TB this is a map-only pass fused into whatever scan precedes it.
+    NULL text stays NULL (counts included), mirroring the corpus-wide
+    NULL-semantics contract the round-4 fuzz pinned down."""
+    after_email = f"regexp_replace(text, '{PII_EMAIL}', '[EMAIL]')"
+    after_ip = f"regexp_replace({after_email}, '{PII_IPV4}', '[IP]')"
+    clean = f"regexp_replace({after_ip}, '{PII_DIGITRUN}', '[NUM]')"
+    return docs.select(
+        "doc_id",
+        F.expr(clean).alias("clean_text"),
+        F.expr(f"size(regexp_extract_all(text, '{PII_EMAIL}', 0))").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all({after_email}, '{PII_IPV4}', 0))").alias("n_ips"),
+        F.expr(f"size(regexp_extract_all({after_ip}, '{PII_DIGITRUN}', 0))").alias("n_digitruns"),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: scrub the documents table. The uniform fixture contains
+    no PII (clean_text == text, all counts 0) — the operator's value checks
+    ride on the fuzz corpus, whose edge texts include emails, IPs, dotted
+    version-number lookalikes, and long digit runs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_redaction_df(docs)
+
+
+PII_REDACTION_ORACLE = f"""
+WITH s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM documents
+),
+s2 AS (SELECT *, regexp_replace(t1, '{PII_IPV4}', '[IP]', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_DIGITRUN}', '[NUM]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_DIGITRUN}')) AS INT) AS n_digitruns
+FROM s2
+"""

@@ -206,3 +206,57 @@ SELECT seq_id,
                 - greatest(start, seq_id * {MAX_SEQ})) AS BIGINT) AS n_tokens
 FROM binned GROUP BY seq_id
 """
+
+
+# --------------------------------------------------------------------------- #
+# deterministic global training shuffle (shard + in-shard order)
+# --------------------------------------------------------------------------- #
+
+SHUFFLE_SEED = "epoch0"  # new epoch = new seed = a fresh full permutation
+SHUFFLE_SHARDS = 32
+
+
+def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
+                      n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """(doc_id, shard, pos) over any (doc_id,) frame: the deterministic
+    global shuffle every pretraining run needs before reading the corpus as
+    a stream. Each doc gets a seeded md5 shuffle key; its shard is a hash
+    bucket of that key and its position is the rank of the key WITHIN the
+    shard — so (shard asc, pos asc) is a reproducible pseudo-random
+    permutation of the corpus on any engine, any partitioning, any row
+    order (none of which holds for ``df.orderBy(rand())``). Scale: ONE
+    shuffle on the shard key; each rank window covers corpus/n_shards rows,
+    so raising ``n_shards`` with corpus size bounds per-task volume — there
+    is no global single-task sort anywhere."""
+    key = f"md5(concat('{seed}', ':', cast(doc_id as string)))"
+    shard = f"cast(conv(substr({key}, 1, 8), 16, 10) as bigint) % {n_shards}"
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(key).alias("shuffle_key"),
+            F.expr(shard).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: shuffle the documents table for training epoch 0."""
+    return corpus_shuffle_df(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+
+CORPUS_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('{SHUFFLE_SEED}', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+         CAST(('0x' || substr(md5(concat('{SHUFFLE_SEED}', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+              AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM keyed
+"""

@@ -6,7 +6,7 @@ JVM-side in Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
@@ -457,4 +457,78 @@ SELECT lang, count(*) AS n_docs,
        round(quantile_cont(len(regexp_extract_all(lower(text), '([a-z]+)', 1)), 0.5), 4) AS p50,
        round(quantile_cont(len(regexp_extract_all(lower(text), '([a-z]+)', 1)), 0.9), 4) AS p90
 FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------- #
+# Zipf rank-frequency profile (corpus health report)
+# --------------------------------------------------------------------------- #
+
+ZIPF_TOP = 100
+
+
+def token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, term, freq): the corpus's top-100 rank-frequency table — the
+    standard Zipf curve a corpus health check starts from (natural text
+    follows freq ~ rank^-s with s near 1; a synthetic or boilerplate-heavy
+    corpus visibly doesn't). One explode + one hash-agg shuffle, then a
+    plan-level top-k (the 100-row rank window runs AFTER the limit, so the
+    single-task window touches 100 rows at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "freq"
+    )
+
+
+TOKEN_ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+  FROM documents
+),
+ranked AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq
+  FROM counts GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rank,
+       term, freq
+FROM ranked
+ORDER BY freq DESC, term ASC
+LIMIT {ZIPF_TOP}
+"""
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(slope, n_terms): least-squares slope of ln(freq) on ln(rank) over
+    the top-100 table — the one-number Zipf exponent estimate (natural
+    corpora sit near -1). Rides entirely on :func:`token_zipf`'s plan plus
+    a single 100-row regression aggregate."""
+    return token_zipf(spark, sf_dir).agg(
+        F.round(F.expr("regr_slope(ln(freq), ln(rank))"), 6).alias("slope"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+ZIPF_SLOPE_ORACLE = f"""
+WITH counts AS (
+  SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+  FROM documents
+),
+ranked AS (
+  SELECT term, count(*) AS freq FROM counts GROUP BY term
+),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rank, freq
+  FROM ranked ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP}
+)
+SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM top
 """

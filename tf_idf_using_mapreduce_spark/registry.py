@@ -65,6 +65,10 @@ register("q11_important_parts", _tpch.q11_important_parts, _tpch.Q11_ORACLE)
 register("q12_priority_by_returnflag", _tpch.q12_priority_by_returnflag, _tpch.Q12_ORACLE)
 register("q20_dominant_suppliers", _tpch.q20_dominant_suppliers, _tpch.Q20_ORACLE)
 register("q21_waiting_suppliers", _tpch.q21_waiting_suppliers, _tpch.Q21_ORACLE)
+register("pii_redaction", _cur.pii_redaction, _cur.PII_REDACTION_ORACLE)
+register("corpus_shuffle", _pack.corpus_shuffle, _pack.CORPUS_SHUFFLE_ORACLE)
+register("token_zipf", _ts.token_zipf, _ts.TOKEN_ZIPF_ORACLE)
+register("zipf_slope", _ts.zipf_slope, _ts.ZIPF_SLOPE_ORACLE)
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())
