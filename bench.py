@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "corpus_shuffle",
     "token_zipf",
+    "embedding_outliers",
 ]
 
 

@@ -259,6 +259,7 @@ def test_dialect_parity_on_adversarial_events(spark, fuzz_events_dir, name):
 EMBED_FUZZ_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_ivf",
+    "embedding_outliers",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

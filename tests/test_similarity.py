@@ -148,3 +148,30 @@ def test_recall_twin_oracle_parity(spark, name):
     """The round-5 value checks for the two trained-state ANN variants:
     recall vs brute force must clear the floor, reproduced by the oracle."""
     assert_query_matches_oracle(spark, name)
+
+
+# --------------------------------------------------------------------------- #
+# round-5: embedding outliers (per-label centroid + residual cosine)
+# --------------------------------------------------------------------------- #
+
+def test_embedding_outliers_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "embedding_outliers")
+
+
+def test_embedding_outliers_flags_the_planted_point(spark):
+    """A vector pointing AWAY from its cluster must rank as the #1 outlier."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(30):
+        # tight cluster around +e1 with small e2 jitter
+        rows.append((i, [1.0, 0.01 * (i % 5), 0.0], 0))
+    rows.append((99, [-1.0, 0.0, 0.0], 0))  # planted anti-cluster point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = sim.embedding_outliers(spark, d).collect()
+    top = min(out, key=lambda r: (r["rk"]))
+    assert top["vec_id"] == 99 and top["rk"] == 1
+    assert top["cos_centroid"] < 0

@@ -548,3 +548,72 @@ def ann_topk_mllib(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return out.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+# --------------------------------------------------------------------------- #
+# embedding outliers: per-label centroid + residual cosine (r5)
+# --------------------------------------------------------------------------- #
+
+OUTLIER_K = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, vec_id, cos_centroid, rk): the ``OUTLIER_K`` vectors FURTHEST
+    from their label's centroid (lowest cosine) — the embedding-space
+    quality filter (mislabeled/degenerate points sit far from their
+    cluster's mean; LAION-style pipelines drop exactly these). Shape:
+    posexplode -> per-(label, dim) mean (map-side partials collapse this to
+    labels x 64 rows), centroid arrays reassembled declaratively, then the
+    TINY centroid table broadcasts back and the residual cosine is one
+    codegen zip-with pass over the vectors — the big side is scanned twice
+    but never joined to itself. Ranking on rounded cosine with vec_id
+    tie-break (file-wide convention) so float last-bits can't flip order."""
+    vecs = _vectors(spark, sf_dir)
+    ex = vecs.select("vec_id", "label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)"
+        ).alias("cv"))
+        .withColumn("cn", F.expr(spark_norm("cv")))
+        .where(F.col("cn") > 0)
+    )
+    cos = F.round(
+        F.expr(spark_dot("v", "cv")) / (F.col("nrm") * F.col("cn")), COS_ROUND
+    )
+    scored = vecs.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", cos.alias("cos_centroid")
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= OUTLIER_K)
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+ex AS (SELECT vec_id, label, unnest(v) AS val,
+              unnest(range(1, len(v) + 1)) AS pos
+       FROM e),
+cent AS (SELECT label, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
+cn AS (SELECT label, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY label),
+dots AS (SELECT ex.vec_id, ex.label, sum(ex.val * cent.cval) AS dot
+         FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+         GROUP BY ex.vec_id, ex.label),
+scored AS (SELECT d.label, d.vec_id,
+                  round(d.dot / (e.nrm * cn.cn), {COS_ROUND}) AS cos_centroid
+           FROM dots d
+           JOIN e ON e.vec_id = d.vec_id
+           JOIN cn ON cn.label = d.label
+           WHERE cn.cn > 0)
+SELECT label, vec_id, cos_centroid, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id ASC) AS rk
+  FROM scored
+) ranked WHERE rk <= {OUTLIER_K}
+"""
