@@ -49,6 +49,7 @@ FUZZ_QUERIES = [
     "corpus_shuffle",
     "token_zipf",
     "zipf_slope",
+    "quality_classifier",
 ]
 
 _EDGE_TEXTS = [

@@ -172,3 +172,18 @@ def test_documents_stream_curation_matches_batch(spark):
 
 def test_documents_stream_curation_oracle_parity(spark):
     assert_query_matches_oracle(spark, "documents_stream_curation")
+
+
+def test_documents_stream_pii_matches_batch(spark):
+    """Ingest-time PII scrub: the streaming run must produce the exact same
+    redactions and counts as the batch operator."""
+    from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction
+    from tf_idf_using_mapreduce_spark.streaming.corpus import documents_stream_pii
+
+    batch = sorted(map(tuple, pii_redaction(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_pii(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+def test_documents_stream_pii_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "documents_stream_pii")

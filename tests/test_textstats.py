@@ -134,3 +134,25 @@ def test_token_zipf_ranks_are_dense_and_slope_negative(spark):
     assert freqs == sorted(freqs, reverse=True)
     slope = ts.zipf_slope(spark, SF_SMOKE).collect()[0]["slope"]
     assert slope < 0
+
+
+def test_quality_classifier_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "quality_classifier")
+
+
+def test_quality_classifier_separates_lengths(spark):
+    """A normal-length doc must outscore a near-empty one, probabilities sit
+    in (0,1), and NULL text stays NULL."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it is fine " * 3),
+        (2, "x"),
+        (3, None),
+    ]
+    import tempfile
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in ts.quality_classifier(spark, d).collect()}
+    assert 0.0 < out[2]["quality_prob"] < out[1]["quality_prob"] < 1.0
+    assert out[1]["quality_label"] == "keep"
+    assert out[3]["quality_prob"] is None and out[3]["quality_label"] is None

@@ -532,3 +532,78 @@ SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
        CAST(count(*) AS BIGINT) AS n_terms
 FROM top
 """
+
+
+# --------------------------------------------------------------------------- #
+# fixed-weight quality classifier (model-based filtering, declaratively)
+# --------------------------------------------------------------------------- #
+
+# interpretable logistic over the quality features — the fastText-style
+# "model-based quality filter" seam, expressed declaratively so ANY engine
+# scores identically (a trained model would only change these constants)
+QC_W = {"bias": -2.0, "log_len": 0.9, "stop": 2.0, "mtl": -0.15, "alpha": 1.2}
+QC_THRESHOLD = 0.5
+
+
+def _qc_z(n_tok: str, stop_ratio: str, mtl: str, alpha: str) -> str:
+    return (
+        f"({QC_W['bias']} + {QC_W['log_len']} * ln(1 + {n_tok})"
+        f" + {QC_W['stop']} * {stop_ratio} + {QC_W['mtl']} * {mtl}"
+        f" + {QC_W['alpha']} * {alpha})"
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_prob, quality_label): sigmoid of a fixed-weight
+    logistic over length / stopword-share / token-length / alphabetic-share
+    features — model-based quality filtering as a PURE expression (map-only,
+    codegen, zero shuffle at any corpus size). Swapping in trained weights
+    changes constants, not the plan. NULL text scores NULL (unknown stays
+    unknown, the corpus-wide contract)."""
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    n_tok = f"size({toks})"
+    n_stop = _count_in_list(toks, _QUALITY_STOPS)
+    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
+    mtl = (
+        f"(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
+        f" / greatest({n_tok}, 1))"
+    )
+    alpha = (
+        "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
+        " / greatest(length(text), 1))"
+    )
+    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.expr(prob).alias("quality_prob"),
+        F.expr(
+            f"CASE WHEN {prob} IS NULL THEN NULL"
+            f" WHEN {prob} >= {QC_THRESHOLD} THEN 'keep' ELSE 'drop' END"
+        ).alias("quality_label"),
+    )
+
+
+def quality_classifier_oracle() -> str:
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    n_tok = f"len({toks})"
+    n_stop = _count_in_list_duck(toks, _QUALITY_STOPS)
+    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_tok}, 1))"
+    # list_sum quirk: NULL for BOTH empty and NULL lists — the CASE keeps
+    # NULL text NULL while empty text folds to 0 (same as Spark's 0-seed)
+    mtl = (
+        f"(CASE WHEN {toks} IS NULL THEN NULL"
+        f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
+        f" / greatest({n_tok}, 1))"
+    )
+    alpha = (
+        "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1))"
+    )
+    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    return f"""
+SELECT doc_id, {prob} AS quality_prob,
+       CASE WHEN {prob} IS NULL THEN NULL
+            WHEN {prob} >= {QC_THRESHOLD} THEN 'keep' ELSE 'drop' END AS quality_label
+FROM documents
+"""

@@ -70,6 +70,8 @@ register("corpus_shuffle", _pack.corpus_shuffle, _pack.CORPUS_SHUFFLE_ORACLE)
 register("token_zipf", _ts.token_zipf, _ts.TOKEN_ZIPF_ORACLE)
 register("zipf_slope", _ts.zipf_slope, _ts.ZIPF_SLOPE_ORACLE)
 register("embedding_outliers", _sim.embedding_outliers, _sim.EMBEDDING_OUTLIERS_ORACLE)
+register("documents_stream_pii", _stream_corpus.documents_stream_pii, _cur.PII_REDACTION_ORACLE)
+register("quality_classifier", _ts.quality_classifier, _ts.quality_classifier_oracle())
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())

@@ -46,3 +46,18 @@ def documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     result_name = "documents_stream_curation_result"
     run_stream_to_memory(curation_decide(stream), result_name, output_mode="append")
     return spark.table(result_name)
+
+
+def documents_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ips, n_digitruns): the PII scrub
+    evaluated ON THE STREAM — same expression tree, same oracle as the
+    batch ``pii_redaction``. Like the curation cascade it is stateless
+    map-only microbatching: scrubbing happens while data lands, so raw PII
+    never persists past the landing zone (the compliance posture a real
+    pipeline wants), and the transform adds zero shuffle at any rate."""
+    from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction_df
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_pii_result"
+    run_stream_to_memory(pii_redaction_df(stream), result_name, output_mode="append")
+    return spark.table(result_name)
