@@ -600,43 +600,77 @@ GROUP BY o_orderpriority
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_partkey, part_value): parts whose discounted revenue shipped by
-    NATION_7 suppliers exceeds 0.1% of that nation's grand total (no
-    partsupp table, so shipped revenue stands in for supplycost x availqty;
-    the shape — group, then HAVING against a scalar subquery over the SAME
-    filtered fact — is Q11's). The nation-filtered supplier list broadcasts
-    into the fact scan; the scalar total is one extra reduction over the
-    per-part aggregate (NOT a second fact scan) and broadcasts back as a
-    single-row crossJoin."""
+    NATION_7 suppliers exceeds TWICE the mean per-part revenue for that
+    nation (no partsupp table, so shipped revenue stands in for supplycost
+    x availqty; the shape — group, then HAVING against a scalar subquery
+    over the SAME filtered fact — is Q11's). The threshold is mean-relative
+    rather than a fixed fraction of the total because a fixed fraction is
+    scale-sensitive: TPC-H itself divides Q11's fraction by SF, and a
+    fixed 0.001 emptied the result at sf0.1. The nation-filtered supplier
+    list broadcasts into the fact scan; the scalar (total, count) is one
+    extra reduction over the per-part aggregate (NOT a second fact scan)
+    and broadcasts back as a single-row crossJoin."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     nat_supp = supp.join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem")
+    # sum EXACT INTEGERS, not doubles: prices are exact cents and discounts
+    # exact percents (verified on the fixture), so per-row revenue is exact
+    # in 1e-4 units — price_cents x (100 - discount_pct). Double sums are
+    # order-dependent and these 4dp-grid revenues land exactly on .005
+    # rounding boundaries (one part at sf0.1 flipped 2dp between Spark's
+    # and DuckDB's sum orders); double->DECIMAL casts are no fix because
+    # Spark rounds the double's shortest decimal repr (HALF_UP) while
+    # DuckDB rounds its exact binary value. Integer bigint sums are exact,
+    # associative, and bit-identical everywhere.
+    rev_e4 = (
+        "cast(round(l_extendedprice * 100, 0) as bigint)"
+        " * (100 - cast(round(l_discount * 100, 0) as bigint))"
+    )
     per_part = (
         li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
-        .agg(F.sum(_rev()).alias("raw_value"))
+        .agg(F.expr(f"sum({rev_e4})").alias("value_e4"))
     )
-    total = per_part.agg(F.sum("raw_value").alias("grand_total"))
+    total = per_part.agg(
+        F.sum("value_e4").alias("grand_total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        per_part.join(F.broadcast(total), F.col("raw_value") > 0.001 * F.col("grand_total"))
-        .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
+        per_part.join(
+            F.broadcast(total),
+            # integer cross-multiplication: no division, no float threshold
+            F.col("value_e4") * F.col("n_parts") > 2 * F.col("grand_total"),
+        )
+        .select(
+            "l_partkey",
+            # 4dp = the value grid's own resolution, so this round has no
+            # ties (2dp over a 4dp grid hits exact .xx5 midpoints, where
+            # Spark's shortest-repr HALF_UP and DuckDB's binary rounding
+            # disagree)
+            F.expr("round(cast(value_e4 as double) / 10000.0, 4)").alias("part_value"),
+        )
     )
 
 
 Q11_ORACLE = """
 WITH per_part AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS raw_value
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           AS value_e4
   FROM lineitem
   WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
                       JOIN nation ON s_nationkey = n_nationkey
                       WHERE n_name = 'NATION_7')
   GROUP BY l_partkey
 )
-SELECT l_partkey, round(raw_value, 2) AS part_value
+SELECT l_partkey, round(CAST(value_e4 AS DOUBLE) / 10000.0, 4) AS part_value
 FROM per_part
-WHERE raw_value > 0.001 * (SELECT sum(raw_value) FROM per_part)
+WHERE value_e4 * (SELECT count(*) FROM per_part)
+      > 2 * (SELECT sum(value_e4) FROM per_part)
 """
 
 
