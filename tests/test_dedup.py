@@ -202,3 +202,25 @@ def test_dedup_incremental_plan_broadcasts_batch_side(spark):
     hash join anywhere in the plan."""
     p = dedup.dedup_incremental(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+
+
+# --------------------------------------------------------------------------- #
+# round-5: cross-source duplication matrix
+# --------------------------------------------------------------------------- #
+
+def test_source_dup_matrix_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "source_dup_matrix")
+
+
+def test_source_dup_matrix_is_unordered_and_consistent(spark):
+    """Source pairs are unordered (source_a <= source_b) and pair counts sum
+    to the number of verified near-dup pairs."""
+    from tests.conftest import SF_SMOKE
+    from tf_idf_using_mapreduce_spark.operators import dedup as dd
+
+    rows = dd.source_dup_matrix(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+    total = sum(r["n_pairs"] for r in rows)
+    assert total == dd.dedup_minhash_lsh(spark, SF_SMOKE).count()

@@ -50,6 +50,8 @@ FUZZ_QUERIES = [
     "token_zipf",
     "zipf_slope",
     "quality_classifier",
+    "source_dup_matrix",
+    "length_bucket_batches",
 ]
 
 _EDGE_TEXTS = [

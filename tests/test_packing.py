@@ -146,3 +146,37 @@ def test_corpus_shuffle_plan_has_single_exchange(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert p.count("Exchange hashpartitioning") == 1, p[:2000]
     assert "Exchange SinglePartition" not in p, p[:2000]
+
+
+# --------------------------------------------------------------------------- #
+# round-5: length-bucketed batching
+# --------------------------------------------------------------------------- #
+
+def test_length_bucket_batches_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "length_bucket_batches")
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Every batch holds <= BATCH_DOCS docs, padding is non-negative and
+    bounded by (BUCKET_WIDTH - 1) per doc, every non-empty doc lands in
+    exactly one batch, and batch indices are dense per (bucket, shard)."""
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    rows = pk.length_bucket_batches(spark, SF_SMOKE).collect()
+    assert rows
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    nonempty = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.expr("size(regexp_extract_all(lower(text), '([a-z]+)', 1)) > 0"))
+        .count()
+    )
+    assert n_docs_total == nonempty
+    by_bs: dict = {}
+    for r in rows:
+        assert 1 <= r["n_docs"] <= pk.BATCH_DOCS
+        assert 0 <= r["pad_waste_tokens"] <= (pk.BUCKET_WIDTH - 1) * r["n_docs"]
+        assert r["padded_tokens"] == r["max_tokens"] * r["n_docs"]
+        by_bs.setdefault((r["bucket_id"], r["shard"]), []).append(r["batch_idx"])
+    for idxs in by_bs.values():
+        assert sorted(idxs) == list(range(len(idxs)))

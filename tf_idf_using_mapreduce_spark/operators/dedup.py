@@ -885,3 +885,49 @@ LEFT JOIN ({DEDUP_CLUSTERS_ORACLE}) c
   ON d.doc_id = c.doc_id AND NOT c.is_canonical
 WHERE c.doc_id IS NULL
 """
+
+
+# --------------------------------------------------------------------------- #
+# cross-source duplication matrix (corpus-overlap report)
+# --------------------------------------------------------------------------- #
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs, max_jaccard): verified near-dup pairs
+    rolled up by UNORDERED source pair — the corpus-overlap report that
+    decides mixture weights (two crawls sharing half their docs must not
+    both keep weight 1.0). Rides entirely on :func:`dedup_minhash_lsh`'s
+    pair pipeline plus two broadcast-able dimension probes and one tiny
+    aggregation; max (not avg) keeps the rollup arithmetic-free, so no
+    float-sum order can perturb values."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def source_dup_matrix_oracle() -> str:
+    return f"""
+WITH pairs AS ({MINHASH_LSH_ORACLE})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""

@@ -260,3 +260,82 @@ SELECT doc_id, shard,
             AS BIGINT) AS pos
 FROM keyed
 """
+
+
+# --------------------------------------------------------------------------- #
+# length-bucketed batching (pad-efficient dynamic batching)
+# --------------------------------------------------------------------------- #
+
+BUCKET_WIDTH = 64   # token-length bucket granularity
+BATCH_DOCS = 8      # documents per batch
+BATCH_SHARDS = 4    # hash shards: bound per-task window volume at any scale
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_id, shard, batch_idx, n_docs, max_tokens, padded_tokens,
+    pad_waste_tokens): documents grouped into similar-length buckets and
+    cut into fixed-size batches, with the padding cost each batch pays to
+    its longest member — the pad-efficient dynamic batching every
+    variable-length training loader implements (bucketing cuts padding
+    from O(maxlen) to O(bucket width) per doc). Batch formation is a rank
+    window PER (bucket, shard): the hash shard bounds the rows any single
+    window task sees, so scaling the corpus scales shard count, not task
+    size — same discipline as ``corpus_shuffle``. All outputs are exact
+    integers; no float can wobble under aggregation order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = f"size({_TOKENS})"
+    shard = (
+        f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        f" % {BATCH_SHARDS}"
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            F.expr(n).alias("n_tokens"),
+            F.expr(shard).alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("bucket_id", F.expr(f"cast(floor(n_tokens / {BUCKET_WIDTH}) as bigint)"))
+    )
+    w = Window.partitionBy("bucket_id", "shard").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    batched = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_idx", F.expr(f"cast(floor((rn - 1) / {BATCH_DOCS}) as bigint)")
+    )
+    return (
+        batched.groupBy("bucket_id", "shard", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1))).alias("padded_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")).alias(
+                "pad_waste_tokens"
+            ),
+        )
+    )
+
+
+LENGTH_BUCKET_BATCHES_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, len({_TOKENS}) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {BATCH_SHARDS} AS shard,
+         CAST(floor(len({_TOKENS}) / {BUCKET_WIDTH}) AS BIGINT) AS bucket_id
+  FROM documents
+  WHERE len({_TOKENS}) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_id, shard
+                               ORDER BY n_tokens DESC, doc_id ASC) AS rn
+  FROM base
+)
+SELECT bucket_id, shard,
+       CAST(floor((rn - 1) / {BATCH_DOCS}) AS BIGINT) AS batch_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_waste_tokens
+FROM ranked
+GROUP BY bucket_id, shard, CAST(floor((rn - 1) / {BATCH_DOCS}) AS BIGINT)
+"""
