@@ -81,3 +81,33 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     # content identical
     a = {r["id"] for r in spark.read.parquet(dst).collect()}
     assert a == set(range(20000))
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC is Spark's other first-class columnar format: the documents table
+    written as ORC and read back must drive an operator to the identical
+    result as the parquet original (format-agnostic operator contract)."""
+    from tf_idf_using_mapreduce_spark.operators import textstats as ts
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    d = str(tmp_path)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.orc(f"{d}/documents.orc")
+    back = spark.read.orc(f"{d}/documents.orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # operator-level equivalence through a format-bridged table
+    back.createOrReplaceTempView("orc_documents")
+    a = sorted(map(tuple, ts.token_counts(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT doc_id, size(split(text, ' ')) AS ws_tokens,"
+                " size(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word_tokens,"
+                " length(text) AS n_chars,"
+                " cast(ceil(length(text) / 4.0) as int) AS bpe_est"
+                " FROM orc_documents"
+            ).collect(),
+        )
+    )
+    assert a == b

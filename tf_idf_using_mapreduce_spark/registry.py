@@ -45,7 +45,16 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 # then queries with the stalest driver evidence; fresh-green rows from the
 # previous round rotate past the window.
 #   block 1 — NEW this round (round 5): the recall / error-bound twins that
-#             replace four rows-only checks with value checks.
+#             replace four rows-only checks with value checks; the five
+#             TPC-H completions (q4/q11/q12/q20/q21 — q11's threshold and
+#             money-sum arithmetic also CHANGED this round, so it must sit
+#             here); and the redaction / shuffle / Zipf / outlier /
+#             classifier / batching tier. 23 entries: with block 2 that
+#             leaves ~17 window slots for block 3, so the stalest 39
+#             rotate over THIS round and next — every block-3 query is at
+#             worst 3 rounds stale before its refresh, and none of them
+#             changed since round 3 (their expressions are additionally
+#             value-checked every pytest run by the boundary fuzz).
 #   block 2 — implementation changed round 5: packing partition derivation,
 #             mixture rates map, unified clusters() entry, and the five
 #             streaming queries (run_stream_to_memory now raises on timeout
