@@ -171,3 +171,25 @@ def test_pii_redaction_plan_is_map_only(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p, p[:2000]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+def test_pii_redaction_is_idempotent(spark):
+    """Scrubbing already-scrubbed text must be a no-op: the replacement
+    markers contain no digits, dots-between-digits, or @, so a second pass
+    can never re-match (the property that makes the scrub safe to run at
+    ingest AND again in a batch backfill)."""
+    texts = [
+        "contact me at jane.doe+spam@mail.example.org or admin@host.io today",
+        "server 10.0.255.1 and 192.168.1.1, phone 5551234567, short 123456",
+        "card 4111111111111111 ip.in.text 8.8.8.8end no-space",
+        "plain text with no pii at all",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = cur.pii_redaction_df(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = cur.pii_redaction_df(once).collect()
+    for r in twice:
+        assert (r["n_emails"], r["n_ips"], r["n_digitruns"]) == (0, 0, 0), r

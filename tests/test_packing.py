@@ -180,3 +180,12 @@ def test_length_bucket_batches_invariants(spark):
         by_bs.setdefault((r["bucket_id"], r["shard"]), []).append(r["batch_idx"])
     for idxs in by_bs.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_corpus_shuffle_is_a_bijection(spark):
+    """Every doc appears exactly once in the permutation — no drops, no
+    duplicates (the property a training reader silently depends on)."""
+    docs = spark.range(777).withColumnRenamed("id", "doc_id")
+    out = pk.corpus_shuffle_df(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(777))
+    assert len({(r["shard"], r["pos"]) for r in out}) == 777
