@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "token_zipf",
     "embedding_outliers",
+    # round-5 capstone: the FULL composed pipeline (cascade + classifier +
+    # dedup + mixture + PII scrub + shuffle) down to the shard manifest
+    "pretraining_manifest",
 ]
 
 

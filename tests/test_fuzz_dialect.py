@@ -52,6 +52,9 @@ FUZZ_QUERIES = [
     "quality_classifier",
     "source_dup_matrix",
     "length_bucket_batches",
+    # the full composed pipeline: on THIS corpus the PII stage really
+    # rewrites text, so the manifest token counts check the scrub end-to-end
+    "pretraining_manifest",
 ]
 
 _EDGE_TEXTS = [

@@ -189,3 +189,16 @@ def test_corpus_shuffle_is_a_bijection(spark):
     out = pk.corpus_shuffle_df(docs).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(777))
     assert len({(r["shard"], r["pos"]) for r in out}) == 777
+
+
+def test_pretraining_manifest_conserves_survivors(spark):
+    """The manifest's doc total must equal the pipeline's survivor count
+    (cascade ∧ classifier ∧ dedup-election ∧ mixture), and every shard id
+    must be in range."""
+    from tf_idf_using_mapreduce_spark.operators.pretrain import pretraining_manifest
+
+    rows = pretraining_manifest(spark, SF_SMOKE).collect()
+    assert rows and all(0 <= r["shard"] < pk.SHUFFLE_SHARDS for r in rows)
+    assert len({r["shard"] for r in rows}) == len(rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < total < 500  # strictly between empty and everything

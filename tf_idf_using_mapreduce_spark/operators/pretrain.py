@@ -98,3 +98,95 @@ SELECT seq_id,
                 - greatest(start, seq_id * {m})) AS BIGINT) AS n_tokens
 FROM binned GROUP BY seq_id
 """
+
+
+# --------------------------------------------------------------------------- #
+# the full-pipeline manifest: every round-5 stage composed into one DAG
+# --------------------------------------------------------------------------- #
+
+def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_docs, n_tokens): the reader-facing shard manifest of the
+    COMPLETE curation pipeline — rule cascade AND quality classifier drop
+    docs, exact dedup elects one survivor per content hash, the mixture
+    sampler downweights each source, survivors are PII-scrubbed, and the
+    deterministic training shuffle assigns every doc a shard. Each stage is
+    the registered operator's own expression tree over the previous stage's
+    survivors; the DuckDB oracle is the same CTE chain, so the END-TO-END
+    pipeline is value-checked (on the adversarial fuzz corpus the scrub
+    stage really rewrites text, so the manifest token counts prove the
+    scrubbed text — not the raw text — is what ships). Scale shape: three
+    map-only decision/scrub stages, one uniform-key dedup shuffle, doc_id
+    equi-joins at stage boundaries (materialized tables in production), and
+    the per-shard counts ride the shuffle's own exchange."""
+    from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction_df
+    from tf_idf_using_mapreduce_spark.operators.packing import corpus_shuffle_df
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_df
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        bytes_per_partition=128 * 1024,
+    )
+    # same load-bearing lineage cut as pretraining_shards (see above):
+    # filtering on the cascade's CASE inline re-expands the tokenizer
+    # inside every trigram lambda element
+    decisions = curation_decide(docs.select("doc_id", "text")).localCheckpoint(eager=False)
+    kept = decisions.where(F.col("keep")).select("doc_id")
+    quality = (
+        quality_classifier_df(docs.select("doc_id", "text"))
+        .where(F.col("quality_label") == "keep")
+        .select("doc_id")
+    )
+    kd = docs.select("doc_id", "text").join(kept, "doc_id").join(quality, "doc_id")
+    survivors = (
+        kd.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    mixed = (
+        mixture_sample_df(docs.select("doc_id", "source"))
+        .select("doc_id")
+        .join(survivors, "doc_id")
+    )
+    scrubbed = pii_redaction_df(
+        docs.select("doc_id", "text").join(mixed, "doc_id")
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    sharded = corpus_shuffle_df(scrubbed.select("doc_id")).select("doc_id", "shard")
+    return (
+        scrubbed.select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
+        .join(sharded, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+
+
+def pretraining_manifest_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.curation import PII_REDACTION_ORACLE
+    from tf_idf_using_mapreduce_spark.operators.packing import SHUFFLE_SEED, SHUFFLE_SHARDS
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_oracle
+
+    return f"""
+WITH kept AS (SELECT doc_id FROM ({curation_filter_oracle()}) c WHERE c.keep),
+q AS (SELECT doc_id FROM ({quality_classifier_oracle()}) qc
+      WHERE qc.quality_label = 'keep'),
+kd AS (SELECT d.doc_id, d.text FROM documents d
+       JOIN kept USING (doc_id) JOIN q USING (doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+mixed AS (SELECT mx.doc_id FROM ({MIXTURE_SAMPLE_ORACLE}) mx JOIN surv USING (doc_id)),
+pii AS ({PII_REDACTION_ORACLE}),
+scrubbed AS (SELECT p.doc_id, p.clean_text AS text
+             FROM pii p JOIN mixed USING (doc_id)),
+sharded AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(concat('{SHUFFLE_SEED}', ':', CAST(doc_id AS VARCHAR))), 1, 8))
+              AS BIGINT) % {SHUFFLE_SHARDS} AS shard
+  FROM scrubbed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+FROM scrubbed JOIN sharded USING (doc_id)
+GROUP BY shard
+"""

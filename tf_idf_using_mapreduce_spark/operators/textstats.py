@@ -553,13 +553,10 @@ def _qc_z(n_tok: str, stop_ratio: str, mtl: str, alpha: str) -> str:
     )
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, quality_prob, quality_label): sigmoid of a fixed-weight
-    logistic over length / stopword-share / token-length / alphabetic-share
-    features — model-based quality filtering as a PURE expression (map-only,
-    codegen, zero shuffle at any corpus size). Swapping in trained weights
-    changes constants, not the plan. NULL text scores NULL (unknown stays
-    unknown, the corpus-wide contract)."""
+def quality_classifier_df(docs: DataFrame) -> DataFrame:
+    """Expression form of :func:`quality_classifier` over any
+    (doc_id, text) frame — reused verbatim by the composed pretraining
+    pipeline."""
     toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
     n_tok = f"size({toks})"
     n_stop = _count_in_list(toks, _QUALITY_STOPS)
@@ -573,7 +570,6 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / greatest(length(text), 1))"
     )
     prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.expr(prob).alias("quality_prob"),
@@ -581,6 +577,18 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {prob} IS NULL THEN NULL"
             f" WHEN {prob} >= {QC_THRESHOLD} THEN 'keep' ELSE 'drop' END"
         ).alias("quality_label"),
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_prob, quality_label): sigmoid of a fixed-weight
+    logistic over length / stopword-share / token-length / alphabetic-share
+    features — model-based quality filtering as a PURE expression (map-only,
+    codegen, zero shuffle at any corpus size). Swapping in trained weights
+    changes constants, not the plan. NULL text scores NULL (unknown stays
+    unknown, the corpus-wide contract)."""
+    return quality_classifier_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

@@ -83,6 +83,7 @@ register("documents_stream_pii", _stream_corpus.documents_stream_pii, _cur.PII_R
 register("quality_classifier", _ts.quality_classifier, _ts.quality_classifier_oracle())
 register("source_dup_matrix", _dedup.source_dup_matrix, _dedup.source_dup_matrix_oracle())
 register("length_bucket_batches", _pack.length_bucket_batches, _pack.LENGTH_BUCKET_BATCHES_ORACLE)
+register("pretraining_manifest", _pre.pretraining_manifest, _pre.pretraining_manifest_oracle())
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())
