@@ -143,6 +143,8 @@ def test_dialect_parity_on_adversarial_docs(spark, fuzz_dir, name):
 EVENTS_FUZZ_QUERIES = [
     "events_hourly_tumbling",
     "events_sliding_windows",
+    "user_funnel",
+    "user_retention_cohorts",
     "events_time_rollup",
     "sessionize_events",
     "asof_purchase_prior_click",

@@ -57,3 +57,62 @@ def test_doc_term_map_roundtrip(spark):
     back = explode_term_map(maps)
     direct = st.groupBy("doc_id", F.col("stem").alias("term")).agg(F.count(F.lit(1)).alias("tf"))
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in direct.collect()}
+
+
+# --------------------------------------------------------------------------- #
+# round-5: funnel conversion + retention cohorts
+# --------------------------------------------------------------------------- #
+
+def test_user_funnel_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "user_funnel")
+
+
+def test_user_funnel_is_monotone_and_order_strict(spark):
+    """Stage counts must shrink down the funnel, and a purchase BEFORE the
+    first view must not convert (the ordering is the whole point)."""
+    import datetime as dt
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+    from tests.conftest import SF_SMOKE
+    import tempfile
+
+    by_stage = {r["stage"]: r["n_users"] for r in ss.user_funnel(spark, SF_SMOKE).collect()}
+    assert by_stage["view"] >= by_stage["view>click"] >= by_stage["view>click>purchase"] > 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: proper order -> converts fully
+        (1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "purchase"),
+        # user 2: purchase first -> stops at view
+        (2, t0, "purchase"), (2, t0 + dt.timedelta(minutes=1), "view"),
+        # user 3: click before view -> stops at view
+        (3, t0, "click"), (3, t0 + dt.timedelta(minutes=1), "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, e, 0.0, "{}") for i, (u, t, e) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {r["stage"]: r["n_users"] for r in ss.user_funnel(spark, d).collect()}
+    assert got == {"view": 3, "view>click": 1, "view>click>purchase": 1}
+
+
+def test_user_retention_cohorts_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "user_retention_cohorts")
+
+
+def test_user_retention_week_zero_covers_every_user(spark):
+    """Every user is active in their own cohort week, so the offset-0 rows
+    must together count every distinct user exactly once."""
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = ss.user_retention_cohorts(spark, SF_SMOKE).collect()
+    assert all(r["week_offset"] >= 0 for r in rows)
+    zero = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    total_users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert zero == total_users

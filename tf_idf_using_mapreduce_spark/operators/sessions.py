@@ -118,3 +118,102 @@ SELECT p.purchase_id, p.user_id, c.click_id
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
+
+
+# --------------------------------------------------------------------------- #
+# funnel conversion (ordered-stage progression)
+# --------------------------------------------------------------------------- #
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_users): how many users progress through the ordered
+    view → click → purchase funnel, where each stage must happen strictly
+    AFTER the user's first event of the previous stage — the product-
+    analytics staple that plain per-type counts can't answer (a purchase
+    before any view must NOT convert). Three per-user aggregates, each a
+    conditional MIN over the same user_id shuffle; stage tables are
+    one-row-per-user (small) so the follow-up joins co-locate on the same
+    key. No window over raw events, no self-join of the full fact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.select(F.lit("view").alias("stage"))
+        .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+        .unionByName(
+            c.select(F.lit("view>click").alias("stage"))
+            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionByName(
+            p.select(F.lit("view>click>purchase").alias("stage"))
+            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+        )
+    )
+
+
+USER_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'view>click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+UNION ALL
+SELECT 'view>click>purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+"""
+
+
+# --------------------------------------------------------------------------- #
+# retention cohorts (first-seen week x activity-week offset)
+# --------------------------------------------------------------------------- #
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_week, week_offset, n_users): the classic retention triangle —
+    users grouped by first-seen week, counted distinct in each subsequent
+    activity week. First-seen is one per-user aggregate; the offset is pure
+    date arithmetic on week-truncated timestamps (day difference always an
+    exact multiple of 7, so the division is exact on any engine); the
+    distinct count shuffles once on the (cohort, offset) pair."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("date_trunc('week', first_ts)").alias("cohort_week"),
+            F.expr(
+                "cast(datediff(date_trunc('week', ts), date_trunc('week', first_ts)) / 7 as int)"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+USER_RETENTION_ORACLE = """
+WITH first AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT date_trunc('week', first_ts) AS cohort_week,
+       CAST(datediff('day', date_trunc('week', first_ts), date_trunc('week', e.ts)) / 7
+            AS INT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2
+"""

@@ -84,6 +84,8 @@ register("quality_classifier", _ts.quality_classifier, _ts.quality_classifier_or
 register("source_dup_matrix", _dedup.source_dup_matrix, _dedup.source_dup_matrix_oracle())
 register("length_bucket_batches", _pack.length_bucket_batches, _pack.LENGTH_BUCKET_BATCHES_ORACLE)
 register("pretraining_manifest", _pre.pretraining_manifest, _pre.pretraining_manifest_oracle())
+register("user_funnel", _sess.user_funnel, _sess.USER_FUNNEL_ORACLE)
+register("user_retention_cohorts", _sess.user_retention_cohorts, _sess.USER_RETENTION_ORACLE)
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())
