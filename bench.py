@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     # round-5 capstone: the FULL composed pipeline (cascade + classifier +
     # dedup + mixture + PII scrub + shuffle) down to the shard manifest
     "pretraining_manifest",
+    # round-5 batching + event-analytics tier
+    "length_bucket_batches",
+    "user_funnel",
+    "user_retention_cohorts",
 ]
 
 

@@ -49,8 +49,9 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 #             TPC-H completions (q4/q11/q12/q20/q21 — q11's threshold and
 #             money-sum arithmetic also CHANGED this round, so it must sit
 #             here); and the redaction / shuffle / Zipf / outlier /
-#             classifier / batching tier. 23 entries: with block 2 that
-#             leaves ~17 window slots for block 3, so the stalest 39
+#             classifier / batching / funnel / retention tier and the
+#             composed pretraining_manifest. 26 entries: with block 2 that
+#             leaves ~14 window slots for block 3, so the stalest 39
 #             rotate over THIS round and next — every block-3 query is at
 #             worst 3 rounds stale before its refresh, and none of them
 #             changed since round 3 (their expressions are additionally
