@@ -187,3 +187,90 @@ def test_documents_stream_pii_matches_batch(spark):
 
 def test_documents_stream_pii_oracle_parity(spark):
     assert_query_matches_oracle(spark, "documents_stream_pii")
+
+
+def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):
+    """Event-time correctness under late arrivals: a row arriving behind the
+    2 h watermark must be EXCLUDED from the streaming aggregation (its
+    window never materializes), while the batch twin over the same files
+    still counts it — the divergence watermarking exists to create. Files
+    feed one-per-microbatch so the watermark genuinely advances between
+    arrivals."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from tf_idf_using_mapreduce_spark.streaming.events import (
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(idx, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": [r[3] for r in rows],
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": [r[5] for r in rows],
+            }),
+            f"{d}/f{idx}.parquet",
+        )
+        # file source orders batches by modification time — keep it strict
+        _time.sleep(1.1)
+
+    t = dt.datetime(2024, 3, 1)
+    on_time = [
+        (1, t.replace(hour=10, minute=5), 1, "view", 1.0, "{}"),
+        (2, t.replace(hour=10, minute=40), 2, "view", 1.0, "{}"),
+        (3, t.replace(hour=11, minute=10), 1, "click", 1.0, "{}"),
+    ]
+    # measured caveat (pinned here on purpose): the late filter uses the
+    # watermark COMMITTED before the batch starts, so a late row arriving in
+    # the very next batch after the data that established the watermark can
+    # still slip in — the drop is guaranteed one batch later. Hence the
+    # wm-advancing file sits BETWEEN the on-time data and the late arrival.
+    advance = [(4, t.replace(hour=12, minute=30), 3, "view", 1.0, "{}")]
+    late_and_future = [
+        # 07:30 is hours behind the committed watermark (12:30 - 2 h =
+        # 10:30) -> must be dropped
+        (5, t.replace(hour=7, minute=30), 3, "view", 1.0, "{}"),
+        # far-future row pushes the final watermark past every on-time window
+        (6, t.replace(hour=23, minute=0), 4, "view", 1.0, "{}"),
+    ]
+    write_file(1, on_time)
+    write_file(2, advance)
+    write_file(3, late_and_future)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "2 hours")
+    )
+    run_stream_to_memory(
+        windowed_counts(stream), "late_data_result", output_mode="append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("late_data_result").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_counts(spark.read.parquet(d)).collect()
+    }
+    # batch sees the late row; the stream must not
+    assert ("2024-03-01 07:00", "view") in batch
+    assert ("2024-03-01 07:00", "view") not in got
+    # every on-time window flushed with the exact batch counts
+    assert got[("2024-03-01 10:00", "view")] == 2
+    assert got[("2024-03-01 11:00", "click")] == 1
+    assert got[("2024-03-01 12:00", "view")] == 1
