@@ -7,6 +7,9 @@
 ``value`` is total wall-clock over the suite (lower is better). Each query is
 collected (full materialization). A warmup pass of the flagship amortizes JVM
 and codegen startup so numbers reflect steady-state execution.
+
+NOTE for cross-round comparison: the suite GROWS as operators land (r4: 34
+queries, r5: 45) — compare per-query values across rounds, not totals.
 """
 
 from __future__ import annotations

@@ -62,3 +62,45 @@ def test_registry_output_schema_is_hashable(spark, name):
         if f.dataType.typeName() in ("array", "map", "struct")
     ]
     assert not bad, f"{name}: non-scalar output columns {bad}"
+
+
+# --------------------------------------------------------------------------- #
+# round-5: evidence-derived registration order
+# --------------------------------------------------------------------------- #
+
+def test_registry_orders_by_staleness():
+    """FORCE_FRESH first, then never-driver-checked queries, then ascending
+    last-checked round — so every query refreshes within ceil(N/window)
+    rounds with no manual rotation."""
+    from tf_idf_using_mapreduce_spark import registry as reg
+
+    names = list(reg.QUERIES)
+    checked = reg._last_checked_rounds()
+    n_forced = len([n for n in names if n in reg.FORCE_FRESH])
+    # all FORCE_FRESH entries lead
+    assert set(names[:n_forced]) == set(reg.FORCE_FRESH)
+    # after the forced prefix, last-checked rounds are non-decreasing
+    tail_rounds = [checked.get(n, -1) for n in names[n_forced:]]
+    assert tail_rounds == sorted(tail_rounds)
+    # oracle dict preserves the same relative order
+    oracle_names = [n for n in names if n in reg.ORACLES]
+    assert list(reg.ORACLES) == oracle_names
+
+
+def test_registry_order_survives_missing_artifacts(monkeypatch):
+    """With no CORRECTNESS artifacts readable, the sort degenerates to
+    FORCE_FRESH + literal order instead of crashing."""
+    from tf_idf_using_mapreduce_spark import registry as reg
+
+    monkeypatch.setattr(reg, "_last_checked_rounds", lambda: {})
+    before = list(reg.QUERIES)
+    reg._staleness_reorder()
+    try:
+        names = list(reg.QUERIES)
+        n_forced = len(reg.FORCE_FRESH)
+        assert set(names[:n_forced]) == set(reg.FORCE_FRESH)
+        assert len(names) == len(before)
+    finally:
+        monkeypatch.undo()
+        reg._staleness_reorder()
+        assert list(reg.QUERIES) == before
