@@ -55,6 +55,7 @@ FUZZ_QUERIES = [
     # the full composed pipeline: on THIS corpus the PII stage really
     # rewrites text, so the manifest token counts check the scrub end-to-end
     "pretraining_manifest",
+    "corpus_stats",
 ]
 
 _EDGE_TEXTS = [

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, assert_query_matches_oracle
 from tf_idf_using_mapreduce_spark.operators import textstats as ts
@@ -156,3 +157,26 @@ def test_quality_classifier_separates_lengths(spark):
     assert 0.0 < out[2]["quality_prob"] < out[1]["quality_prob"] < 1.0
     assert out[1]["quality_label"] == "keep"
     assert out[3]["quality_prob"] is None and out[3]["quality_label"] is None
+
+
+def test_corpus_stats_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "corpus_stats")
+
+
+def test_corpus_stats_cross_checks(spark):
+    """The summary row must agree with independent computations: token total
+    with token_counts, dup count with dedup_exact's survivor election."""
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    row = ts.corpus_stats(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert row["n_docs"] == docs.count()
+    toks = ts.token_counts(spark, SF_SMOKE).agg(
+        F.sum("word_tokens").alias("s")
+    ).collect()[0]["s"]
+    assert row["total_tokens"] == toks
+    n_distinct_texts = docs.where(F.col("text").isNotNull()).select(
+        F.md5("text")
+    ).distinct().count()
+    n_nonnull = docs.where(F.col("text").isNotNull()).count()
+    assert row["exact_dup_docs"] == n_nonnull - n_distinct_texts

@@ -615,3 +615,77 @@ SELECT doc_id, {prob} AS quality_prob,
             WHEN {prob} >= {QC_THRESHOLD} THEN 'keep' ELSE 'drop' END AS quality_label
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------- #
+# one-stop corpus summary (the DESCRIBE of the documents table)
+# --------------------------------------------------------------------------- #
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single row (n_docs, n_null_text, total_tokens, vocab_size,
+    mean_tokens, n_sources, n_langs, exact_dup_docs): the first report any
+    corpus intake runs. One scan feeds the row-level aggregates; the
+    distinct-token and duplicate counts are each one additional shuffle on
+    a uniform key (term / content hash) — nothing quadratic, nothing
+    collected. mean rounds at 4dp over an integer ratio (no float-sum
+    ordering: total_tokens is an exact bigint)."""
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("CASE WHEN text IS NULL THEN 1 ELSE 0 END")).alias("n_null_text"),
+        F.sum(F.expr(f"coalesce(size({toks}), 0)")).alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    vocab = (
+        docs.select(F.explode(F.expr(toks)).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab_size"))
+    )
+    dups = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c - 1")).alias("exact_dup_docs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .select(
+            "n_docs", "n_null_text", "total_tokens", "vocab_size",
+            F.expr("round(total_tokens / cast(greatest(n_docs - n_null_text, 1) as double), 4)")
+            .alias("mean_tokens"),
+            "n_sources", "n_langs",
+            F.expr("coalesce(exact_dup_docs, 0)").alias("exact_dup_docs"),
+        )
+    )
+
+
+CORPUS_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text, lang, source,
+         regexp_extract_all(lower(text), '([a-z]+)', 1) AS tk
+  FROM documents
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         CAST(sum(coalesce(len(tk), 0)) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM toks
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(tk) AS t FROM toks)
+),
+dups AS (
+  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS exact_dup_docs
+  FROM (SELECT count(*) AS c FROM documents WHERE text IS NOT NULL GROUP BY md5(text))
+)
+SELECT n_docs, n_null_text, total_tokens, vocab_size,
+       round(total_tokens / CAST(greatest(n_docs - n_null_text, 1) AS DOUBLE), 4)
+         AS mean_tokens,
+       n_sources, n_langs, exact_dup_docs
+FROM base, vocab, dups
+"""

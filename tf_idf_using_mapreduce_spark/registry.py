@@ -101,6 +101,7 @@ register("length_bucket_batches", _pack.length_bucket_batches, _pack.LENGTH_BUCK
 register("pretraining_manifest", _pre.pretraining_manifest, _pre.pretraining_manifest_oracle())
 register("user_funnel", _sess.user_funnel, _sess.USER_FUNNEL_ORACLE)
 register("user_retention_cohorts", _sess.user_retention_cohorts, _sess.USER_RETENTION_ORACLE)
+register("corpus_stats", _ts.corpus_stats, _ts.CORPUS_STATS_ORACLE)
 register("ann_topk_ivf_kmeans_recall", _sim.ann_topk_ivf_kmeans_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("ann_topk_mllib_recall", _sim.ann_topk_mllib_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_approx_err_oracle())
