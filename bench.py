@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "length_bucket_batches",
     "user_funnel",
     "user_retention_cohorts",
+    "corpus_stats",
 ]
 
 
