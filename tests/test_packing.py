@@ -191,6 +191,61 @@ def test_corpus_shuffle_is_a_bijection(spark):
     assert len({(r["shard"], r["pos"]) for r in out}) == 777
 
 
+# --------------------------------------------------------------------------- #
+# round-6: size-derived shard counts for the rank-window operators
+# --------------------------------------------------------------------------- #
+
+def test_shard_count_law_scales_with_input_bytes():
+    """The shard count behind corpus_shuffle / length_bucket_batches is the
+    pinned floor at fixture scale (committed oracles stay stable) and grows
+    linearly with input bytes past it — a fixed 32 (or 4) would put
+    corpus/32 rows through ONE rank-window task at 100×."""
+    assert pk._derive_shard_count(0, pk.SHUFFLE_SHARDS) == pk.SHUFFLE_SHARDS
+    assert pk._derive_shard_count(1024, pk.SHUFFLE_SHARDS) == pk.SHUFFLE_SHARDS
+    one_gb = pk._derive_shard_count(1 << 30, pk.BATCH_SHARDS)
+    assert one_gb == (1 << 30) // pk.SHARD_BYTES_PER_SHARD
+    hundred_tb = pk._derive_shard_count(100 * (1 << 40), pk.BATCH_SHARDS)
+    assert hundred_tb == 100 * (1 << 40) // pk.SHARD_BYTES_PER_SHARD
+    assert hundred_tb > one_gb > pk.BATCH_SHARDS  # monotone in bytes
+
+
+def test_shard_count_fixture_matches_pinned_constants(spark):
+    """At fixture scale the derived counts equal the pinned constants the
+    oracles bake in — the law changes nothing at small SF, only at 100×."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert pk._derive_shard_count(pk._input_bytes(docs), pk.SHUFFLE_SHARDS) == pk.SHUFFLE_SHARDS
+    assert pk._derive_shard_count(pk._input_bytes(docs), pk.BATCH_SHARDS) == pk.BATCH_SHARDS
+
+
+def test_shard_count_recorded_in_output_contract(spark):
+    """Both rank-window operators RECORD the (semantic) shard count they
+    used, and an explicit override flows through to shard assignment."""
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = pk.corpus_shuffle_df(docs).collect()
+    assert all(r["n_shards"] == pk.SHUFFLE_SHARDS for r in out)
+    wide = pk.corpus_shuffle_df(docs, n_shards=64).collect()
+    assert all(r["n_shards"] == 64 for r in wide)
+    assert {r["shard"] for r in wide} - set(range(64)) == set()
+    assert any(r["shard"] >= pk.SHUFFLE_SHARDS for r in wide)  # really 64 buckets
+
+    texts = spark.createDataFrame(
+        [(i, "word " * (i % 200 + 1)) for i in range(300)], "doc_id long, text string"
+    )
+    b = pk.length_bucket_batches_df(texts, n_shards=8).collect()
+    assert all(r["n_shards"] == 8 for r in b)
+    assert {r["shard"] for r in b} <= set(range(8))
+
+
+def test_pretraining_manifest_threads_n_shards(spark):
+    """An explicit shard count flows through the composed manifest and is
+    recorded in its output."""
+    from tf_idf_using_mapreduce_spark.operators.pretrain import pretraining_manifest
+
+    rows = pretraining_manifest(spark, SF_SMOKE, n_shards=7).collect()
+    assert rows and all(r["n_shards"] == 7 for r in rows)
+    assert all(0 <= r["shard"] < 7 for r in rows)
+
+
 def test_pretraining_manifest_conserves_survivors(spark):
     """The manifest's doc total must equal the pipeline's survivor count
     (cascade ∧ classifier ∧ dedup-election ∧ mixture), and every shard id

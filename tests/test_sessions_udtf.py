@@ -99,6 +99,28 @@ def test_user_funnel_is_monotone_and_order_strict(spark):
     assert got == {"view": 3, "view>click": 1, "view>click>purchase": 1}
 
 
+def test_user_funnel_emits_all_stages_on_empty_stage(spark):
+    """A corpus with NO purchases (or no post-view clicks) must still emit
+    one row per stage with n_users = 0 — matching the oracle's plain
+    ``SELECT 'stage', count(*)`` shape, which never drops rows. A
+    ``groupBy(lit)`` would emit zero rows on an empty stage and fail the
+    parity gate's row-count assert (round-6 advisor finding)."""
+    import datetime as dt
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view"), (2, t0, "view")]  # views only: no clicks, no purchases
+    df = spark.createDataFrame(
+        [(i, u, t, e, 0.0, "{}") for i, (u, t, e) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {r["stage"]: r["n_users"] for r in ss.user_funnel(spark, d).collect()}
+    assert got == {"view": 2, "view>click": 0, "view>click>purchase": 0}
+
+
 def test_user_retention_cohorts_oracle_parity(spark):
     from tests.conftest import assert_query_matches_oracle
     assert_query_matches_oracle(spark, "user_retention_cohorts")

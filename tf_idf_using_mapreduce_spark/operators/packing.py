@@ -47,11 +47,11 @@ def _derive_prefix_partitions(total_bytes: int, parallelism: int) -> int:
     return max(parallelism, by_bytes, 1)
 
 
-def _prefix_partitions(docs: DataFrame) -> int:
-    """Derive the prefix-sum partition count from the input's on-disk size
-    (parquet footer stats, memoized — same estimator as ``spread()``).
-    Unknown layouts (in-memory frames, non-local sources) fall back to the
-    cluster parallelism floor."""
+def _input_bytes(docs: DataFrame) -> int:
+    """Compressed on-disk bytes behind a DataFrame (parquet footer stats,
+    memoized — same estimator as ``spread()``). Unknown layouts (in-memory
+    frames, non-local sources, derived frames with no input files) report 0
+    so callers fall back to their floor."""
     total = 0
     try:
         for p in docs.inputFiles():
@@ -59,9 +59,35 @@ def _prefix_partitions(docs: DataFrame) -> int:
                 total += _file_split_stats(p.removeprefix("file:"))[0]
     except Exception:
         total = 0
+    return total
+
+
+def _prefix_partitions(docs: DataFrame) -> int:
+    """Partition count for the two-phase prefix sum, from input bytes."""
     return _derive_prefix_partitions(
-        total, docs.sparkSession.sparkContext.defaultParallelism
+        _input_bytes(docs), docs.sparkSession.sparkContext.defaultParallelism
     )
+
+
+# compressed input bytes a single rank-window task may own in the sharded
+# window operators (corpus_shuffle / length_bucket_batches): each (shard)
+# or (bucket, shard) window is ONE task over ~corpus/n_shards rows, so the
+# shard count — not the partition count — is what bounds per-task volume
+SHARD_BYTES_PER_SHARD = 32 * 1024 * 1024
+
+
+def _derive_shard_count(total_bytes: int, floor: int,
+                        bytes_per_shard: int = SHARD_BYTES_PER_SHARD) -> int:
+    """Shard count for the rank-window operators: the pinned ``floor`` at
+    fixture scale (so the committed oracles stay byte-stable), growing
+    linearly with input bytes past it — at 100 TB this is ~3M shards of
+    ≤32 MiB compressed input each, never corpus/32 rows in one window task.
+    Pure, so the scaling law is unit-testable (same discipline as
+    ``_derive_prefix_partitions``). Shard count is SEMANTIC (it appears in
+    the output), so every operator that derives it also RECORDS it in an
+    ``n_shards`` output column."""
+    by_bytes = math.ceil(total_bytes / bytes_per_shard) if total_bytes > 0 else 0
+    return max(floor, by_bytes, 1)
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,21 +239,29 @@ FROM binned GROUP BY seq_id
 # --------------------------------------------------------------------------- #
 
 SHUFFLE_SEED = "epoch0"  # new epoch = new seed = a fresh full permutation
-SHUFFLE_SHARDS = 32
+SHUFFLE_SHARDS = 32      # FLOOR of the size-derived shard law (= the derived
+                         # value at fixture scale, so committed oracles pin it)
 
 
 def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
-                      n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
-    """(doc_id, shard, pos) over any (doc_id,) frame: the deterministic
-    global shuffle every pretraining run needs before reading the corpus as
-    a stream. Each doc gets a seeded md5 shuffle key; its shard is a hash
-    bucket of that key and its position is the rank of the key WITHIN the
-    shard — so (shard asc, pos asc) is a reproducible pseudo-random
-    permutation of the corpus on any engine, any partitioning, any row
-    order (none of which holds for ``df.orderBy(rand())``). Scale: ONE
-    shuffle on the shard key; each rank window covers corpus/n_shards rows,
-    so raising ``n_shards`` with corpus size bounds per-task volume — there
-    is no global single-task sort anywhere."""
+                      n_shards: int | None = None) -> DataFrame:
+    """(doc_id, shard, pos, n_shards) over any (doc_id,) frame: the
+    deterministic global shuffle every pretraining run needs before reading
+    the corpus as a stream. Each doc gets a seeded md5 shuffle key; its
+    shard is a hash bucket of that key and its position is the rank of the
+    key WITHIN the shard — so (shard asc, pos asc) is a reproducible
+    pseudo-random permutation of the corpus on any engine, any
+    partitioning, any row order (none of which holds for
+    ``df.orderBy(rand())``). Scale: ONE shuffle on the shard key; each rank
+    window covers corpus/n_shards rows, and ``n_shards`` defaults to the
+    size-derived ``_derive_shard_count`` law (floor ``SHUFFLE_SHARDS``), so
+    per-task window volume stays bounded as the corpus grows — there is no
+    global single-task sort anywhere. The shard count is part of the
+    output's meaning (two runs with different counts are different
+    permutations), so it is RECORDED in the ``n_shards`` column; callers
+    that must reproduce a specific manifest pass it explicitly."""
+    if n_shards is None:
+        n_shards = _derive_shard_count(_input_bytes(docs), SHUFFLE_SHARDS)
     key = f"md5(concat('{seed}', ':', cast(doc_id as string)))"
     shard = f"cast(conv(substr({key}, 1, 8), 16, 10) as bigint) % {n_shards}"
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
@@ -238,7 +272,12 @@ def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
             F.expr(shard).alias("shard"),
         )
         .withColumn("pos", F.row_number().over(w) - 1)
-        .select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+        .select(
+            "doc_id",
+            "shard",
+            F.col("pos").cast("long").alias("pos"),
+            F.lit(n_shards).cast("long").alias("n_shards"),
+        )
     )
 
 
@@ -257,7 +296,8 @@ WITH keyed AS (
 )
 SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1
-            AS BIGINT) AS pos
+            AS BIGINT) AS pos,
+       CAST({SHUFFLE_SHARDS} AS BIGINT) AS n_shards
 FROM keyed
 """
 
@@ -268,25 +308,32 @@ FROM keyed
 
 BUCKET_WIDTH = 64   # token-length bucket granularity
 BATCH_DOCS = 8      # documents per batch
-BATCH_SHARDS = 4    # hash shards: bound per-task window volume at any scale
+BATCH_SHARDS = 4    # FLOOR of the size-derived shard law (fixture-pinned)
 
 
-def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def length_bucket_batches_df(docs: DataFrame,
+                             n_shards: int | None = None) -> DataFrame:
     """(bucket_id, shard, batch_idx, n_docs, max_tokens, padded_tokens,
-    pad_waste_tokens): documents grouped into similar-length buckets and
-    cut into fixed-size batches, with the padding cost each batch pays to
-    its longest member — the pad-efficient dynamic batching every
-    variable-length training loader implements (bucketing cuts padding
-    from O(maxlen) to O(bucket width) per doc). Batch formation is a rank
-    window PER (bucket, shard): the hash shard bounds the rows any single
-    window task sees, so scaling the corpus scales shard count, not task
-    size — same discipline as ``corpus_shuffle``. All outputs are exact
-    integers; no float can wobble under aggregation order."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pad_waste_tokens, n_shards) over any (doc_id, text) frame: documents
+    grouped into similar-length buckets and cut into fixed-size batches,
+    with the padding cost each batch pays to its longest member — the
+    pad-efficient dynamic batching every variable-length training loader
+    implements (bucketing cuts padding from O(maxlen) to O(bucket width)
+    per doc). Batch formation is a rank window PER (bucket, shard): the
+    hash shard bounds the rows any single window task sees, and
+    ``n_shards`` defaults to the size-derived ``_derive_shard_count`` law
+    (floor ``BATCH_SHARDS``) so scaling the corpus scales shard count, not
+    task size — same discipline as ``corpus_shuffle_df``, and a popular
+    length bucket can never put corpus/4 rows through one task at 100×.
+    The shard count shapes the batch assignment itself, so it is RECORDED
+    in the ``n_shards`` column. All outputs are exact integers; no float
+    can wobble under aggregation order."""
+    if n_shards is None:
+        n_shards = _derive_shard_count(_input_bytes(docs), BATCH_SHARDS)
     n = f"size({_TOKENS})"
     shard = (
         f"cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
-        f" % {BATCH_SHARDS}"
+        f" % {n_shards}"
     )
     base = (
         docs.select(
@@ -313,6 +360,14 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pad_waste_tokens"
             ),
         )
+        .withColumn("n_shards", F.lit(n_shards).cast("long"))
+    )
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: pad-efficient batches over the documents table."""
+    return length_bucket_batches_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 
@@ -335,7 +390,8 @@ SELECT bucket_id, shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(max(n_tokens) AS BIGINT) AS max_tokens,
        CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
-       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_waste_tokens
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_waste_tokens,
+       CAST({BATCH_SHARDS} AS BIGINT) AS n_shards
 FROM ranked
 GROUP BY bucket_id, shard, CAST(floor((rn - 1) / {BATCH_DOCS}) AS BIGINT)
 """

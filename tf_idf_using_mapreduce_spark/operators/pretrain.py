@@ -104,8 +104,9 @@ FROM binned GROUP BY seq_id
 # the full-pipeline manifest: every round-5 stage composed into one DAG
 # --------------------------------------------------------------------------- #
 
-def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(shard, n_docs, n_tokens): the reader-facing shard manifest of the
+def pretraining_manifest(spark: SparkSession, sf_dir: str,
+                         n_shards: int | None = None) -> DataFrame:
+    """(shard, n_docs, n_tokens, n_shards): the reader-facing shard manifest of the
     COMPLETE curation pipeline — rule cascade AND quality classifier drop
     docs, exact dedup elects one survivor per content hash, the mixture
     sampler downweights each source, survivors are PII-scrubbed, and the
@@ -117,15 +118,27 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed text — not the raw text — is what ships). Scale shape: three
     map-only decision/scrub stages, one uniform-key dedup shuffle, doc_id
     equi-joins at stage boundaries (materialized tables in production), and
-    the per-shard counts ride the shuffle's own exchange."""
+    the per-shard counts ride the shuffle's own exchange.
+
+    ``n_shards`` (the training-shuffle shard count — SEMANTIC: it names the
+    shards the reader consumes) defaults to the size-derived law over the
+    SOURCE table's bytes — the scrubbed survivor frame is a derived lineage
+    with no input files of its own, and the source is the right scale proxy
+    anyway (survivor count is O(corpus)). Recorded in the manifest's
+    ``n_shards`` column so a reader can validate the shard namespace."""
     from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction_df
-    from tf_idf_using_mapreduce_spark.operators.packing import corpus_shuffle_df
+    from tf_idf_using_mapreduce_spark.operators.packing import (
+        SHUFFLE_SHARDS,
+        _derive_shard_count,
+        _input_bytes,
+        corpus_shuffle_df,
+    )
     from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_df
 
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"),
-        bytes_per_partition=128 * 1024,
-    )
+    source = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    if n_shards is None:
+        n_shards = _derive_shard_count(_input_bytes(source), SHUFFLE_SHARDS)
+    docs = spread(source, bytes_per_partition=128 * 1024)
     # same load-bearing lineage cut as pretraining_shards (see above):
     # filtering on the cascade's CASE inline re-expands the tokenizer
     # inside every trigram lambda element
@@ -150,7 +163,9 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed = pii_redaction_df(
         docs.select("doc_id", "text").join(mixed, "doc_id")
     ).select("doc_id", F.col("clean_text").alias("text"))
-    sharded = corpus_shuffle_df(scrubbed.select("doc_id")).select("doc_id", "shard")
+    sharded = corpus_shuffle_df(
+        scrubbed.select("doc_id"), n_shards=n_shards
+    ).select("doc_id", "shard")
     return (
         scrubbed.select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
         .join(sharded, "doc_id")
@@ -159,6 +174,7 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n").alias("n_tokens"),
         )
+        .withColumn("n_shards", F.lit(n_shards).cast("long"))
     )
 
 
@@ -186,7 +202,8 @@ sharded AS (
 )
 SELECT shard,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+       CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens,
+       CAST({SHUFFLE_SHARDS} AS BIGINT) AS n_shards
 FROM scrubbed JOIN sharded USING (doc_id)
 GROUP BY shard
 """

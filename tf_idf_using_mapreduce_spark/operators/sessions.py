@@ -132,7 +132,13 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any view must NOT convert). Three per-user aggregates, each a
     conditional MIN over the same user_id shuffle; stage tables are
     one-row-per-user (small) so the follow-up joins co-locate on the same
-    key. No window over raw events, no self-join of the full fact."""
+    key. No window over raw events, no self-join of the full fact.
+
+    Each stage count is a PLAIN aggregate (``df.agg``), not a
+    ``groupBy(lit)``: a grouped aggregate over an empty stage emits zero
+    rows, while the oracle's ``SELECT 'view', count(*)`` always emits one —
+    so a corpus with no purchases must still report
+    (view>click>purchase, 0), not drop the row."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     v = (
         ev.where(F.col("event_type") == "view")
@@ -150,17 +156,16 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
     )
+
+    def _stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
     return (
-        v.select(F.lit("view").alias("stage"))
-        .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
-        .unionByName(
-            c.select(F.lit("view>click").alias("stage"))
-            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
-        )
-        .unionByName(
-            p.select(F.lit("view>click>purchase").alias("stage"))
-            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
-        )
+        _stage(v, "view")
+        .unionByName(_stage(c, "view>click"))
+        .unionByName(_stage(p, "view>click>purchase"))
     )
 
 

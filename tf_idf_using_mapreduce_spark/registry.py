@@ -216,25 +216,14 @@ register("doc_chunks", _pack.doc_chunks, _pack.DOC_CHUNKS_ORACLE)
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 5: q11 threshold + exact-integer money sums rewritten
-    "q11_important_parts",
-    # round 5: quality_classifier refactored to a _df form (same expression,
-    # but changed is changed); the composed manifest consumes it
-    "quality_classifier",
+    # round 6: size-derived shard law — both operators now RECORD n_shards
+    # in their output (schema + oracle changed), and the composed manifest
+    # threads the parameter
+    "corpus_shuffle",
+    "length_bucket_batches",
     "pretraining_manifest",
-    # round 5 earlier in the round: packing partition derivation, mixture
-    # rates map, unified clusters() entry, and the streaming state/timeout
-    # changes (the former hand-maintained "block 2")
-    "pack_sequences",
-    "mixture_sample",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "dedup_apply",
-    "events_hourly_streaming",
-    "events_stream_dedup",
-    "events_stream_stream_join",
-    "events_session_stream",
-    "events_user_running_totals",
+    # round 6: empty-stage fix — plain aggregates instead of groupBy(lit)
+    "user_funnel",
 })
 
 
