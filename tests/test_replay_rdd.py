@@ -18,6 +18,19 @@ def test_indexed_events_cover_all_ticks(spark):
     assert all(r["count"] == 100 for r in rows)
 
 
+def test_indexed_events_rank_is_distributed(spark):
+    """The replay index must rank within time bins (hash-partitioned
+    window), never push the whole events table through one global-order
+    window task — the textbook unpartitioned-window scale killer
+    (round-6 fix; the only single-partition window left is over the
+    O(bins) totals table)."""
+    plan = (
+        indexed_events(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(_bin" in plan, plan[:3000]
+
+
 def test_replay_stream_releases_events_gradually(spark):
     """Run the replay for a few seconds: events arrive, rate-bounded, with the
     original event schema intact."""

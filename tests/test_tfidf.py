@@ -130,3 +130,20 @@ def test_doc_freq_approx_err_oracle_parity(spark):
     """HLL error-bound gate: zero 5-sigma violations, n_terms from the exact
     pipeline — the round-5 value check for doc_freq_approx."""
     assert_query_matches_oracle(spark, "doc_freq_approx_err")
+
+
+def test_tfidf_mllib_topk_overlap_oracle_parity(spark):
+    """Rank-overlap twin: the round-6 VALUE check for tfidf_mllib (the last
+    rows-only registry entry) — per-doc top-k term sets vs the oracled
+    exact pipeline."""
+    assert_query_matches_oracle(spark, "tfidf_mllib_topk_overlap")
+
+
+def test_tfidf_mllib_overlap_tighter_pin(spark):
+    """Measured overlap is ~0.99 on the fixture; pin ≥ 0.9 here (tighter
+    than the driver floor 0.5, same two-tier discipline as the ANN recall
+    twins: loose driver gate, tight pytest pin)."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import tfidf_mllib_topk_overlap
+
+    row = tfidf_mllib_topk_overlap(spark, SF_SMOKE, floor=0.9).collect()[0]
+    assert row["overlap_ok"] == 1 and row["n_exact"] > 0

@@ -567,12 +567,17 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TINY centroid table broadcasts back and the residual cosine is one
     codegen zip-with pass over the vectors — the big side is scanned twice
     but never joined to itself. Ranking on rounded cosine with vec_id
-    tie-break (file-wide convention) so float last-bits can't flip order."""
+    tie-break (file-wide convention) so float last-bits can't flip order.
+    The per-dim centroid mean is ROUNDED (9dp — well beyond the cosine's
+    own 4dp contract) before the dot product: an unordered float avg
+    differs in last bits between Spark's and DuckDB's partial-aggregation
+    orders, and feeding identical centroids to both engines removes the
+    one unrounded float either side consumed (round-6 advisor note)."""
     vecs = _vectors(spark, sf_dir)
     ex = vecs.select("vec_id", "label", F.posexplode("v").alias("pos", "val"))
     cent = (
         ex.groupBy("label", "pos")
-        .agg(F.avg("val").alias("cval"))
+        .agg(F.round(F.avg("val"), 9).alias("cval"))
         .groupBy("label")
         .agg(F.expr(
             "transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)"
@@ -600,7 +605,7 @@ WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
 ex AS (SELECT vec_id, label, unnest(v) AS val,
               unnest(range(1, len(v) + 1)) AS pos
        FROM e),
-cent AS (SELECT label, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
+cent AS (SELECT label, pos, round(avg(val), 9) AS cval FROM ex GROUP BY label, pos),
 cn AS (SELECT label, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY label),
 dots AS (SELECT ex.vec_id, ex.label, sum(ex.val * cent.cval) AS dot
          FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos

@@ -359,12 +359,10 @@ def doc_freq_approx_err_oracle() -> str:
     )
 
 
-def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
-    """MLlib variant (CountVectorizer + IDF) — documented PARALLEL pipeline,
-    NOT the reference score: MLlib computes ``log((N+1)/(df+1))`` vs the
-    reference's ``log(10000/(df+1))`` (SURVEY.md §4.3). Returns
-    (doc_id, features) with the MLlib TF-IDF vector; rows-only checkable.
-    """
+def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
+    """Fit the MLlib CountVectorizer + IDF pipeline; returns
+    ``(vocabulary, features_df)`` — the vocabulary (≤ ``vocab_size`` strings,
+    driver-side model state) is what lets the rank-overlap twin name terms."""
     from pyspark.ml.feature import IDF, CountVectorizer
 
     toks = stemmed_tokens(spark, sf_dir)
@@ -373,7 +371,17 @@ def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> Data
     cv_model = cv.fit(doc_tokens)
     tf = cv_model.transform(doc_tokens)
     idf = IDF(inputCol="tf_vec", outputCol="features")
-    return idf.fit(tf).transform(tf).select("doc_id", "features")
+    feats = idf.fit(tf).transform(tf).select("doc_id", "features")
+    return cv_model.vocabulary, feats
+
+
+def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
+    """MLlib variant (CountVectorizer + IDF) — documented PARALLEL pipeline,
+    NOT the reference score: MLlib computes ``log((N+1)/(df+1))`` vs the
+    reference's ``log(10000/(df+1))`` (SURVEY.md §4.3). Returns
+    (doc_id, features) with the MLlib TF-IDF vector; rows-only checkable.
+    """
+    return _tfidf_mllib_fit(spark, sf_dir, vocab_size=vocab_size)[1]
 
 
 def tfidf_mllib_exploded(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
@@ -391,6 +399,75 @@ def tfidf_mllib_exploded(spark: SparkSession, sf_dir: str, vocab_size: int = 100
         .where(F.col("mllib_score") > 0)
         .select("doc_id", "term_idx", F.round("mllib_score", 6).alias("mllib_score"))
     )
+
+
+# rank-overlap floor for the MLlib twin: the two IDF formulas
+# (log((N+1)/(df+1)) vs log(10000/(df+1))) differ by an additive constant
+# per term, so per-doc top-k sets agree substantially but not perfectly;
+# measured overlap on the sf0.01 fixture is 0.988 — the floor sits far
+# below that (regression guard) but far above the ~k/|vocab| random-set
+# overlap (~0.05).
+MLLIB_TWIN_K = 5
+MLLIB_OVERLAP_FLOOR = 0.5
+
+
+def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
+                             k: int = MLLIB_TWIN_K,
+                             floor: float = MLLIB_OVERLAP_FLOOR) -> DataFrame:
+    """(n_exact, overlap_ok): the VALUE CHECK for :func:`tfidf_mllib` — the
+    same twin pattern as the ANN recall gates (``similarity.py``). MLlib's
+    IDF formula deliberately diverges from the reference (SURVEY §4.3), so
+    scores can't be compared directly; but both formulas are monotone
+    decreasing in df at fixed N, so the per-doc TOP-``k`` TERM SETS must
+    agree substantially — a broken vectorizer, vocabulary, or IDF fit
+    collapses the overlap, while formula-constant drift doesn't. The
+    fitted vocabulary (≤100 strings of driver-side model state) names the
+    exploded vector slots; ranking is two bounded per-doc windows (≤100
+    terms per doc by construction); the oracle reproduces ``n_exact``
+    from the fully-oracled exact pipeline and pins ``overlap_ok = 1``."""
+    vocab, feats = _tfidf_mllib_fit(spark, sf_dir)
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    mllib = (
+        feats.select("doc_id", vector_to_array("features").alias("vals"))
+        .select("doc_id", F.posexplode("vals").alias("term_idx", "mllib_score"))
+        .where(F.col("mllib_score") > 0)
+        .withColumn("term", F.element_at(vocab_arr, F.col("term_idx") + 1))
+    )
+    w_m = Window.partitionBy("doc_id").orderBy(F.desc("mllib_score"), F.asc("term"))
+    mtop = (
+        mllib.withColumn("rn", F.row_number().over(w_m))
+        .where(F.col("rn") <= k).select("doc_id", "term")
+    )
+    w_e = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    etop = (
+        tfidf(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_e))
+        .where(F.col("rn") <= k).select("doc_id", "term")
+    )
+    hits = etop.join(mtop, ["doc_id", "term"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    total = etop.agg(F.count(F.lit(1)).alias("n_exact"))
+    return total.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        (F.col("hits") >= F.lit(floor) * F.col("n_exact")).cast("int").alias("overlap_ok"),
+    )
+
+
+def tfidf_mllib_topk_overlap_oracle(k: int = MLLIB_TWIN_K) -> str:
+    return f"""
+WITH tfidf_full AS ({tfidf_oracle()}),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM tfidf_full
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS overlap_ok
+FROM ranked WHERE rn <= {k}
+"""
 
 
 # --------------------------------------------------------------------------- #

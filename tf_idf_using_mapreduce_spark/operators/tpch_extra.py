@@ -641,8 +641,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(
             F.broadcast(total),
-            # integer cross-multiplication: no division, no float threshold
-            F.col("value_e4") * F.col("n_parts") > 2 * F.col("grand_total"),
+            # integer cross-multiplication: no division, no float threshold.
+            # Widened to DECIMAL(38,0) BEFORE multiplying: per-part value_e4
+            # reaches ~1e12 at sf100 and the part count ~2e7, so the bigint
+            # product (and 2x the grand total, ~2.4e19) exceeds int64 —
+            # Spark would wrap/null while DuckDB's HUGEINT sum kept going,
+            # breaking parity exactly at scale. 38-digit decimal (Spark) and
+            # int128 (DuckDB oracle) are both exact for these magnitudes,
+            # so the comparison stays bit-identical on both engines.
+            F.col("value_e4").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(2) * F.col("grand_total").cast("decimal(38,0)"),
         )
         .select(
             "l_partkey",
@@ -669,8 +677,8 @@ WITH per_part AS (
 )
 SELECT l_partkey, round(CAST(value_e4 AS DOUBLE) / 10000.0, 4) AS part_value
 FROM per_part
-WHERE value_e4 * (SELECT count(*) FROM per_part)
-      > 2 * (SELECT sum(value_e4) FROM per_part)
+WHERE CAST(value_e4 AS HUGEINT) * (SELECT count(*) FROM per_part)
+      > 2 * CAST((SELECT sum(value_e4) FROM per_part) AS HUGEINT)
 """
 
 

@@ -191,7 +191,9 @@ register("token_freq_cms", _ts.token_freq_cms, _ts.token_freq_cms_oracle())
 register("doc_splits", _ts.doc_splits, _ts.DOC_SPLITS_ORACLE)
 register("doc_freq_top100", _tfidf.doc_freq, _tfidf.doc_freq_oracle())
 register("doc_freq_approx", _tfidf.doc_freq_approx)  # rows-only: HLL impls differ; value check = _err twin in block 1
-register("tfidf_mllib", _tfidf.tfidf_mllib_exploded)  # rows-only: MLlib formula documented divergence
+register("tfidf_mllib", _tfidf.tfidf_mllib_exploded)  # rows-only: MLlib formula documented divergence; value check = the rank-overlap twin below
+register("tfidf_mllib_topk_overlap", _tfidf.tfidf_mllib_topk_overlap,
+         _tfidf.tfidf_mllib_topk_overlap_oracle())
 register("tfidf", _tfidf.tfidf, _tfidf.tfidf_oracle())
 register("tfidf_doc_similarity", _tfidf.tfidf_doc_similarity, _tfidf.tfidf_doc_similarity_oracle())
 register("top_terms_per_doc", _tfidf.top_terms_per_doc, _tfidf.top_terms_per_doc_oracle())
@@ -224,6 +226,10 @@ FORCE_FRESH: frozenset[str] = frozenset({
     "pretraining_manifest",
     # round 6: empty-stage fix — plain aggregates instead of groupBy(lit)
     "user_funnel",
+    # round 6: q11 threshold widened to decimal/int128 (int64 overflow at
+    # large SF); embedding_outliers centroid rounded to 9dp pre-dot
+    "q11_important_parts",
+    "embedding_outliers",
 })
 
 

@@ -19,11 +19,29 @@ from tf_idf_using_mapreduce_spark.sources.corpus import load_table
 
 
 def indexed_events(spark: SparkSession, sf_dir: str, events_per_tick: int = 100) -> DataFrame:
-    """Static side: events with a replay tick index (event-time order)."""
+    """Static side: events with a replay tick index (event-time order).
+
+    The global event-time rank runs as the two-phase distributed form —
+    bin by day, rank WITHIN each bin, add broadcast per-bin offsets (a
+    window over the tiny bin-totals table only) — never a bare
+    ``Window.orderBy`` that would drag the whole events table through ONE
+    task (same discipline as ``operators/packing.token_offsets_of`` and
+    ``operators/rangejoin``)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.withColumn(
-        "tick", ((F.row_number().over(w) - 1) / events_per_tick).cast("long")
+    binned = ev.withColumn("_bin", F.date_trunc("day", "ts"))
+    totals = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_n"))
+    w_bins = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_bins), F.lit(0))
+    ).select("_bin", "_off")
+    w_in = Window.partitionBy("_bin").orderBy("ts", "event_id")
+    return (
+        binned.join(F.broadcast(offsets), "_bin")
+        .withColumn(
+            "tick",
+            ((F.col("_off") + F.row_number().over(w_in) - 1) / events_per_tick).cast("long"),
+        )
+        .drop("_bin", "_off")
     )
 
 
