@@ -9,7 +9,8 @@ collected (full materialization). A warmup pass of the flagship amortizes JVM
 and codegen startup so numbers reflect steady-state execution.
 
 NOTE for cross-round comparison: the suite GROWS as operators land (r4: 34
-queries, r5: 45) — compare per-query values across rounds, not totals.
+queries, r5: 45, r6: 57) — compare per-query values across rounds, not
+totals.
 """
 
 from __future__ import annotations
@@ -84,6 +85,26 @@ BENCH_QUERIES = [
     "user_funnel",
     "user_retention_cohorts",
     "corpus_stats",
+    # round-6: the heaviest previously-unbenched relational/TPC-H tier —
+    # the 2x-envelope claim now covers the full relational surface, not
+    # just q1/q3/q5
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "rollup_customer_geo",
+    "cube_lineitem_flags",
+    "grouping_sets_revenue",
+    "user_event_unpivot",
+    "events_session_stream",
+    "dedup_apply",
+    "source_dup_matrix",
+    # round-6: the MLlib rank-overlap value twin (fits two ML models)
+    "tfidf_mllib_topk_overlap",
+    # round-6 dataset-release tier: content-hash split + LSH leakage audit
+    # + composed per-source datasheet
+    "train_val_test_split",
+    "split_leakage",
+    "dataset_card",
 ]
 
 

@@ -91,3 +91,18 @@ def test_model_swap_seam_one_load_per_task(spark, tmp_path):
     n_rows = 500  # sf0.001 documents
     max_tasks = spark.sparkContext.defaultParallelism
     assert 1 <= len(loads) <= max_tasks < n_rows
+
+
+def test_model_swap_keeps_plan_shape(spark):
+    """Swapping the tagger model must not change the physical plan: same
+    mapInPandas partial-stripe + two-level aggregate, whichever model is
+    inside the closure (round-6 verdict item — the seam is data, not
+    plan)."""
+    from tests.test_textstats import _plan_shape
+    from tf_idf_using_mapreduce_spark.operators.pos import pos_counts_stripes
+
+    base = pos_counts_stripes(spark, SF_SMOKE)
+    swapped = pos_counts_stripes(spark, SF_SMOKE, tagger_factory=lambda: (lambda tok: "X"))
+    assert _plan_shape(base) == _plan_shape(swapped)
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "HashAggregate" in plan, plan[:1500]

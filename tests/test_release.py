@@ -1,0 +1,105 @@
+"""Dataset-release tier (round 6): split / leakage audit / recipe / card."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import release as rel
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+
+@pytest.mark.parametrize(
+    "name", ["train_val_test_split", "split_leakage", "mixture_plan", "dataset_card"]
+)
+def test_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_split_is_content_stable_and_complete(spark):
+    """Same text → same split regardless of doc_id (the property id-hash
+    splits do NOT have); every non-null doc gets a split; proportions are
+    in the right neighborhood of 90/5/5."""
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None)] + [
+        (10 + i, f"doc number {i} " + "filler " * (i % 7)) for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["split"] for r in rel.split_assignment_df(docs).collect()}
+    assert out[1] == out[2] and out[1] in {"train", "val", "test"}
+    assert out[3] is None
+    assigned = [s for d, s in out.items() if s is not None]
+    assert len(assigned) == len(rows) - 1
+    train_share = sum(1 for s in assigned if s == "train") / len(assigned)
+    assert 0.8 < train_share < 0.97  # hash-uniform around 0.90
+
+
+def test_split_leakage_same_hash_cross_is_structurally_zero(spark):
+    """Byte-identical texts cannot straddle splits under content-hash
+    assignment — the invariant the oracle pins; check it on a corpus DENSE
+    with exact dups under different ids."""
+    import tempfile
+
+    rows = [(i, f"shared text body number {i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        row = rel.split_leakage(spark, d).collect()[0]
+    assert row["n_same_hash_cross"] == 0
+    assert row["n_pairs"] >= row["n_cross"] >= 0
+
+
+def test_mixture_plan_arithmetic(spark):
+    """Weights sum to 1, epochs = ceil(rate), and a source holding less
+    than its target share gets rate > 1 (upsampling by repetition)."""
+    import math
+
+    rows = rel.mixture_plan(spark, SF_SMOKE).collect()
+    assert abs(sum(r["target_weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        # sample_rate is rounded 6dp after epochs was ceil'd from the raw
+        # rate — allow the one-ulp boundary either way
+        lo = max(1, math.ceil(r["sample_rate"] - 1e-6))
+        hi = max(1, math.ceil(r["sample_rate"] + 1e-6))
+        assert lo <= r["epochs"] <= hi, r
+        expected = r["target_weight"] * total / r["n_tokens"]
+        assert abs(r["sample_rate"] - expected) < 1e-3
+    # src0 targets 30% of tokens but holds ~1/20 of them -> must upsample
+    src0 = next(r for r in rows if r["source"] == "src0")
+    assert src0["sample_rate"] > 1 and src0["epochs"] >= 2
+
+
+def test_dataset_card_cross_checks(spark):
+    """Card totals must agree with the operators it composes: doc/token
+    totals with corpus_stats, dup mass with dedup_exact's group census."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_exact
+    from tf_idf_using_mapreduce_spark.operators.textstats import corpus_stats
+
+    cards = rel.dataset_card(spark, SF_SMOKE).collect()
+    stats = corpus_stats(spark, SF_SMOKE).collect()[0]
+    assert sum(r["n_docs"] for r in cards) == stats["n_docs"]
+    assert sum(r["n_tokens"] for r in cards) == stats["total_tokens"]
+    dup_total = (
+        dedup_exact(spark, SF_SMOKE)
+        .where(F.col("n_docs") > 1)
+        .agg(F.sum("n_docs").alias("s"))
+        .collect()[0]["s"]
+    ) or 0
+    # dedup_exact groups NULL texts together; the card counts NULL text as
+    # never-dup, so its dup mass is the non-null part of the group census
+    n_null = stats["n_null_text"]
+    null_dups = n_null if n_null > 1 else 0
+    assert sum(r["dup_docs"] for r in cards) == dup_total - null_dups
+    for r in cards:
+        assert 0 <= r["quality_keep"] <= r["n_docs"]
+        assert 0 <= r["pii_docs"] <= r["n_docs"]
+        assert 1 <= r["n_langs"]
+
+
+def test_split_is_map_only(spark):
+    plan = (
+        rel.train_val_test_split(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]

@@ -209,10 +209,13 @@ def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):
     os.makedirs(d)
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
+    base_mtime = int(_time.time())
+
     def write_file(idx, rows):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        path = f"{d}/f{idx}.parquet"
         pq.write_table(
             pa.table({
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -222,10 +225,12 @@ def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):
                 "value": pa.array([r[4] for r in rows], pa.float64()),
                 "props": [r[5] for r in rows],
             }),
-            f"{d}/f{idx}.parquet",
+            path,
         )
-        # file source orders batches by modification time — keep it strict
-        _time.sleep(1.1)
+        # the file source orders batches by modification time: pin strictly
+        # increasing mtimes EXPLICITLY (10 s apart) instead of sleeping —
+        # wall-clock sleeps flake on coarse-mtime filesystems
+        os.utime(path, (base_mtime + idx * 10, base_mtime + idx * 10))
 
     t = dt.datetime(2024, 3, 1)
     on_time = [
@@ -250,6 +255,14 @@ def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):
     write_file(2, advance)
     write_file(3, late_and_future)
 
+    # the final 12:00 window only flushes in the no-data microbatch that
+    # follows the last file (append mode emits a window one batch AFTER the
+    # watermark passes it) — make that dependency explicit rather than
+    # silently relying on the default
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        == "true"
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -1,0 +1,333 @@
+"""Dataset-release operators (round 6): the steps between a curated corpus
+and a published training dataset — deterministic train/val/test assignment,
+a near-dup split-leakage audit, the token-budget mixture plan (sampling
+rates + epochs per source), and the per-source dataset card.
+
+These close the release end of the pipeline the way ``pretrain.py`` closed
+the packing end: every operator is a declarative DataFrame query with a
+DuckDB oracle, and the leakage audit is a structural VALUE CHECK (content-
+hash splitting makes same-text leakage impossible by construction, and the
+oracle pins that invariant at 0).
+
+Scale notes (100 TB):
+- ``train_val_test_split`` is MAP-ONLY: the split is a pure hash of the
+  document CONTENT (not doc_id), so byte-identical duplicates land in the
+  same split no matter which ids they carry — assignment survives re-ingest,
+  re-partitioning, and id reassignment, and no shuffle runs at any size.
+- ``split_leakage`` rides the banded-LSH candidate machinery
+  (``dedup.dedup_minhash_lsh``) — hot-bucket caps included — plus one
+  broadcast-sized aggregate; nothing quadratic.
+- ``mixture_plan`` / ``dataset_card`` aggregate to O(sources) rows with one
+  shuffle each on uniform keys (source / content hash); every per-source
+  statistic is an exact integer (no float sum can wobble under partial
+  aggregation order — the file-wide discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.operators.curation import (
+    PII_DIGITRUN,
+    PII_EMAIL,
+    PII_IPV4,
+)
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+_TOKENS = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+
+# content-hash split: bucket = md5('split:' || text) % 100. Salted so the
+# split hash is independent of every other content hash in the engine
+# (dedup, shuffle, mixture all use different salts/keys).
+SPLIT_SALT = "split"
+SPLIT_TRAIN_END = 90   # buckets [0, 90) -> train
+SPLIT_VAL_END = 95     # buckets [90, 95) -> val, [95, 100) -> test
+
+
+def split_assignment_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, split) over any (doc_id, text) frame. The split is
+    a hash of the CONTENT: identical texts always co-assign (re-ingested
+    duplicates cannot straddle train/test), NULL text stays NULL (unknown
+    stays unknown — the corpus-wide contract). Map-only at any scale."""
+    bucket = (
+        f"cast(conv(substr(md5(concat('{SPLIT_SALT}:', text)), 1, 8), 16, 10) as bigint)"
+        " % 100"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(bucket).alias("bucket"),
+        F.expr(
+            f"CASE WHEN text IS NULL THEN NULL"
+            f" WHEN {bucket} < {SPLIT_TRAIN_END} THEN 'train'"
+            f" WHEN {bucket} < {SPLIT_VAL_END} THEN 'val'"
+            f" ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, split): deterministic content-hash 90/5/5 split of
+    the documents table — see :func:`split_assignment_df`."""
+    return split_assignment_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_SPLIT_BUCKET_DUCK = (
+    f"CAST(('0x' || substr(md5('{SPLIT_SALT}:' || text), 1, 8)) AS BIGINT) % 100"
+)
+
+TRAIN_VAL_TEST_SPLIT_ORACLE = f"""
+SELECT doc_id, {_SPLIT_BUCKET_DUCK} AS bucket,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_END} THEN 'train'
+            WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_END} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_pairs, n_cross, n_same_hash_cross): the pre-release leakage audit
+    — of all near-dup pairs (banded LSH + exact Jaccard ≥ 0.8, the
+    registered ``dedup_minhash_lsh``), how many straddle two different
+    splits (``n_cross`` — eval contamination a release must report), and
+    how many of THOSE are byte-identical texts (``n_same_hash_cross`` —
+    structurally IMPOSSIBLE under content-hash splitting, so the oracle
+    pins it at 0; a nonzero value means the split function broke). One
+    extra broadcast-sized join over the dedup candidates; the quadratic
+    work is the capped LSH machinery itself."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assign = split_assignment_df(docs).select("doc_id", "split").join(
+        docs.select("doc_id", F.md5("text").alias("h")), "doc_id"
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("h").alias("h_a"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("h").alias("h_b"),
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    cross = (F.col("split_a") != F.col("split_b")).cast("long")
+    same_hash_cross = (
+        (F.col("split_a") != F.col("split_b")) & (F.col("h_a") == F.col("h_b"))
+    ).cast("long")
+    # coalesce: a pair-free corpus must report (0, 0, 0), not NULLs (the
+    # oracle's coalesce does the same)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(cross), F.lit(0)).alias("n_cross"),
+        F.coalesce(F.sum(same_hash_cross), F.lit(0)).alias("n_same_hash_cross"),
+    )
+
+
+def split_leakage_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import MINHASH_LSH_ORACLE
+
+    return f"""
+WITH pairs AS ({MINHASH_LSH_ORACLE}),
+assign AS (SELECT doc_id, md5(text) AS h,
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_END} THEN 'train'
+                       WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_END} THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+joined AS (SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+                  a.h AS h_a, b.h AS h_b
+           FROM pairs p
+           JOIN assign a ON a.doc_id = p.doc_a
+           JOIN assign b ON b.doc_id = p.doc_b)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_cross,
+       CAST(0 AS BIGINT) AS n_same_hash_cross
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------- #
+# token-budget mixture plan (sampling rates + epochs per source)
+# --------------------------------------------------------------------------- #
+
+# named target weights for the headline sources; every other source shares
+# the remaining mass equally. A trained data recipe would change these
+# constants, not the plan (same seam discipline as the quality classifier).
+MIXTURE_TARGETS = {"src0": 0.30, "src1": 0.20, "src2": 0.10}
+RATE_ROUND = 6
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, target_weight, sample_rate, epochs): the
+    data recipe a training run consumes — for each source, the sampling
+    rate that hits its target token share of the ORIGINAL corpus token
+    total, and the epoch count (repeat factor) when the target demands
+    more tokens than the source has (rate > 1 ⇒ upsample by repetition,
+    the standard Llama-recipe arithmetic). target_weight for sources not
+    named in ``MIXTURE_TARGETS`` is the remaining mass split equally —
+    computed FROM THE DATA so the weights always sum to 1 whatever the
+    source census is. One aggregate to O(sources) rows, then pure scalar
+    arithmetic on the tiny table; all divisions are double-on-exact-ints
+    (deterministic — no float SUM anywhere)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(f"size({_TOKENS})")).alias("n_tokens"),
+    )
+    named = list(sorted(MIXTURE_TARGETS))
+    named_mass = sum(MIXTURE_TARGETS.values())
+    in_named = F.col("source").isin(named)
+    totals = per.agg(
+        F.sum("n_tokens").alias("t_total"),
+        F.sum(in_named.cast("long")).alias("n_named"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    entries: list = []
+    for k in named:
+        entries.extend([F.lit(k), F.lit(float(MIXTURE_TARGETS[k]))])
+    weight = F.coalesce(
+        F.element_at(F.create_map(*entries), F.col("source")),
+        (F.lit(1.0) - F.lit(float(named_mass)))
+        / (F.col("n_sources") - F.col("n_named")).cast("double"),
+    )
+    rate = weight * F.col("t_total").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(weight, RATE_ROUND).alias("target_weight"),
+            F.round(rate, RATE_ROUND).alias("sample_rate"),
+            F.greatest(F.lit(1), F.ceil(rate)).cast("long").alias("epochs"),
+        )
+    )
+
+
+def mixture_plan_oracle() -> str:
+    named = sorted(MIXTURE_TARGETS)
+    named_mass = sum(MIXTURE_TARGETS.values())
+    in_list = ", ".join(f"'{k}'" for k in named)
+    w_cases = " ".join(
+        f"WHEN source = '{k}' THEN {MIXTURE_TARGETS[k]}" for k in named
+    )
+    return f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+         sum(CASE WHEN source IN ({in_list}) THEN 1 ELSE 0 END) AS n_named,
+         count(*) AS n_sources
+  FROM per
+),
+w AS (
+  SELECT per.*, tot.t_total,
+         CASE {w_cases}
+              ELSE (1.0 - {named_mass}) / CAST(n_sources - n_named AS DOUBLE)
+         END AS weight
+  FROM per, tot
+)
+SELECT source, n_docs, n_tokens,
+       round(weight, {RATE_ROUND}) AS target_weight,
+       round(weight * CAST(t_total AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+             {RATE_ROUND}) AS sample_rate,
+       CAST(greatest(1, ceil(weight * CAST(t_total AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE))) AS BIGINT) AS epochs
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------- #
+# per-source dataset card (the datasheet table of a release)
+# --------------------------------------------------------------------------- #
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, dup_docs, quality_keep, pii_docs,
+    n_langs): the per-source datasheet every dataset release publishes —
+    size, exact-duplicate mass, quality-classifier keeps, documents
+    carrying PII shapes, language spread. COMPOSED from the registered
+    operators' own expression trees (dedup_exact's hash groups, the
+    quality classifier, the PII counters) joined on doc_id, then ONE
+    aggregate to O(sources) rows — the third composition proof after the
+    two pretraining pipelines. Every output is an exact integer, so no
+    aggregation order can perturb it at any partition count."""
+    from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction_df
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_df
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    h_counts = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("h_n"))
+    )
+    base = (
+        docs.withColumn("h", F.md5("text"))
+        .join(h_counts, "h", "left")
+        .select(
+            "doc_id", "source", "lang",
+            F.expr(f"size({_TOKENS})").alias("n_tok"),
+            (F.col("text").isNotNull() & (F.col("h_n") > 1)).cast("long").alias("is_dup"),
+        )
+    )
+    qc = quality_classifier_df(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_label"
+    )
+    pii = pii_redaction_df(docs.select("doc_id", "text")).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_digitruns") > 0)
+        .cast("long").alias("has_pii"),
+    )
+    return (
+        base.join(qc, "doc_id").join(pii, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("is_dup").alias("dup_docs"),
+            F.sum((F.col("quality_label") == "keep").cast("long")).alias("quality_keep"),
+            F.sum(F.coalesce(F.col("has_pii"), F.lit(0))).alias("pii_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def dataset_card_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.curation import PII_REDACTION_ORACLE
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_oracle
+
+    return f"""
+WITH hc AS (SELECT md5(text) AS h, count(*) AS h_n FROM documents
+            WHERE text IS NOT NULL GROUP BY 1),
+qc AS ({quality_classifier_oracle()}),
+pii AS ({PII_REDACTION_ORACLE}),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, len({_TOKENS}) AS n_tok,
+         CASE WHEN d.text IS NOT NULL AND hc.h_n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents d LEFT JOIN hc ON md5(d.text) = hc.h
+)
+SELECT base.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+       CAST(sum(CASE WHEN qc.quality_label = 'keep' THEN 1 ELSE 0 END)
+            AS BIGINT) AS quality_keep,
+       CAST(sum(CASE WHEN pii.n_emails + pii.n_ips + pii.n_digitruns > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       CAST(count(DISTINCT base.lang) AS BIGINT) AS n_langs
+FROM base
+JOIN qc ON qc.doc_id = base.doc_id
+JOIN pii ON pii.doc_id = base.doc_id
+GROUP BY base.source
+"""

@@ -545,18 +545,24 @@ QC_W = {"bias": -2.0, "log_len": 0.9, "stop": 2.0, "mtl": -0.15, "alpha": 1.2}
 QC_THRESHOLD = 0.5
 
 
-def _qc_z(n_tok: str, stop_ratio: str, mtl: str, alpha: str) -> str:
+def _qc_z(n_tok: str, stop_ratio: str, mtl: str, alpha: str,
+          w: dict | None = None) -> str:
+    w = QC_W if w is None else w
     return (
-        f"({QC_W['bias']} + {QC_W['log_len']} * ln(1 + {n_tok})"
-        f" + {QC_W['stop']} * {stop_ratio} + {QC_W['mtl']} * {mtl}"
-        f" + {QC_W['alpha']} * {alpha})"
+        f"({w['bias']} + {w['log_len']} * ln(1 + {n_tok})"
+        f" + {w['stop']} * {stop_ratio} + {w['mtl']} * {mtl}"
+        f" + {w['alpha']} * {alpha})"
     )
 
 
-def quality_classifier_df(docs: DataFrame) -> DataFrame:
+def quality_classifier_df(docs: DataFrame,
+                          weights: dict | None = None) -> DataFrame:
     """Expression form of :func:`quality_classifier` over any
     (doc_id, text) frame — reused verbatim by the composed pretraining
-    pipeline."""
+    pipeline. ``weights`` is the MODEL-SWAP SEAM: a trained logistic drops
+    in as a different constant dict and the plan is bit-identical in shape
+    (same single codegen projection, zero shuffle) — pinned by
+    tests/test_textstats.py."""
     toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
     n_tok = f"size({toks})"
     n_stop = _count_in_list(toks, _QUALITY_STOPS)
@@ -569,7 +575,10 @@ def quality_classifier_df(docs: DataFrame) -> DataFrame:
         "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
         " / greatest(length(text), 1))"
     )
-    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    prob = (
+        f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha, weights)})),"
+        f" {QUALITY_ROUND})"
+    )
     return docs.select(
         "doc_id",
         F.expr(prob).alias("quality_prob"),

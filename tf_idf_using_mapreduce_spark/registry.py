@@ -210,6 +210,14 @@ register("curation_filter", _cur.curation_filter, _cur.curation_filter_oracle())
 register("source_mixture", _cur.source_mixture, _cur.SOURCE_MIXTURE_ORACLE)
 register("doc_chunks", _pack.doc_chunks, _pack.DOC_CHUNKS_ORACLE)
 
+# -- round 6: dataset-release tier (split / leakage audit / recipe / card) --
+from tf_idf_using_mapreduce_spark.operators import release as _rel6  # noqa: E402
+
+register("train_val_test_split", _rel6.train_val_test_split, _rel6.TRAIN_VAL_TEST_SPLIT_ORACLE)
+register("split_leakage", _rel6.split_leakage, _rel6.split_leakage_oracle())
+register("mixture_plan", _rel6.mixture_plan, _rel6.mixture_plan_oracle())
+register("dataset_card", _rel6.dataset_card, _rel6.dataset_card_oracle())
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""Adversarial-skew benchmark: prove the LSH hot-bucket caps earn their keep
+on Zipf-skewed data, not just on the uniform fixture (round-6 verdict item).
+
+The organic fixture never triggers ``LSH_BUCKET_CAP`` (max observed bucket
+≲ 20 members), so the bench suite alone can't show what the cap buys at
+100 TB, where boilerplate/template clusters are the RULE: real crawl corpora
+have Zipf-distributed duplication (a handful of templates account for a huge
+share of near-dup mass). This harness:
+
+1. generates a Zipf-skewed corpus at ~sf0.1 document count (deterministic,
+   seeded): near-dup cluster sizes follow ``size_i ∝ head / i**1.1`` with a
+   ~600-member head template cluster — every band bucket that cluster forms
+   is hot (≫ cap) — plus organic unique tails;
+2. times ``dedup_minhash_lsh`` and ``dedup_incremental`` with the cap at its
+   production value (64) and with the cap DISABLED, same data, same session;
+3. prints ONE JSON line with both wall-clocks and the candidate-pair counts,
+   for the scaling report.
+
+Uncapped, the head cluster alone expands to ~size²/2 candidate pairs, each
+paying an exact-Jaccard array_intersect over hundreds of shingles — the
+O(bucket²) blowup the cap exists to amputate. Capped cost must stay in the
+same band as the uniform-fixture bench entry; that is the 100 TB claim.
+
+Usage: python tools/skew_bench.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 42
+N_DOCS_TARGET = 5000          # ~sf0.1 document count
+HEAD_CLUSTER = 1500           # members of the hottest template cluster
+ZIPF_S = 1.1
+DOC_WORDS = 80
+VOCAB = 4000
+MUTATIONS = 2                 # words swapped per cluster member (keeps J >= ~0.8)
+
+
+def generate_zipf_corpus(out_dir: str) -> str:
+    """Write documents.parquet with Zipf-distributed near-dup clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    # purely-alphabetic vocab (the tokenizer is [a-z]+)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(rng.choice(list(letters), size=7))
+        for _ in range(VOCAB)
+    ]
+
+    texts: list[str] = []
+    cluster_of: list[int] = []
+    i = 1
+    while len(texts) < N_DOCS_TARGET:
+        size = max(1, int(HEAD_CLUSTER / i ** ZIPF_S))
+        template = rng.choice(VOCAB, size=DOC_WORDS, replace=True)
+        for _ in range(min(size, N_DOCS_TARGET - len(texts))):
+            words = template.copy()
+            n_mut = int(rng.integers(0, MUTATIONS + 1))
+            for _ in range(n_mut):
+                words[int(rng.integers(0, DOC_WORDS))] = int(rng.integers(0, VOCAB))
+            texts.append(" ".join(vocab[w] for w in words))
+            cluster_of.append(i)
+        i += 1
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+            "source": ["zipf_c%d" % c for c in cluster_of],
+        }),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    return out_dir
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_zipf"
+    sf_dir = generate_zipf_corpus(out_dir)
+
+    from tf_idf_using_mapreduce_spark.session import get_spark
+    from tf_idf_using_mapreduce_spark.operators import dedup as dd
+
+    spark = get_spark("skew_bench")
+    results: dict[str, dict] = {}
+
+    # warmup (JVM + codegen) outside every measured window
+    dd.dedup_exact(spark, sf_dir).collect()
+
+    production_cap = dd.LSH_BUCKET_CAP
+    for label, cap in (("capped", production_cap), ("uncapped", 1 << 60)):
+        dd.LSH_BUCKET_CAP = cap
+        try:
+            for qname, fn in (
+                ("dedup_minhash_lsh", dd.dedup_minhash_lsh),
+                ("dedup_incremental", dd.dedup_incremental),
+            ):
+                # min-of-2: the first pass pays this plan's codegen, which
+                # would otherwise bias whichever variant runs first
+                best, n_pairs = float("inf"), 0
+                for _ in range(2):
+                    t0 = time.time()
+                    n_pairs = fn(spark, sf_dir).count()
+                    best = min(best, time.time() - t0)
+                results.setdefault(qname, {})[label] = {
+                    "sec": round(best, 3), "pairs": n_pairs,
+                }
+        finally:
+            dd.LSH_BUCKET_CAP = production_cap
+
+    print(json.dumps({
+        "metric": "skew_bench",
+        "corpus": {
+            "n_docs": N_DOCS_TARGET,
+            "head_cluster": HEAD_CLUSTER,
+            "zipf_s": ZIPF_S,
+            "cap": production_cap,
+        },
+        "queries": results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
