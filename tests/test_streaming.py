@@ -3,6 +3,8 @@ session-window state paths."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMOKE, assert_query_matches_oracle
 from tf_idf_using_mapreduce_spark.streaming import events as se
 
@@ -187,6 +189,36 @@ def test_documents_stream_pii_matches_batch(spark):
 
 def test_documents_stream_pii_oracle_parity(spark):
     assert_query_matches_oracle(spark, "documents_stream_pii")
+
+
+def test_documents_stream_split_matches_batch(spark):
+    """Ingest-time split assignment: content-hash splitting is arrival-order
+    independent, so the streaming run must equal the batch operator row for
+    row — the property that makes split-at-ingest safe at all."""
+    from tf_idf_using_mapreduce_spark.operators.release import train_val_test_split
+    from tf_idf_using_mapreduce_spark.streaming.corpus import documents_stream_split
+
+    batch = sorted(map(tuple, train_val_test_split(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_split(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+def test_documents_stream_dedup_matches_batch(spark):
+    """Ingest-time exact dedup: the STATEFUL streaming aggregation (running
+    per-hash count + min survivor in the state store, complete mode) must
+    converge to the batch dedup table exactly — min() makes the election
+    arrival-order independent."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import dedup_exact
+    from tf_idf_using_mapreduce_spark.streaming.corpus import documents_stream_dedup
+
+    batch = sorted(map(tuple, dedup_exact(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_dedup(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+@pytest.mark.parametrize("name", ["documents_stream_split", "documents_stream_dedup"])
+def test_documents_stream_round6_oracle_parity(spark, name):
+    assert_query_matches_oracle(spark, name)
 
 
 def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):

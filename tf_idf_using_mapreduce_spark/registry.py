@@ -217,6 +217,10 @@ register("train_val_test_split", _rel6.train_val_test_split, _rel6.TRAIN_VAL_TES
 register("split_leakage", _rel6.split_leakage, _rel6.split_leakage_oracle())
 register("mixture_plan", _rel6.mixture_plan, _rel6.mixture_plan_oracle())
 register("dataset_card", _rel6.dataset_card, _rel6.dataset_card_oracle())
+register("documents_stream_split", _stream_corpus.documents_stream_split,
+         _rel6.TRAIN_VAL_TEST_SPLIT_ORACLE)
+register("documents_stream_dedup", _stream_corpus.documents_stream_dedup,
+         _dedup.DEDUP_EXACT_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)

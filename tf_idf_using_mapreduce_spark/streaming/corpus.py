@@ -48,6 +48,47 @@ def documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(result_name)
 
 
+def documents_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, split): train/val/test assignment evaluated ON THE
+    STREAM — same content-hash expression tree, same oracle as the batch
+    ``train_val_test_split``. Because the split hashes CONTENT, streaming
+    assignment is order-independent by construction: whatever microbatch a
+    document lands in, it gets the identical split it would get in batch —
+    exactly why id- or arrival-order-based splits can't run at ingest time.
+    Stateless map-only microbatching, zero shuffle at any rate."""
+    from tf_idf_using_mapreduce_spark.operators.release import split_assignment_df
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_split_result"
+    run_stream_to_memory(split_assignment_df(stream), result_name, output_mode="append")
+    return spark.table(result_name)
+
+
+def documents_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text_hash, n_docs, canonical_doc_id): EXACT dedup maintained ON THE
+    STREAM — the ingest-time survivor election (content-hash groups with
+    min-doc_id winners) updated every microbatch, against the same oracle
+    as the batch ``dedup_exact``. Unlike the stateless twins above this is
+    a genuinely STATEFUL streaming aggregation (running per-hash counts +
+    min), held in the state store keyed by the uniform content hash; the
+    min-aggregate makes the result arrival-order independent, which is
+    what lets one oracle pin both engines. Complete output mode because
+    the result IS the running dedup table a landing pipeline reads back."""
+    from pyspark.sql import functions as F
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    agg = (
+        stream.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+    result_name = "documents_stream_dedup_result"
+    run_stream_to_memory(agg, result_name, output_mode="complete")
+    return spark.table(result_name)
+
+
 def documents_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, clean_text, n_emails, n_ips, n_digitruns): the PII scrub
     evaluated ON THE STREAM — same expression tree, same oracle as the
