@@ -126,6 +126,41 @@ def test_user_retention_cohorts_oracle_parity(spark):
     assert_query_matches_oracle(spark, "user_retention_cohorts")
 
 
+def test_events_hourly_anomalies_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "events_hourly_anomalies")
+
+
+def test_events_hourly_anomalies_flags_injected_spike(spark):
+    """A gently-cycling 9/10/11-events/hour series with one 100-event hour
+    must flag exactly that hour (z ≈ 100 sigmas); the cycle keeps the
+    baseline variance nonzero (a perfectly flat baseline is degenerate —
+    var = 0 rows are excluded by contract) while its own |z| stays ≈ 1.2,
+    and post-spike hours stay small because the spike inflates their
+    baseline sigma."""
+    import datetime as dt
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(60):
+        burst = 100 if h == 50 else 9 + h % 3
+        for k in range(burst):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=k), 1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = ss.events_hourly_anomalies(spark, d).collect()
+    assert [r["hour"] for r in got] == ["2024-01-03 02:00"]  # t0 + 50h
+    assert got[0]["n"] == 100 and got[0]["z"] > 10
+
+
 def test_user_retention_week_zero_covers_every_user(spark):
     """Every user is active in their own cohort week, so the offset-0 rows
     must together count every distinct user exactly once."""

@@ -222,3 +222,90 @@ SELECT date_trunc('week', first_ts) AS cohort_week,
 FROM events e JOIN first ON e.user_id = first.user_id
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------- #
+# hourly volume anomalies (trailing z-score over the aggregated series)
+# --------------------------------------------------------------------------- #
+
+ANOMALY_LOOKBACK = 24   # trailing hours forming each point's baseline
+ANOMALY_Z_MIN = 2.0     # |z| threshold to report
+Z_ROUND = 3
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str,
+                            lookback: int = ANOMALY_LOOKBACK,
+                            z_min: float = ANOMALY_Z_MIN) -> DataFrame:
+    """(event_type, hour, n, z): hours whose event volume deviates ≥
+    ``z_min`` sigmas from the trailing ``lookback``-hour baseline — the
+    monitoring staple over any event firehose (traffic spikes, outages,
+    bot bursts). Shape: ONE aggregation collapses the fact to the
+    O(types × hours) hourly series, then the z-score is a bounded ROWS
+    window PER event_type over that tiny series — the window never sees
+    the raw fact, and the series is bounded by wall-clock time (≈ 9k
+    rows/type/year) regardless of corpus size. Float discipline: the
+    baseline mean/variance derive from EXACT integer window sums
+    (sum(n), sum(n²) — associative, order-proof), with the algebra done
+    identically in both engines; never a Welford-style running stddev,
+    whose accumulation order differs between engines."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-lookback, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("cnt"),
+    ).where(F.col("cnt") >= lookback)
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt"))
+        / (F.col("cnt") - 1)
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        scored.where(var > 0)
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm").alias("hour"),
+            "n",
+            F.round(z, Z_ROUND).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= z_min)
+    )
+
+
+EVENTS_ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2,
+         count(n) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M') AS hour, CAST(n AS BIGINT) AS n,
+         round((n - CAST(s1 AS DOUBLE) / cnt)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)),
+               {Z_ROUND}) AS z
+  FROM win
+  WHERE cnt >= {ANOMALY_LOOKBACK}
+    AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1) > 0
+)
+SELECT event_type, hour, n, z FROM scored WHERE abs(z) >= {ANOMALY_Z_MIN}
+"""

@@ -221,6 +221,8 @@ register("documents_stream_split", _stream_corpus.documents_stream_split,
          _rel6.TRAIN_VAL_TEST_SPLIT_ORACLE)
 register("documents_stream_dedup", _stream_corpus.documents_stream_dedup,
          _dedup.DEDUP_EXACT_ORACLE)
+register("events_hourly_anomalies", _sess.events_hourly_anomalies,
+         _sess.EVENTS_ANOMALY_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
