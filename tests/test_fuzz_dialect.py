@@ -56,6 +56,13 @@ FUZZ_QUERIES = [
     # rewrites text, so the manifest token counts check the scrub end-to-end
     "pretraining_manifest",
     "corpus_stats",
+    # round-6 dataset-release tier: content-hash split (NULL/empty/unicode
+    # texts), LSH leakage audit, token-budget recipe (zero-token sources),
+    # composed per-source datasheet
+    "train_val_test_split",
+    "split_leakage",
+    "mixture_plan",
+    "dataset_card",
 ]
 
 _EDGE_TEXTS = [

@@ -177,9 +177,15 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on the tiny table; all divisions are double-on-exact-ints
     (deterministic — no float SUM anywhere)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    per = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.expr(f"size({_TOKENS})")).alias("n_tokens"),
+    per = (
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({_TOKENS})")).alias("n_tokens"),
+        )
+        # a token-less source cannot supply tokens at ANY rate: excluded
+        # from the plan rather than dividing by zero (NULL-token sums —
+        # all-NULL-text sources — fall out the same way)
+        .where(F.col("n_tokens") > 0)
     )
     named = list(sorted(MIXTURE_TARGETS))
     named_mass = sum(MIXTURE_TARGETS.values())
@@ -223,6 +229,7 @@ WITH per AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
+  HAVING sum(len({_TOKENS})) > 0
 ),
 tot AS (
   SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
