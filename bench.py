@@ -106,8 +106,10 @@ BENCH_QUERIES = [
     "split_leakage",
     "dataset_card",
     # round-6: stateful ingest-time dedup stream + hourly anomaly z-scores
+    # + leave-one-out 1-NN label-noise estimate (block-matmul exact path)
     "documents_stream_dedup",
     "events_hourly_anomalies",
+    "knn_label_agreement",
 ]
 
 

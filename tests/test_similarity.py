@@ -175,3 +175,30 @@ def test_embedding_outliers_flags_the_planted_point(spark):
     top = min(out, key=lambda r: (r["rk"]))
     assert top["vec_id"] == 99 and top["rk"] == 1
     assert top["cos_centroid"] < 0
+
+
+def test_knn_label_agreement_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "knn_label_agreement")
+
+
+def test_knn_label_agreement_perfect_on_separated_clusters(spark):
+    """Three tight, mutually-orthogonal label clusters ⇒ every vector's
+    nearest neighbor shares its label (agreement 100%); bounds hold."""
+    import tempfile
+
+    rows = []
+    vid = 0
+    for lab in range(3):
+        for i in range(5):
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[lab] = 1.0
+            v[3] = 0.01 * i  # tiny in-cluster jitter
+            rows.append((vid, v, lab))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = {r["label"]: r for r in sim.knn_label_agreement(spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    for lab, r in out.items():
+        assert r["n_vecs"] == 5 and r["nn_same"] == 5, r

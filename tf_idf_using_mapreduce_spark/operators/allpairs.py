@@ -144,4 +144,94 @@ def cosine_topk_pairs(
     )
 
 
-__all__: Iterable[str] = ["cosine_topk_pairs", "DEFAULT_BLOCKS"]
+def cosine_nn1(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    nrm_col: str = "nrm",
+    n_blocks: int = DEFAULT_BLOCKS,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(id, nn_id, cos_sim): each row's EXACT nearest neighbor by cosine
+    (excluding self; zero-dot pairs excluded per the file's sparse-join
+    convention; rows with no nonzero-dot neighbor are absent). Same
+    replication/tile machinery as :func:`cosine_topk_pairs`, but each tile
+    emits the tile-local best neighbor FOR EVERY ROW on both of its sides
+    (O(n·P) candidate rows total, not O(n²)), and the global argmax is a
+    per-id window over ≤ P candidates. Deterministic: cosine rounded
+    before ranking, ties break on nn_id ascending."""
+    from pyspark.sql import Window
+
+    P = n_blocks
+    tagged = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(nrm_col).alias("nrm")
+    ).withColumn("b", F.pmod(F.crc32(F.col("id").cast("string")), F.lit(P)).cast("int"))
+    left = tagged.select(
+        F.explode(
+            F.expr(f"transform(sequence(b, {P - 1}), j -> named_struct('bi', b, 'bj', j))")
+        ).alias("k"),
+        "id", "v", "nrm", F.lit(True).alias("is_left"),
+    )
+    right = tagged.where(F.col("b") > 0).select(
+        F.explode(
+            F.expr("transform(sequence(0, b - 1), i -> named_struct('bi', i, 'bj', b))")
+        ).alias("k"),
+        "id", "v", "nrm", F.lit(False).alias("is_left"),
+    )
+    repl = left.unionByName(right).select(
+        F.col("k.bi").alias("bi"), F.col("k.bj").alias("bj"), "id", "v", "nrm", "is_left"
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                              "nn_id": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        lf = pdf[pdf["is_left"]]
+        rf = lf if bi == bj else pdf[~pdf["is_left"]]
+        if lf.empty or rf.empty:
+            return empty
+        a_ids = lf["id"].to_numpy()
+        b_ids = rf["id"].to_numpy()
+        A = np.stack(lf["v"].to_numpy())
+        B = A if bi == bj else np.stack(rf["v"].to_numpy())
+        an = lf["nrm"].to_numpy()
+        bn = an if bi == bj else rf["nrm"].to_numpy()
+        S = (A @ B.T) / np.outer(an, bn)
+        valid = (S != 0.0) & (a_ids[:, None] != b_ids[None, :])
+        C = np.round(S, round_dp)
+        C[~valid] = -np.inf
+
+        def best_per_row(row_ids, M, col_ids):
+            # vectorized argmax with (cos desc, id asc) tie-break: among
+            # max-cos columns pick the smallest neighbor id
+            mx = M.max(axis=1)
+            ok = mx != -np.inf
+            if not ok.any():
+                return [], [], []
+            tie = M[ok] == mx[ok][:, None]
+            nb = np.where(tie, col_ids[None, :], np.iinfo(np.int64).max).min(axis=1)
+            return row_ids[ok].tolist(), nb.tolist(), mx[ok].tolist()
+
+        ids, nns, coss = best_per_row(a_ids, C, b_ids)
+        if bi != bj:
+            i2, n2, c2 = best_per_row(b_ids, C.T, a_ids)
+            ids += i2; nns += n2; coss += c2
+        if not ids:
+            return empty
+        return pd.DataFrame({"id": np.array(ids, dtype="int64"),
+                             "nn_id": np.array(nns, dtype="int64"),
+                             "cos_sim": np.array(coss, dtype="float64")})
+
+    candidates = repl.groupBy("bi", "bj").applyInPandas(
+        tile, "id long, nn_id long, cos_sim double"
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        candidates.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("id", "nn_id", "cos_sim")
+    )
+
+
+__all__: Iterable[str] = ["cosine_topk_pairs", "cosine_nn1", "DEFAULT_BLOCKS"]

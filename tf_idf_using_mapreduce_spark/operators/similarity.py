@@ -598,6 +598,61 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# leave-one-out 1-NN label agreement (label-noise estimate, r6)
+# --------------------------------------------------------------------------- #
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, nn_same): for every vector, does its EXACT nearest
+    neighbor (cosine, excluding self) carry the same label? — the standard
+    leave-one-out kNN consistency estimate of label noise in an embedding
+    space (clean labels ⇒ high agreement; a shuffled-label column ⇒
+    ~1/n_labels). Exact 1-NN runs on the replicated block-matmul machinery
+    (``allpairs.cosine_nn1``: O(n·P) candidates, never an n² intermediate);
+    beyond ~10⁶ vectors the LSH/IVF candidate routes take over with this
+    as their oracle, like every exact all-pairs twin in this file.
+    Outputs are integers (order-proof); vectors whose every dot product is
+    exactly 0 have no defined neighbor and are absent on both engines."""
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_nn1
+
+    vecs = _vectors(spark, sf_dir)
+    nn = cosine_nn1(vecs, id_col="vec_id", vec_col="v", nrm_col="nrm")
+    lab = vecs.select("vec_id", "label")
+    own = lab.select(F.col("vec_id").alias("id"), F.col("label").alias("own"))
+    nbr = lab.select(F.col("vec_id").alias("nn_id"), F.col("label").alias("nbr"))
+    return (
+        nn.join(own, "id").join(nbr, "nn_id")
+        .groupBy(F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("own") == F.col("nbr")).cast("long")).alias("nn_same"),
+        )
+    )
+
+
+KNN_LABEL_AGREEMENT_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+scored AS (
+  SELECT a.vec_id, a.label AS own, b.vec_id AS nbr_id, b.label AS nbr,
+         {duck_dot('a.v', 'b.v')} AS dot,
+         round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+),
+nn AS (
+  SELECT vec_id, own, nbr,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr_id ASC) AS rk
+  FROM scored WHERE dot <> 0
+)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN own = nbr THEN 1 ELSE 0 END) AS BIGINT) AS nn_same
+FROM nn WHERE rk = 1
+GROUP BY own
+"""
+
+
 EMBEDDING_OUTLIERS_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm

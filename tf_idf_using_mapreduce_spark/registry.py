@@ -223,6 +223,8 @@ register("documents_stream_dedup", _stream_corpus.documents_stream_dedup,
          _dedup.DEDUP_EXACT_ORACLE)
 register("events_hourly_anomalies", _sess.events_hourly_anomalies,
          _sess.EVENTS_ANOMALY_ORACLE)
+register("knn_label_agreement", _sim.knn_label_agreement,
+         _sim.KNN_LABEL_AGREEMENT_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
