@@ -57,28 +57,13 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 # ``FORCE_FRESH`` is maintained by hand: queries whose Spark expression or
 # oracle CHANGED in the current round, which must re-verify regardless of
 # their prior green row. The literal block layout below is kept as the
-# deterministic tiebreak and for readability.
-#   block 1 — NEW this round (round 5): the recall / error-bound twins that
-#             replace four rows-only checks with value checks; the five
-#             TPC-H completions (q4/q11/q12/q20/q21 — q11's threshold and
-#             money-sum arithmetic also CHANGED this round, so it must sit
-#             here); and the redaction / shuffle / Zipf / outlier /
-#             classifier / batching / funnel / retention tier and the
-#             composed pretraining_manifest. 26 entries: with block 2 that
-#             leaves ~14 window slots for block 3, so the stalest 39
-#             rotate over THIS round and next — every block-3 query is at
-#             worst 3 rounds stale before its refresh, and none of them
-#             changed since round 3 (their expressions are additionally
-#             value-checked every pytest run by the boundary fuzz).
-#   block 2 — implementation changed round 5: packing partition derivation,
-#             mixture rates map, unified clusters() entry, and the five
-#             streaming queries (run_stream_to_memory now raises on timeout
-#             — error-path only, but changed is changed).
-#   block 3 — stalest evidence: the 39 relational/TPC-H queries last checked
-#             round 3 (events_json_* first: their regex changed in r4 while
-#             sitting past the window — the advisor's explicit example).
-#   block 4 — fresh green rows from round 4 (safe to sit past the window
-#             this round; rotate forward next round).
+# deterministic tiebreak and for readability; block comments name the round
+# each tier landed, not the current sampling order (which is derived).
+#
+# Round-6 window (derived automatically): the 9 never-checked round-6
+# queries (release tier, streaming twins, anomalies, knn agreement, the
+# mllib overlap twin), the 6 FORCE_FRESH changed queries, then the 26
+# queries whose latest evidence is round 3 — all inside the first 50.
 # ---------------------------------------------------------------------------
 
 from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORACLE as _EV_HOURLY
