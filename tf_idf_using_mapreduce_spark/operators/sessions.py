@@ -258,12 +258,16 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str,
         Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-lookback, -1)
     )
+    # s2 accumulates squares: at ~1e9 events/hour a bigint sum of n² wraps
+    # int64 (24 × 1e18 ≈ 2.4e19) — widened to DECIMAL(38,0) on Spark to
+    # match DuckDB's automatic HUGEINT sum promotion (exact on both at any
+    # volume; same int64-overflow discipline as q11's threshold)
     scored = hourly.select(
         "event_type",
         "hour",
         "n",
         F.sum("n").over(w).alias("s1"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).over(w).alias("s2"),
         F.count("n").over(w).alias("cnt"),
     ).where(F.col("cnt") >= lookback)
     mean = F.col("s1").cast("double") / F.col("cnt")

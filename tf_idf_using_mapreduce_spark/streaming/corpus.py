@@ -73,7 +73,12 @@ def documents_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min), held in the state store keyed by the uniform content hash; the
     min-aggregate makes the result arrival-order independent, which is
     what lets one oracle pin both engines. Complete output mode because
-    the result IS the running dedup table a landing pipeline reads back."""
+    the result IS the running dedup table a landing pipeline reads back.
+    State size is O(distinct hashes) BY DESIGN — this state is the dedup
+    index itself (16-byte key + two counters per distinct document, ~30 GB
+    per billion docs, RocksDB-backed state store territory at 100 TB);
+    the alternative — rebuilding the index per batch from the persisted
+    corpus — is exactly what ``dedup_incremental`` shows how to avoid."""
     from pyspark.sql import functions as F
 
     stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
