@@ -153,6 +153,7 @@ EVENTS_FUZZ_QUERIES = [
     "events_sliding_windows",
     "user_funnel",
     "user_retention_cohorts",
+    "events_hourly_anomalies",
     "events_time_rollup",
     "sessionize_events",
     "asof_purchase_prior_click",

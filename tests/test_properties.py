@@ -100,3 +100,45 @@ def test_connected_components_matches_union_find(edge_list):
     edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(min_value=0, max_value=1 << 50),
+       st.integers(min_value=0, max_value=1 << 50))
+def test_shard_count_law_monotone_and_floored(b1, b2):
+    """Round-6 shard law: never below the pinned floor, monotone in input
+    bytes, exactly the floor below the per-shard budget, and linear (±1
+    ceil step) above it — for BOTH operator floors."""
+    from tf_idf_using_mapreduce_spark.operators import packing as pk
+
+    for floor in (pk.SHUFFLE_SHARDS, pk.BATCH_SHARDS):
+        lo, hi = sorted((b1, b2))
+        assert pk._derive_shard_count(lo, floor) <= pk._derive_shard_count(hi, floor)
+        assert pk._derive_shard_count(b1, floor) >= floor
+        if b1 <= pk.SHARD_BYTES_PER_SHARD * floor:
+            assert pk._derive_shard_count(b1, floor) == max(
+                floor, -(-b1 // pk.SHARD_BYTES_PER_SHARD) if b1 else 0, 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\\\""),
+               min_size=0, max_size=120))
+def test_split_bucket_portable_and_uniform_range(text):
+    """The content-hash split bucket computes identically in DuckDB (the
+    oracle engine) for arbitrary ascii text and always lands in [0, 100)
+    with the documented band edges."""
+    from tf_idf_using_mapreduce_spark.operators import release as rel
+
+    con = duckdb.connect()
+    bucket, split = con.execute(
+        f"SELECT {rel._SPLIT_BUCKET_DUCK} AS bucket, "
+        f"CASE WHEN text IS NULL THEN NULL "
+        f" WHEN {rel._SPLIT_BUCKET_DUCK} < {rel.SPLIT_TRAIN_END} THEN 'train' "
+        f" WHEN {rel._SPLIT_BUCKET_DUCK} < {rel.SPLIT_VAL_END} THEN 'val' "
+        f" ELSE 'test' END AS split FROM (SELECT ? AS text) t",
+        [text],
+    ).fetchone()
+    con.close()
+    assert 0 <= bucket < 100
+    expected = "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+    assert split == expected
