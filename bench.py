@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "documents_stream_dedup",
     "events_hourly_anomalies",
     "knn_label_agreement",
+    # round-6: hot-key-proof two-phase sessionization (same oracle as the
+    # textbook form)
+    "sessionize_events_scalable",
 ]
 
 

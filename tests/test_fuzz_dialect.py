@@ -156,6 +156,7 @@ EVENTS_FUZZ_QUERIES = [
     "events_hourly_anomalies",
     "events_time_rollup",
     "sessionize_events",
+    "sessionize_events_scalable",
     "asof_purchase_prior_click",
     "clicks_before_purchase_5min",
     "user_event_pivot",

@@ -126,6 +126,74 @@ def test_user_retention_cohorts_oracle_parity(spark):
     assert_query_matches_oracle(spark, "user_retention_cohorts")
 
 
+def test_sessionize_scalable_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "sessionize_events_scalable")
+
+
+def test_sessionize_scalable_equals_plain(spark):
+    """The two-phase form must be row-identical to the textbook per-user
+    window form on the fixture — same ids, counts, bounds."""
+    from tf_idf_using_mapreduce_spark.operators.sessions import (
+        sessionize_events,
+        sessionize_events_scalable,
+    )
+
+    plain = sorted(map(tuple, sessionize_events(spark, SF_SMOKE).collect()))
+    two_phase = sorted(map(tuple, sessionize_events_scalable(spark, SF_SMOKE).collect()))
+    assert two_phase == plain and plain
+
+
+def test_sessionize_scalable_stitches_across_bins(spark):
+    """A session of 20-minute-spaced events spanning three calendar days
+    must stitch back into ONE session (merge chains across bins), and a
+    >30-min silence at midnight must still split."""
+    import datetime as dt
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+
+    rows = []
+    eid = 0
+    # user 1: one long session crossing two midnights (20-min cadence)
+    t = dt.datetime(2024, 5, 1, 23, 0)
+    for _ in range(160):  # ~53 h of continuous 20-min-spaced events
+        rows.append((eid, t, 1, "view", 0.0, "{}")); eid += 1
+        t += dt.timedelta(minutes=20)
+    # user 2: 23:50 then 00:40 next day — 50-min silence across midnight splits
+    rows.append((eid, dt.datetime(2024, 5, 1, 23, 50), 2, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, dt.datetime(2024, 5, 2, 0, 40), 2, "view", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = ss.sessionize_events_scalable(spark, d).collect()
+        plain = sorted(map(tuple, ss.sessionize_events(spark, d).collect()))
+    by_user: dict = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0]["n_events"] == 160
+    assert len(by_user[2]) == 2
+    assert sorted(map(tuple, got)) == plain
+
+
+def test_sessionize_scalable_heavy_window_is_binned(spark):
+    """The event-sized window must partition on (user, day-bin), never on
+    user alone — the hot-key defusal the operator exists for."""
+    from tf_idf_using_mapreduce_spark.operators.sessions import sessionize_events_scalable
+
+    import re
+
+    plan = (
+        sessionize_events_scalable(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both event-level windows (lag + running sum) must be specified over
+    # (user_id, bin); only the summary-level stitch may key on user alone
+    assert len(re.findall(r"windowspecdefinition\(user_id#\d+L, bin#", plan)) >= 2, plan[:3000]
+
+
 def test_events_hourly_anomalies_oracle_parity(spark):
     from tests.conftest import assert_query_matches_oracle
     assert_query_matches_oracle(spark, "events_hourly_anomalies")

@@ -63,6 +63,61 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def sessionize_events_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sessionization — the SAME result as :func:`sessionize_events`
+    (identical oracle), with the hot-key window defused for 100 TB: the
+    plain form's ``Window.partitionBy(user_id)`` puts a bot user's entire
+    event history through ONE task. Phase 1 sessionizes WITHIN
+    (user, day) bins — per-task volume bounded by a user's single-day
+    volume no matter how hot the key. Phase 2 stitches boundary-crossing
+    sessions on the per-bin SESSION SUMMARY table: consecutive local
+    sessions merge iff the silence between them is ≤ the gap (exactly the
+    event-level rule, since the adjacent events at a bin boundary ARE the
+    previous summary's end and the next summary's start). The per-user
+    stitch window sees O(sessions + days) rows — output-sized, not
+    event-sized; a bot with a million events/day contributes ONE summary
+    row per day. Merging chains across any number of bins ride the same
+    running sum. Session ids, counts, and bounds are bit-identical to the
+    textbook form (equality test + shared oracle)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    binned = ev.withColumn("bin", F.date_trunc("day", "ts"))
+    w_bin = Window.partitionBy("user_id", "bin").orderBy("ts", "event_id")
+    flagged = binned.withColumn("prev_ts", F.lag("ts").over(w_bin)).withColumn(
+        "new_local",
+        F.expr(f"CASE WHEN prev_ts IS NULL OR ts > prev_ts + {SESSION_GAP} THEN 1 ELSE 0 END"),
+    )
+    local = flagged.withColumn(
+        "local_id",
+        F.sum("new_local").over(w_bin.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    summaries = local.groupBy("user_id", "bin", "local_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+    # start_ts totally orders a user's summaries: distinct local sessions in
+    # one bin start strictly later than one another, and a later bin's
+    # sessions start past the bin boundary, after every earlier-bin start
+    w_u = Window.partitionBy("user_id").orderBy("start_ts")
+    stitched = summaries.withColumn(
+        "prev_end", F.lag("end_ts").over(w_u)
+    ).withColumn(
+        "new_global",
+        F.expr(
+            f"CASE WHEN prev_end IS NULL OR start_ts > prev_end + {SESSION_GAP}"
+            " THEN 1 ELSE 0 END"
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_global").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return stitched.groupBy("user_id", "session_id").agg(
+        F.sum("n").alias("n_events"),
+        F.date_format(F.min("start_ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("end_ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
 def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(purchase_id, user_id, click_id): for every purchase, the user's most
     recent click at-or-before it (NULL when none) — an AS-OF join.

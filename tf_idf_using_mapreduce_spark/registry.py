@@ -210,6 +210,8 @@ register("events_hourly_anomalies", _sess.events_hourly_anomalies,
          _sess.EVENTS_ANOMALY_ORACLE)
 register("knn_label_agreement", _sim.knn_label_agreement,
          _sim.KNN_LABEL_AGREEMENT_ORACLE)
+register("sessionize_events_scalable", _sess.sessionize_events_scalable,
+         _sess.SESSIONIZE_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
