@@ -110,9 +110,10 @@ BENCH_QUERIES = [
     "documents_stream_dedup",
     "events_hourly_anomalies",
     "knn_label_agreement",
-    # round-6: hot-key-proof two-phase sessionization (same oracle as the
-    # textbook form)
+    # round-6: hot-key-proof two-phase sessionization + as-of (same oracles
+    # as the textbook forms)
     "sessionize_events_scalable",
+    "asof_purchase_prior_click_scalable",
 ]
 
 

@@ -158,6 +158,7 @@ EVENTS_FUZZ_QUERIES = [
     "sessionize_events",
     "sessionize_events_scalable",
     "asof_purchase_prior_click",
+    "asof_purchase_prior_click_scalable",
     "clicks_before_purchase_5min",
     "user_event_pivot",
     "user_event_unpivot",

@@ -194,6 +194,51 @@ def test_sessionize_scalable_heavy_window_is_binned(spark):
     assert len(re.findall(r"windowspecdefinition\(user_id#\d+L, bin#", plan)) >= 2, plan[:3000]
 
 
+def test_asof_scalable_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "asof_purchase_prior_click_scalable")
+
+
+def test_asof_scalable_equals_plain_and_crosses_bins(spark):
+    """Row-identical to the plain carry-forward form on the fixture, and
+    the carry-in path really works: a purchase whose latest click sits
+    days earlier (across several empty bins) still finds it, a same-ts
+    click ties inclusively, and a click-free user yields NULL."""
+    import datetime as dt
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators import sessions as ss
+
+    plain = sorted(map(tuple, ss.asof_purchase_prior_click(spark, SF_SMOKE).collect()))
+    scalable = sorted(
+        map(tuple, ss.asof_purchase_prior_click_scalable(spark, SF_SMOKE).collect())
+    )
+    assert scalable == plain and plain
+
+    t0 = dt.datetime(2024, 7, 1, 12, 0)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        # purchase 4 days later: carry-in must cross three click-free bins
+        (2, t0 + dt.timedelta(days=4), 1, "purchase", 0.0, "{}"),
+        # user 2: click at the exact purchase ts (inclusive tie)
+        (3, t0, 2, "click", 0.0, "{}"),
+        (4, t0, 2, "purchase", 0.0, "{}"),
+        # user 3: purchase with no click ever
+        (5, t0, 3, "purchase", 0.0, "{}"),
+        # user 4: later click must NOT attach to an earlier purchase
+        (6, t0 + dt.timedelta(days=1), 4, "purchase", 0.0, "{}"),
+        (7, t0 + dt.timedelta(days=2), 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        got = {r["purchase_id"]: r["click_id"]
+               for r in ss.asof_purchase_prior_click_scalable(spark, d).collect()}
+    assert got == {2: 1, 4: 3, 5: None, 6: None}
+
+
 def test_events_hourly_anomalies_oracle_parity(spark):
     from tests.conftest import assert_query_matches_oracle
     assert_query_matches_oracle(spark, "events_hourly_anomalies")

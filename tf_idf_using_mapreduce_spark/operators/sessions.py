@@ -160,6 +160,69 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_prior_click_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase AS-OF — same result (and oracle) as
+    :func:`asof_purchase_prior_click`, hot-key-proof like
+    :func:`sessionize_events_scalable`: the plain form's carry-forward
+    window puts a bot user's whole history through one task. Phase 1
+    carries the latest click WITHIN (user, day) bins. Phase 2 computes
+    each bin's carry-in — the latest click of all PRIOR bins — as a
+    running struct-max over the per-(user, bin) summary table (O(active
+    days) rows per user; bins without clicks inherit via NULL-skipping
+    max). A purchase's prior click is then its within-bin carry, else its
+    bin's carry-in: any earlier-bin click precedes the purchase by
+    construction, so the event-level inclusive tie rule (p.ts >= c.ts,
+    max event_id) only ever decides within the bin, where phase 1 applies
+    it identically to the plain form."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts", F.lit(0).alias("kind"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases).withColumn("bin", F.date_trunc("day", "ts"))
+    w_bin = (
+        Window.partitionBy("user_id", "bin")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_click",
+        F.last(F.when(F.col("kind") == 0, F.struct("ts", "event_id")), ignorenulls=True).over(w_bin),
+    )
+    # struct-max == the carry-forward order's last click: ts asc first,
+    # event_id breaks same-ts ties exactly as the (ts, kind, event_id) sort
+    bin_last = (
+        unioned.where(F.col("kind") == 0)
+        .groupBy("user_id", "bin")
+        .agg(F.max(F.struct("ts", "event_id")).alias("bin_last_click"))
+    )
+    bins = unioned.select("user_id", "bin").distinct()
+    w_u = (
+        Window.partitionBy("user_id").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        bins.join(bin_last, ["user_id", "bin"], "left")
+        .withColumn("carry_in", F.max("bin_last_click").over(w_u))
+        .select("user_id", "bin", "carry_in")
+    )
+    return (
+        carried.where(F.col("kind") == 1)
+        .join(carry, ["user_id", "bin"], "left")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.coalesce(F.col("last_click"), F.col("carry_in"))
+            .getField("event_id").alias("click_id"),
+        )
+    )
+
+
 ASOF_ORACLE = """
 WITH clicks AS (
   SELECT user_id, ts, max(event_id) AS click_id

@@ -212,6 +212,8 @@ register("knn_label_agreement", _sim.knn_label_agreement,
          _sim.KNN_LABEL_AGREEMENT_ORACLE)
 register("sessionize_events_scalable", _sess.sessionize_events_scalable,
          _sess.SESSIONIZE_ORACLE)
+register("asof_purchase_prior_click_scalable",
+         _sess.asof_purchase_prior_click_scalable, _sess.ASOF_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
