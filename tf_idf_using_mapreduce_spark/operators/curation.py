@@ -166,14 +166,40 @@ GROUP BY e.doc_id, e.split
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, doc_id, rk): the first ``SAMPLE_PER_STRATUM`` documents per
     language by md5-of-id order — a stratified sample that is REPRODUCIBLE
-    on any engine and any partitioning (``df.sampleBy`` is neither). One
-    window shuffle keyed by the stratum."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.expr("md5(cast(doc_id as string))"), F.asc("doc_id")
+    on any engine and any partitioning (``df.sampleBy`` is neither).
+
+    Two-phase per-stratum top-K (round 6): language is a LOW-cardinality
+    stratum, so a bare per-lang rank window drags corpus/n_langs rows
+    through one task at scale. Phase 1 ranks within (lang, hash shard) —
+    shard count size-derived, per-task volume bounded — and keeps each
+    shard's first K; phase 2 re-ranks the ≤ K×shards survivors per lang
+    (a bounded window). Every global top-K member is inside its shard's
+    top-K, so the result — and the oracle, which stays the one-window
+    textbook form — is IDENTICAL for any shard count; the shard is an
+    internal pruning device, not part of the output (unlike
+    ``corpus_shuffle``'s semantic shards)."""
+    from tf_idf_using_mapreduce_spark.operators.packing import (
+        _derive_shard_count,
+        _input_bytes,
     )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_shards = _derive_shard_count(_input_bytes(docs), 32)
+    key = "md5(cast(doc_id as string))"
+    shard = f"cast(conv(substr({key}, 1, 8), 16, 10) as bigint) % {n_shards}"
+    w1 = Window.partitionBy("lang", "shard").orderBy("key", F.asc("doc_id"))
+    cand = (
+        docs.select(
+            "doc_id", "lang",
+            F.expr(key).alias("key"),
+            F.expr(shard).alias("shard"),
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= SAMPLE_PER_STRATUM)
+    )
+    w2 = Window.partitionBy("lang").orderBy("key", F.asc("doc_id"))
     return (
-        docs.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= SAMPLE_PER_STRATUM)
         .select("lang", "doc_id", "rk")
     )

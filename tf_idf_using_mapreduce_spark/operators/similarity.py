@@ -591,10 +591,33 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = vecs.join(F.broadcast(cent), "label").select(
         "label", "vec_id", cos.alias("cos_centroid")
     )
+    # two-phase per-label bottom-K (round 6): label is a LOW-cardinality
+    # key, so a bare per-label rank drags vectors/n_labels rows through one
+    # task at scale. Rank within (label, hash shard) first — keep each
+    # shard's bottom-K — then re-rank the <= K×shards survivors per label.
+    # Identical result for any shard count (every global bottom-K member is
+    # in its shard's bottom-K); the oracle stays the textbook one-window
+    # form. Same pruning as curation.stratified_sample.
+    from tf_idf_using_mapreduce_spark.operators.packing import (
+        _derive_shard_count,
+        _input_bytes,
+    )
+
+    n_shards = _derive_shard_count(_input_bytes(vecs), 32)
+    shard = f"cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % {n_shards}"
+    w1 = Window.partitionBy("label", "shard").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("shard", F.expr(shard))
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= OUTLIER_K)
+    )
     w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= OUTLIER_K)
+        .select("label", "vec_id", "cos_centroid", "rk")
     )
 
 

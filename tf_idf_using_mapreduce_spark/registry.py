@@ -235,6 +235,9 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # large SF); embedding_outliers centroid rounded to 9dp pre-dot
     "q11_important_parts",
     "embedding_outliers",
+    # round 6: stratified_sample rewritten as two-phase per-stratum top-K
+    # (identical output, new expression)
+    "stratified_sample",
 })
 
 
