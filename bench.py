@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     # as the textbook forms)
     "sessionize_events_scalable",
     "asof_purchase_prior_click_scalable",
+    # round-6: NFC ingest cleaning (the engine's one justified Arrow-batched
+    # Python drop in the text path — keep its cost on record)
+    "text_normalize",
 ]
 
 

@@ -193,3 +193,41 @@ def test_pii_redaction_is_idempotent(spark):
     twice = cur.pii_redaction_df(once).collect()
     for r in twice:
         assert (r["n_emails"], r["n_ips"], r["n_digitruns"]) == (0, 0, 0), r
+
+
+def test_text_normalize_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "text_normalize")
+
+
+def test_text_normalize_semantics(spark):
+    """NFC really composes (decomposed e + combining acute == composed é),
+    control chars and whitespace runs collapse, edges trim, NULL stays
+    NULL, and the pass is idempotent."""
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators.curation import text_normalize_df
+
+    decomposed = "café"          # e + COMBINING ACUTE
+    composed = "café"             # é precomposed
+    rows = [
+        (1, decomposed),
+        (2, composed),
+        (3, "a\x01b\x02\x02c"),        # control chars -> single spaces
+        (4, "  tabs\there \r\n and\nnewlines  "),
+        (5, None),
+        (6, "already clean"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_normalize_df(docs).collect()}
+    assert out[1]["norm_text"] == composed and out[1]["changed"] == 1
+    assert out[2]["norm_text"] == composed and out[2]["changed"] == 0
+    assert out[3]["norm_text"] == "a b c" and out[3]["changed"] == 1
+    assert out[4]["norm_text"] == "tabs here and newlines" and out[4]["changed"] == 1
+    assert out[5]["norm_text"] is None and out[5]["changed"] is None
+    assert out[6]["changed"] == 0
+    # idempotence: a second pass changes nothing
+    once = docs.sparkSession.createDataFrame(
+        [(k, v["norm_text"]) for k, v in out.items()], "doc_id long, text string"
+    )
+    twice = {r["doc_id"]: r for r in text_normalize_df(once).collect()}
+    assert all(r["changed"] in (0, None) for r in twice.values())

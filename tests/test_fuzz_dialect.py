@@ -63,6 +63,9 @@ FUZZ_QUERIES = [
     "split_leakage",
     "mixture_plan",
     "dataset_card",
+    # round-6 NFC + control/whitespace cleanup — the unicode edge texts are
+    # the real exercise (the uniform fixture is clean ascii)
+    "text_normalize",
 ]
 
 _EDGE_TEXTS = [

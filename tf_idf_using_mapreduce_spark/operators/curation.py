@@ -27,6 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -530,6 +531,87 @@ SELECT doc_id, source
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {MIX_BUCKETS}
       < ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0 * {MIX_BUCKETS}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# text normalization (Unicode NFC + control/whitespace cleanup)
+# --------------------------------------------------------------------------- #
+
+# real characters, not escape sequences: these pattern strings are passed
+# through the COLUMN API (never parsed as SQL literals), so Spark's Java
+# regex receives the identical bytes the DuckDB oracle assembles via chr()
+# concatenation — no string-literal escaping layer to diverge. \x00 (NUL)
+# is deliberately excluded: DuckDB varchars cannot carry it.
+_CTRL_CLASS = "[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RUN = "[ \t\r\n]+"
+
+_CTRL_CLASS_DUCK = (
+    "'[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) || chr(14)"
+    " || '-' || chr(31) || chr(127) || ']'"
+)
+_WS_RUN_DUCK = "'[ ' || chr(9) || chr(13) || chr(10) || ']+'"
+
+
+def text_normalize_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, changed) over any (doc_id, text) frame: Unicode
+    NFC canonical composition, then control characters → space, then
+    whitespace runs → one space, then trim — the standard ingest cleaning
+    pass (decomposed accents from different crawlers must hash/dedup/
+    tokenize identically, and stray control bytes poison downstream
+    regexes). NFC is the engine's one justified Arrow-batched Python drop
+    in the text path: Spark SQL exposes no Unicode-normalization builtin,
+    and both Python's ``unicodedata`` and DuckDB's ``nfc_normalize``
+    implement the same UAX#15 algorithm, so the oracle stays a value
+    check. The cleanup stages are pure codegen (Column-API regex — see
+    the pattern-byte note above). ``changed`` is NULL for NULL text
+    (unknown stays unknown)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col("text")), _CTRL_CLASS, " "),
+            _WS_RUN, " ",
+        )
+    )
+    base = docs.select("doc_id", "text", cleaned.alias("norm_text"))
+    return base.select(
+        "doc_id",
+        "norm_text",
+        F.expr(
+            "CASE WHEN text IS NULL THEN NULL"
+            " ELSE CAST(NOT (norm_text <=> text) AS INT) END"
+        ).alias("changed"),
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: normalize the documents table."""
+    return text_normalize_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+TEXT_NORMALIZE_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+              {_CTRL_CLASS_DUCK}, ' ', 'g'),
+              {_WS_RUN_DUCK}, ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(norm_text IS DISTINCT FROM text AS INT) END AS changed
+FROM n
 """
 
 

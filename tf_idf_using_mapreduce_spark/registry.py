@@ -214,6 +214,7 @@ register("sessionize_events_scalable", _sess.sessionize_events_scalable,
          _sess.SESSIONIZE_ORACLE)
 register("asof_purchase_prior_click_scalable",
          _sess.asof_purchase_prior_click_scalable, _sess.ASOF_ORACLE)
+register("text_normalize", _cur.text_normalize, _cur.TEXT_NORMALIZE_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
