@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     # round-6: NFC ingest cleaning (the engine's one justified Arrow-batched
     # Python drop in the text path — keep its cost on record)
     "text_normalize",
+    "script_mix",
 ]
 
 

@@ -66,6 +66,8 @@ FUZZ_QUERIES = [
     # round-6 NFC + control/whitespace cleanup — the unicode edge texts are
     # the real exercise (the uniform fixture is clean ascii)
     "text_normalize",
+    # round-6 script histogram (CJK/latin edge texts, astral emoji)
+    "script_mix",
 ]
 
 _EDGE_TEXTS = [

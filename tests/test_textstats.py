@@ -214,3 +214,36 @@ def test_corpus_stats_cross_checks(spark):
     ).distinct().count()
     n_nonnull = docs.where(F.col("text").isNotNull()).count()
     assert row["exact_dup_docs"] == n_nonnull - n_distinct_texts
+
+
+def test_script_mix_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "script_mix")
+
+
+def test_script_mix_classifies_scripts(spark):
+    """Known-script texts get the right counts and dominant label; mixed
+    text resolves by priority; digits-only is 'none'; NULL stays NULL."""
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators.textstats import script_mix
+
+    rows = [
+        (1, "hello naïve café"),
+        (2, "北京大学 こんにちは"),
+        (3, "привет мир"),
+        (4, "مرحبا بالعالم"),
+        (5, "hello 北京"),        # latin 5, cjk 2 -> latin dominant
+        (6, "北京 hi 大学 中文"),  # cjk 6 > latin 2 -> cjk dominant
+        (7, "1234 !!! ???"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r for r in script_mix(spark, d).collect()}
+    assert out[1]["dominant"] == "latin" and out[1]["n_latin"] == 14
+    assert out[2]["dominant"] == "cjk" and out[2]["n_cjk"] == 9
+    assert out[3]["dominant"] == "cyrillic" and out[3]["n_cyrillic"] == 9
+    assert out[4]["dominant"] == "arabic" and out[4]["n_arabic"] > 0
+    assert out[5]["dominant"] == "latin" and out[6]["dominant"] == "cjk"
+    assert out[7]["dominant"] == "none"
+    assert out[8]["dominant"] is None and out[8]["n_latin"] is None

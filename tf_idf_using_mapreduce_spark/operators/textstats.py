@@ -83,6 +83,82 @@ SELECT lang, lang_pred, count(*) AS n FROM (
 
 
 # --------------------------------------------------------------------------- #
+# Unicode script mix (multilingual curation signal)
+# --------------------------------------------------------------------------- #
+
+# single-char classes of literal code points (no backslash escapes — the
+# identical pattern text runs under Java regex and RE2). Latin includes the
+# Latin-1/Extended letter blocks; CJK covers Han + kana; the × ÷ signs
+# inside U+00C0-024F are counted as latin (same impurity on both engines).
+_SCRIPT_CLASSES = {
+    "latin": f"[A-Za-z{chr(0xC0)}-{chr(0x24F)}]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3040)}-{chr(0x30FF)}]",
+    "cyrillic": f"[{chr(0x400)}-{chr(0x4FF)}]",
+    "arabic": f"[{chr(0x600)}-{chr(0x6FF)}]",
+}
+_SCRIPT_ORDER = list(_SCRIPT_CLASSES)
+
+
+def _script_counts(duck: bool) -> dict[str, str]:
+    g = ", 'g'" if duck else ""
+    return {
+        s: f"(length(text) - length(regexp_replace(text, '{cls}', ''{g})))"
+        for s, cls in _SCRIPT_CLASSES.items()
+    }
+
+
+def _dominant_case(counts: dict[str, str]) -> str:
+    """Priority-ordered argmax (latin wins ties, then cjk, …), 'none' when
+    no script chars at all, NULL text stays NULL — same CASE discipline as
+    the language-ID argmax."""
+    whens = [
+        "WHEN text IS NULL THEN NULL",
+        f"WHEN {' + '.join(counts.values())} = 0 THEN 'none'",
+    ]
+    for i, s in enumerate(_SCRIPT_ORDER):
+        conds = []
+        for j, o in enumerate(_SCRIPT_ORDER):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{counts[s]} {op} {counts[o]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{s}'")
+    return "CASE " + " ".join(whens) + " ELSE 'other' END"
+
+
+def script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, dominant): per-doc
+    Unicode-script character histogram + priority-argmax dominant script —
+    the multilingual curation signal (script≠declared-lang mismatches flag
+    mislabeled or mixed documents; CJK-dominant text needs different
+    tokenization). Map-only: each count is two length() calls around a
+    single-char-class regexp_replace (code-point semantics agree across
+    engines, astral planes included); no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cnt = _script_counts(duck=False)
+    cols = [
+        F.expr(f"CASE WHEN text IS NULL THEN NULL ELSE {cnt[s]} END")
+        .cast("int").alias(f"n_{s}")
+        for s in _SCRIPT_ORDER
+    ]
+    return docs.select(
+        "doc_id", *cols, F.expr(_dominant_case(cnt)).alias("dominant")
+    )
+
+
+def script_mix_oracle() -> str:
+    cnt = _script_counts(duck=True)
+    cols = ", ".join(
+        f"CASE WHEN text IS NULL THEN NULL ELSE CAST({cnt[s]} AS INT) END AS n_{s}"
+        for s in _SCRIPT_ORDER
+    )
+    return f"""
+SELECT doc_id, {cols}, {_dominant_case(cnt)} AS dominant
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------- #
 # quality scoring
 # --------------------------------------------------------------------------- #
 

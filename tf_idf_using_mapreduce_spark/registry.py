@@ -215,6 +215,7 @@ register("sessionize_events_scalable", _sess.sessionize_events_scalable,
 register("asof_purchase_prior_click_scalable",
          _sess.asof_purchase_prior_click_scalable, _sess.ASOF_ORACLE)
 register("text_normalize", _cur.text_normalize, _cur.TEXT_NORMALIZE_ORACLE)
+register("script_mix", _ts.script_mix, _ts.script_mix_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
