@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     # Python drop in the text path — keep its cost on record)
     "text_normalize",
     "script_mix",
+    # round-6: asymmetric containment dedup (the quote-inclusion modality
+    # symmetric Jaccard structurally misses)
+    "dedup_containment",
 ]
 
 

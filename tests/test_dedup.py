@@ -224,3 +224,37 @@ def test_source_dup_matrix_is_unordered_and_consistent(spark):
     assert all(r["source_a"] <= r["source_b"] for r in rows)
     total = sum(r["n_pairs"] for r in rows)
     assert total == dd.dedup_minhash_lsh(spark, SF_SMOKE).count()
+
+
+def test_dedup_containment_oracle_parity(spark):
+    from tests.conftest import assert_query_matches_oracle
+    assert_query_matches_oracle(spark, "dedup_containment")
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short document quoted verbatim inside a much longer one:
+    containment ~1.0 (flagged) while symmetric Jaccard is far below the
+    0.8 near-dup bar (NOT flagged by the minhash path) — the modality
+    this operator exists for."""
+    import tempfile
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        dedup_containment,
+        dedup_minhash_lsh,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog every single day"
+    filler = " ".join(f"filler{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}" for i in range(300))
+    rows = [
+        (1, quote),
+        (2, filler[: len(filler) // 2] + " " + quote + " " + filler[len(filler) // 2:]),
+        (3, "completely unrelated words about other topics entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        contained = {(r["doc_a"], r["doc_b"]): r["containment"]
+                     for r in dedup_containment(spark, d).collect()}
+        jacc = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, d).collect()}
+    assert (1, 2) in contained and contained[(1, 2)] >= 0.9
+    assert (1, 2) not in jacc  # symmetric Jaccard structurally misses it
+    assert not any(3 in p for p in contained)

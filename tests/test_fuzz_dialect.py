@@ -25,6 +25,7 @@ FUZZ_QUERIES = [
     "dedup_exact",
     # md5-sketch / winnowing surface
     "doc_fingerprints",
+    "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -343,6 +343,89 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 
 
 # --------------------------------------------------------------------------- #
+# containment dedup (asymmetric subset/quote-inclusion detection)
+# --------------------------------------------------------------------------- #
+
+CONTAIN_THRESHOLD = 0.8
+FP_DOC_CAP = 64  # fingerprints appearing in more docs are boilerplate keys
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, containment): near-dup pairs by ASYMMETRIC containment
+    — |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) ≥ 0.8 over winnowing
+    fingerprints. This is the modality Jaccard-based dedup structurally
+    MISSES: a short document fully quoted inside a long one has tiny
+    symmetric Jaccard (union is huge) but containment ≈ 1 — the
+    quote-inclusion / subset-duplication case (news wire reprints,
+    boilerplate-wrapped bodies). MinHash bands can't recall these either
+    (minhash concentrates around Jaccard), so candidates come from SHARED
+    WINNOWED FINGERPRINTS instead: one groupBy on the fingerprint key,
+    pair expansion per fingerprint bucket, hot fingerprints (> FP_DOC_CAP
+    docs — boilerplate n-grams, non-discriminative) excluded BEFORE
+    expansion exactly like the LSH bucket cap, mirrored in the oracle.
+    Verification is one array_intersect over the pair's fingerprint sets
+    (lineage-cut: three consumers of the set table). Scale: candidate
+    volume is Σ min(bucket, cap)² over fingerprint buckets — bounded by
+    the cap; everything else is map-only or doc_id equi-joins."""
+    from tf_idf_using_mapreduce_spark.operators.textstats import fingerprint_sets
+
+    sets = fingerprint_sets(spark, sf_dir).localCheckpoint(eager=False)
+    ex = sets.select("doc_id", F.explode("fps").alias("fp"))
+    ex = _drop_hot_buckets(ex, ["fp"], FP_DOC_CAP)
+    cand = (
+        ex.groupBy("fp")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fp_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fp_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.expr("size(array_intersect(fp_a, fp_b))"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("common") / F.least(F.size("fp_a"), F.size("fp_b")), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+def dedup_containment_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.textstats import FINGERPRINT_SETS_SQL
+
+    return f"""
+WITH sets AS ({FINGERPRINT_SETS_SQL}),
+ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM sets),
+hot AS (SELECT fp FROM ex0 GROUP BY fp HAVING count(*) > {FP_DOC_CAP}),
+ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = ex0.fp)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+cnt AS (SELECT doc_id, len(fps) AS n_fp FROM sets),
+common AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.fps, sb.fps)) AS common
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / least(ca.n_fp, cb.n_fp), 6) AS containment
+FROM common
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE common * 1.0 / least(ca.n_fp, cb.n_fp) >= {CONTAIN_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------- #
 # incremental dedup (daily-ingest batch vs persisted index)
 # --------------------------------------------------------------------------- #
 

@@ -249,16 +249,13 @@ GRAM_K = 5
 WINNOW_W = 4
 
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_fingerprints, min_fp): winnowing — md5 over char-5-grams,
-    min per full sliding window of 4, distinct survivors per document. The
-    standard near-dup/plagiarism fingerprint set at ~2/(w+1) density.
-
-    Implemented entirely with array higher-order functions — one row per
-    document end to end, NO explode and NO window-function shuffle (an
-    earlier windowed version shuffled n_chars rows per doc; this is ~5×
-    faster at sf0.1 and shuffle-free at any scale).
-    """
+def fingerprint_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps: array<string>) — each document's winnowing fingerprint
+    SET (md5 over char-5-grams, min per sliding window of 4, distinct).
+    Shared core of :func:`doc_fingerprints` and
+    ``dedup.dedup_containment``. One row per document end to end: NO
+    explode and NO window-function shuffle (array higher-order functions
+    only)."""
     # per-CHARACTER md5 work: ~10x denser compute per input byte than
     # tokenization, so spread at a lower size threshold
     docs = spread(
@@ -274,29 +271,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.length("text") >= GRAM_K)
         .select("doc_id", F.expr(hs).alias("hs"))
         .select("doc_id", F.expr(f"array_distinct({wins})").alias("fps"))
-        .select(
-            "doc_id",
-            F.expr("size(fps)").alias("n_fingerprints"),
-            F.expr("array_min(fps)").alias("min_fp"),
-        )
     )
 
 
-# DuckDB twin: list_slice uses an INCLUSIVE end index; range() end-exclusive
-FINGERPRINT_ORACLE = f"""
-WITH hashed AS (
+# the matching DuckDB CTE body: SELECT doc_id, fps FROM (...)
+FINGERPRINT_SETS_SQL = f"""
+SELECT doc_id,
+       list_distinct(list_transform(range(1, greatest(n_grams - {WINNOW_W - 1}, 1) + 1),
+                                    i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fps
+FROM (
   SELECT doc_id,
          list_transform(range(1, length(text) - {GRAM_K - 2}),
                         i -> md5(substr(lower(text), i, {GRAM_K}))) AS hs,
          length(text) - {GRAM_K - 1} AS n_grams
   FROM documents WHERE length(text) >= {GRAM_K}
-),
-winnowed AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(n_grams - {WINNOW_W - 1}, 1) + 1),
-                                      i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fps
-  FROM hashed
-)
+) hashed
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_fingerprints, min_fp): winnowing — md5 over char-5-grams,
+    min per full sliding window of 4, distinct survivors per document. The
+    standard near-dup/plagiarism fingerprint set at ~2/(w+1) density.
+    See :func:`fingerprint_sets` for the shared core."""
+    return fingerprint_sets(spark, sf_dir).select(
+        "doc_id",
+        F.expr("size(fps)").alias("n_fingerprints"),
+        F.expr("array_min(fps)").alias("min_fp"),
+    )
+
+
+# DuckDB twin: list_slice uses an INCLUSIVE end index; range() end-exclusive
+FINGERPRINT_ORACLE = f"""
+WITH winnowed AS ({FINGERPRINT_SETS_SQL})
 SELECT doc_id, len(fps) AS n_fingerprints, list_min(fps) AS min_fp
 FROM winnowed
 """

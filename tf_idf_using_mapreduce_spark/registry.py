@@ -216,6 +216,7 @@ register("asof_purchase_prior_click_scalable",
          _sess.asof_purchase_prior_click_scalable, _sess.ASOF_ORACLE)
 register("text_normalize", _cur.text_normalize, _cur.TEXT_NORMALIZE_ORACLE)
 register("script_mix", _ts.script_mix, _ts.script_mix_oracle())
+register("dedup_containment", _dedup.dedup_containment, _dedup.dedup_containment_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
