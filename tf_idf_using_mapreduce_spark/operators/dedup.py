@@ -408,20 +408,22 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
 ),
-cnt AS (SELECT doc_id, len(fps) AS n_fp FROM sets),
-common AS (
+-- common and min-size come from the SAME joined row (not a separate
+-- count CTE): under duplicate doc_ids — the fuzz corpus has them — a
+-- split join would cross-mix one combination's intersection with the
+-- other's size, which the Spark side (one join, per-row arithmetic)
+-- never does
+scored AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.fps, sb.fps)) AS common
+         len(list_intersect(sa.fps, sb.fps)) AS common,
+         least(len(sa.fps), len(sb.fps)) AS mn
   FROM cand c
   JOIN sets sa ON sa.doc_id = c.doc_a
   JOIN sets sb ON sb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b,
-       round(common * 1.0 / least(ca.n_fp, cb.n_fp), 6) AS containment
-FROM common
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE common * 1.0 / least(ca.n_fp, cb.n_fp) >= {CONTAIN_THRESHOLD}
+SELECT doc_a, doc_b, round(common * 1.0 / mn, 6) AS containment
+FROM scored
+WHERE common * 1.0 / mn >= {CONTAIN_THRESHOLD}
 """
 
 
