@@ -311,6 +311,14 @@ _MINHASH_BAND_SELECTS = " UNION ALL ".join(
     for b in range(MINHASH_SEEDS // LSH_BAND_ROWS)
 )
 
+# NOTE on duplicate doc_ids (dirty-data edge): this oracle's split cnt CTE
+# joins counts back by doc_id, which under DUPLICATE ids can mix one row
+# combination's intersection with another row's size (the bug class the
+# containment oracle below fixes by scoring from the joined row). The
+# seeded fuzz corpus carries two dup-id docs and stays green here because
+# they never pair above the Jaccard bar; pair semantics under duplicate
+# ids are otherwise unspecified for this operator — dedup by content hash
+# first (dedup_exact), which needs no id uniqueness.
 MINHASH_LSH_ORACLE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig16 AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
