@@ -60,10 +60,11 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: st
 # deterministic tiebreak and for readability; block comments name the round
 # each tier landed, not the current sampling order (which is derived).
 #
-# Round-6 window (derived automatically): the 9 never-checked round-6
+# Round-6 window (derived automatically): the 14 never-checked round-6
 # queries (release tier, streaming twins, anomalies, knn agreement, the
-# mllib overlap twin), the 6 FORCE_FRESH changed queries, then the 26
-# queries whose latest evidence is round 3 — all inside the first 50.
+# scalable sessionize/as-of twins, normalize/script/containment, the
+# mllib overlap twin), the 8 FORCE_FRESH changed queries, then the 26
+# queries whose latest evidence is round 3 — 48 of the first 50.
 # ---------------------------------------------------------------------------
 
 from tf_idf_using_mapreduce_spark.operators.relational import EVENTS_HOURLY_ORACLE as _EV_HOURLY
@@ -241,6 +242,9 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # round 6: stratified_sample rewritten as two-phase per-stratum top-K
     # (identical output, new expression)
     "stratified_sample",
+    # round 6: winnowing core refactored into fingerprint_sets /
+    # FINGERPRINT_SETS_SQL (same algorithm, oracle text changed)
+    "doc_fingerprints",
 })
 
 
