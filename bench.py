@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     # round-6: asymmetric containment dedup (the quote-inclusion modality
     # symmetric Jaccard structurally misses)
     "dedup_containment",
+    # round-6: composed curate→dedup→split release census
+    "release_manifest",
 ]
 
 

@@ -69,6 +69,8 @@ FUZZ_QUERIES = [
     "text_normalize",
     # round-6 script histogram (CJK/latin edge texts, astral emoji)
     "script_mix",
+    # round-6 composed curate→dedup→split census
+    "release_manifest",
 ]
 
 _EDGE_TEXTS = [
@@ -289,6 +291,9 @@ EMBED_FUZZ_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "embedding_topk_pairs",
+    # round-6: exact 1-NN agreement — duplicate vectors (cos=1 ties with
+    # min-id break) and zero-norm exclusions go through the tile argmax
+    "knn_label_agreement",
 ]
 
 

@@ -103,3 +103,28 @@ def test_split_is_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_release_manifest_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "release_manifest")
+
+
+def test_release_manifest_composition(spark):
+    """Manifest totals must equal the curate→dedup survivor census, and
+    every (split, source) cell holds only valid split labels."""
+    from pyspark.sql import functions as F
+    from tf_idf_using_mapreduce_spark.operators.curation import curation_filter
+    from tf_idf_using_mapreduce_spark.operators.release import release_manifest
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    rows = release_manifest(spark, SF_SMOKE).collect()
+    assert rows and {r["split"] for r in rows} <= {"train", "val", "test"}
+    kept_ids = {r["doc_id"] for r in curation_filter(spark, SF_SMOKE).collect() if r["keep"]}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    survivors = {}
+    import hashlib
+    for r in docs:
+        if r["doc_id"] in kept_ids and r["text"] is not None:
+            h = hashlib.md5(r["text"].encode()).hexdigest()
+            survivors[h] = min(survivors.get(h, r["doc_id"]), r["doc_id"])
+    assert sum(r["n_docs"] for r in rows) == len(survivors)

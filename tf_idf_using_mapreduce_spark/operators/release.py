@@ -255,6 +255,69 @@ FROM w
 
 
 # --------------------------------------------------------------------------- #
+# composed release manifest (curate → dedup → split, per split × source)
+# --------------------------------------------------------------------------- #
+
+def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, source, n_docs, n_tokens): the per-split × per-source census
+    of the RELEASED dataset — documents that survive the curation cascade
+    and exact-dedup survivor election, assigned to train/val/test by
+    content hash. The fourth end-to-end composition proof (after the two
+    pretraining pipelines and the dataset card): each stage is the
+    registered operator's own expression tree, the DuckDB oracle is the
+    same CTE chain, and the whole curate→dedup→split lineage is
+    value-checked down to exact token counts. Scale shape: map-only
+    cascade + split, one uniform-key dedup shuffle, doc_id equi-joins at
+    stage boundaries, one final aggregate to O(splits × sources) rows."""
+    from tf_idf_using_mapreduce_spark.operators.curation import curation_decide
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    decisions = curation_decide(docs.select("doc_id", "text")).localCheckpoint(eager=False)
+    kept = decisions.where(F.col("keep")).select("doc_id")
+    kd = docs.join(kept, "doc_id")
+    survivors = (
+        kd.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = docs.join(survivors, "doc_id")
+    assigned = split_assignment_df(final.select("doc_id", "text")).select("doc_id", "split")
+    return (
+        final.select("doc_id", "source", F.expr(f"size({_TOKENS})").alias("n_tok"))
+        .join(assigned, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+def release_manifest_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.curation import curation_filter_oracle
+
+    return f"""
+WITH kept AS (SELECT doc_id FROM ({curation_filter_oracle()}) c WHERE c.keep),
+kd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(text)),
+final AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN surv USING (doc_id)),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_END} THEN 'train'
+              WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_END} THEN 'val'
+              ELSE 'test' END AS split
+  FROM final
+)
+SELECT a.split, f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+FROM final f JOIN assigned a USING (doc_id)
+GROUP BY a.split, f.source
+"""
+
+
+# --------------------------------------------------------------------------- #
 # per-source dataset card (the datasheet table of a release)
 # --------------------------------------------------------------------------- #
 

@@ -218,6 +218,7 @@ register("asof_purchase_prior_click_scalable",
 register("text_normalize", _cur.text_normalize, _cur.TEXT_NORMALIZE_ORACLE)
 register("script_mix", _ts.script_mix, _ts.script_mix_oracle())
 register("dedup_containment", _dedup.dedup_containment, _dedup.dedup_containment_oracle())
+register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
