@@ -9,7 +9,7 @@ collected (full materialization). A warmup pass of the flagship amortizes JVM
 and codegen startup so numbers reflect steady-state execution.
 
 NOTE for cross-round comparison: the suite GROWS as operators land (r4: 34
-queries, r5: 45, r6: 68) — compare per-query values across rounds, not
+queries, r5: 45, r6: 69) — compare per-query values across rounds, not
 totals.
 """
 
