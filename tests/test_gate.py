@@ -64,6 +64,18 @@ def test_registry_output_schema_is_hashable(spark, name):
     assert not bad, f"{name}: non-scalar output columns {bad}"
 
 
+@pytest.mark.parametrize("name", QUERIES)
+def test_no_cartesian_product_in_any_plan(spark, name):
+    """Automates the per-round PLANS audit's headline check: no registered
+    query may plan a CartesianProduct at any scale. (Single-row
+    BroadcastNestedLoopJoins — scalar totals, vocab literals — are benign
+    and deliberately not flagged.) Plan-build only for batch queries; the
+    streaming entries run their availableNow drain as they always do."""
+    df = e.queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: {plan[:2000]}"
+
+
 # --------------------------------------------------------------------------- #
 # round-5: evidence-derived registration order
 # --------------------------------------------------------------------------- #
