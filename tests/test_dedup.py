@@ -258,3 +258,66 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert (1, 2) in contained and contained[(1, 2)] >= 0.9
     assert (1, 2) not in jacc  # symmetric Jaccard structurally misses it
     assert not any(3 in p for p in contained)
+
+
+def test_dup_id_docs_emit_no_self_pairs(spark):
+    """Round-7 advice repro: the same doc_id ingested twice with IDENTICAL
+    near-dup-able text. Pair expansion sorts each bucket's member list, so
+    without the array_distinct a duplicated id yields (x, x) self-pairs that
+    the oracles' a.doc_id < b.doc_id joins structurally never produce —
+    Spark returned four (7, 7, 1.0) containment rows on this exact shape.
+    Pins: (a) zero self-pairs in both bucketed operators, (b) the genuine
+    dup-id ↔ near-dup pair is still FOUND (the fix dedups ids inside the
+    bucket, never drops the bucket), (c) dedup_containment — whose oracle
+    is dup-id-correct by design (scored-from-the-joined-row comment in the
+    SQL) — stays in FULL value parity with DuckDB on this corpus."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    # ~60 mostly-distinct alphabetic words (the tokenizer is [a-z]+), so the
+    # one-word tail edit keeps trigram Jaccard ≈ 58/61 >> 0.8
+    base = " ".join(
+        f"{a}{b}{c}ix"
+        for a in "bcdfg" for b in "aeiou" for c in "lmnrs"
+    )[: 60 * 6]
+    rows = [
+        (7, base),
+        (7, base),                       # byte-identical duplicate ingest
+        (8, base + " extensiontail"),    # the near-dup it must still find
+        (1, "completely unrelated words about other topics entirely here"),
+        (2, "another independent document with its own vocabulary and tone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        lsh = dedup.dedup_minhash_lsh(spark, d).collect()
+        cont_pdf = dedup.dedup_containment(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        cont_oracle = con.sql(e.oracle_sql()["dedup_containment"]).df()
+        lsh_oracle_pairs = {
+            (a, b)
+            for a, b in con.sql(
+                "SELECT DISTINCT doc_a, doc_b FROM (" + e.oracle_sql()["dedup_minhash_lsh"] + ")"
+            ).fetchall()
+        }
+        con.close()
+
+    assert all(r["doc_a"] != r["doc_b"] for r in lsh)
+    assert not (cont_pdf["doc_a"] == cont_pdf["doc_b"]).any()
+    lsh_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh}
+    assert (7, 8) in lsh_pairs
+    # minhash's oracle documents multiplicity under dup ids as unspecified
+    # (split cnt CTE NOTE) — the PAIR SET must still agree exactly
+    assert lsh_pairs == lsh_oracle_pairs
+    # containment's oracle is dup-id-exact: full driver-faithful parity
+    assert sorted(cont_pdf.columns) == sorted(cont_oracle.columns)
+    assert len(cont_pdf) == len(cont_oracle)
+    assert canon_rows(cont_pdf) == canon_rows(cont_oracle)
+    assert (cont_pdf[["doc_a", "doc_b"]].apply(tuple, axis=1) == (7, 8)).any()

@@ -128,3 +128,27 @@ def test_release_manifest_composition(spark):
             h = hashlib.md5(r["text"].encode()).hexdigest()
             survivors[h] = min(survivors.get(h, r["doc_id"]), r["doc_id"])
     assert sum(r["n_docs"] for r in rows) == len(survivors)
+
+
+def test_mixture_plan_redistributes_absent_named_source_mass(spark):
+    """Round-7 advice: if a named MIXTURE_TARGETS source is absent (or
+    token-less), its mass must flow to the unnamed pool — weights still
+    sum to 1 whenever at least one unnamed source exists. Corpus: src1 and
+    src2 named-present, src0 ABSENT, two unnamed sources."""
+    import tempfile
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta words " * 3,
+                     ["src1", "src2", "srcx", "srcy"][i % 4]))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in rel.mixture_plan(spark, d).collect()}
+    assert set(out) == {"src1", "src2", "srcx", "srcy"}
+    assert abs(sum(r["target_weight"] for r in out.values()) - 1.0) < 1e-9
+    # src0's 0.30 joins the unnamed remainder: (1 - 0.2 - 0.1) / 2 = 0.35
+    assert abs(out["srcx"]["target_weight"] - 0.35) < 1e-9
+    assert abs(out["srcy"]["target_weight"] - 0.35) < 1e-9
+    assert abs(out["src1"]["target_weight"] - 0.20) < 1e-9
+    assert abs(out["src2"]["target_weight"] - 0.10) < 1e-9

@@ -279,7 +279,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _drop_hot_buckets(bands, ["band", "band_sig"], LSH_BUCKET_CAP)
     cand = (
         bands.groupBy("band", "band_sig")
-        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        # array_distinct BEFORE pair expansion: duplicate doc_ids (legal in
+        # the corpus — the fuzz suite pins them) would otherwise put the same
+        # id twice in the sorted member list and _ordered_pairs_expr would
+        # emit (x, x) self-pairs that the oracle's a.doc_id < b.doc_id join
+        # structurally never produces. Distinct + sorted ⇒ strictly
+        # increasing ⇒ doc_a < doc_b, matching the oracle's candidate set.
+        .agg(F.expr("array_sort(array_distinct(collect_list(doc_id)))").alias("ds"))
         .where(F.size("ds") >= 2)
         .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -311,14 +317,17 @@ _MINHASH_BAND_SELECTS = " UNION ALL ".join(
     for b in range(MINHASH_SEEDS // LSH_BAND_ROWS)
 )
 
-# NOTE on duplicate doc_ids (dirty-data edge): this oracle's split cnt CTE
-# joins counts back by doc_id, which under DUPLICATE ids can mix one row
+# NOTE on duplicate doc_ids (dirty-data edge): self-pairs are structurally
+# impossible on both sides — the Spark bucket expansion dedups ids before
+# pairing (array_distinct; pinned by test_dup_id_docs_emit_no_self_pairs)
+# and this oracle joins a.doc_id < b.doc_id. Row MULTIPLICITY under dup
+# ids remains unspecified for this operator: the split cnt CTE here joins
+# counts back by doc_id, which under duplicate ids can mix one row
 # combination's intersection with another row's size (the bug class the
 # containment oracle below fixes by scoring from the joined row). The
 # seeded fuzz corpus carries two dup-id docs and stays green here because
-# they never pair above the Jaccard bar; pair semantics under duplicate
-# ids are otherwise unspecified for this operator — dedup by content hash
-# first (dedup_exact), which needs no id uniqueness.
+# they never pair above the Jaccard bar; for full dup-id fidelity dedup
+# by content hash first (dedup_exact), which needs no id uniqueness.
 MINHASH_LSH_ORACLE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig16 AS (SELECT doc_id, {_MINHASH_SIG_COLS} FROM sh GROUP BY doc_id),
@@ -382,7 +391,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _drop_hot_buckets(ex, ["fp"], FP_DOC_CAP)
     cand = (
         ex.groupBy("fp")
-        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        # array_distinct BEFORE pair expansion: duplicate doc_ids (legal in
+        # the corpus — the fuzz suite pins them) would otherwise put the same
+        # id twice in the sorted member list and _ordered_pairs_expr would
+        # emit (x, x) self-pairs that the oracle's a.doc_id < b.doc_id join
+        # structurally never produces. Distinct + sorted ⇒ strictly
+        # increasing ⇒ doc_a < doc_b, matching the oracle's candidate set.
+        .agg(F.expr("array_sort(array_distinct(collect_list(doc_id)))").alias("ds"))
         .where(F.size("ds") >= 2)
         .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
         .select("p.doc_a", "p.doc_b")

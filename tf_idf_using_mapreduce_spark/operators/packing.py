@@ -90,6 +90,27 @@ def _derive_shard_count(total_bytes: int, floor: int,
     return max(floor, by_bytes, 1)
 
 
+def _shard_count_for_pinned_oracle(docs: DataFrame, floor: int, name: str) -> int:
+    """Derive the shard count for a REGISTRY entry whose committed DuckDB
+    oracle pins the floor as a constant. At fixture scale derived == floor
+    by construction; if the fixture ever grows past the derivation
+    threshold (floor × SHARD_BYTES_PER_SHARD compressed bytes) the derived
+    count — and with it every shard/pos value — would silently diverge
+    from the pinned oracle as a confusing full-output hash mismatch. Fail
+    EXPLICITLY instead, naming the fix. Library callers are unaffected:
+    the ``*_df`` forms take ``n_shards`` directly and never pin."""
+    derived = _derive_shard_count(_input_bytes(docs), floor)
+    if derived != floor:
+        raise ValueError(
+            f"{name}: derived shard count {derived} exceeds the floor {floor} "
+            f"pinned in the committed oracle SQL — the verification fixture "
+            f"grew past the size-law threshold. Re-pin the oracle's n_shards "
+            f"constant (and shard arithmetic) to {derived}, or call the *_df "
+            f"form with an explicit n_shards."
+        )
+    return derived
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_idx, n_tokens, chunk_text): each document split into
     consecutive ``CHUNK_LEN``-token chunks — the split-to-context-length
@@ -283,7 +304,11 @@ def corpus_shuffle_df(docs: DataFrame, seed: str = SHUFFLE_SEED,
 
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: shuffle the documents table for training epoch 0."""
-    return corpus_shuffle_df(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle_df(
+        docs,
+        n_shards=_shard_count_for_pinned_oracle(docs, SHUFFLE_SHARDS, "corpus_shuffle"),
+    )
 
 
 CORPUS_SHUFFLE_ORACLE = f"""
@@ -366,8 +391,12 @@ def length_bucket_batches_df(docs: DataFrame,
 
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: pad-efficient batches over the documents table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return length_bucket_batches_df(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs,
+        n_shards=_shard_count_for_pinned_oracle(
+            docs, BATCH_SHARDS, "length_bucket_batches"
+        ),
     )
 
 

@@ -129,15 +129,16 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str,
     from tf_idf_using_mapreduce_spark.operators.curation import pii_redaction_df
     from tf_idf_using_mapreduce_spark.operators.packing import (
         SHUFFLE_SHARDS,
-        _derive_shard_count,
-        _input_bytes,
+        _shard_count_for_pinned_oracle,
         corpus_shuffle_df,
     )
     from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_df
 
     source = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     if n_shards is None:
-        n_shards = _derive_shard_count(_input_bytes(source), SHUFFLE_SHARDS)
+        n_shards = _shard_count_for_pinned_oracle(
+            source, SHUFFLE_SHARDS, "pretraining_manifest"
+        )
     docs = spread(source, bytes_per_partition=128 * 1024)
     # same load-bearing lineage cut as pretraining_shards (see above):
     # filtering on the cascade's CASE inline re-expands the tokenizer

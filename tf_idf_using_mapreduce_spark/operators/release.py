@@ -161,6 +161,12 @@ FROM joined
 # the remaining mass equally. A trained data recipe would change these
 # constants, not the plan (same seam discipline as the quality classifier).
 MIXTURE_TARGETS = {"src0": 0.30, "src1": 0.20, "src2": 0.10}
+# integer-percent twin of MIXTURE_TARGETS: the named mass is summed in exact
+# integer hundredths (never a float sum — engine-order-proof), and weights
+# only become double via correctly-rounded division (pct/100.0 == the double
+# literal bit-for-bit, so the output is unchanged where it was right before)
+_MIXTURE_PCT = {k: round(v * 100) for k, v in MIXTURE_TARGETS.items()}
+assert all(abs(_MIXTURE_PCT[k] / 100 - v) < 1e-12 for k, v in MIXTURE_TARGETS.items())
 RATE_ROUND = 6
 
 
@@ -171,10 +177,15 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, and the epoch count (repeat factor) when the target demands
     more tokens than the source has (rate > 1 ⇒ upsample by repetition,
     the standard Llama-recipe arithmetic). target_weight for sources not
-    named in ``MIXTURE_TARGETS`` is the remaining mass split equally —
-    computed FROM THE DATA so the weights always sum to 1 whatever the
-    source census is. One aggregate to O(sources) rows, then pure scalar
-    arithmetic on the tiny table; all divisions are double-on-exact-ints
+    named in ``MIXTURE_TARGETS`` is the remaining mass split equally, where
+    "remaining" is computed from the named sources ACTUALLY PRESENT in the
+    data (an absent or token-less named source's mass redistributes to the
+    unnamed pool rather than silently vanishing) — so the weights sum to 1
+    whenever at least one unnamed source exists; if the census is
+    named-only, they sum to the present named mass (nowhere to
+    redistribute). One aggregate to O(sources) rows, then pure scalar
+    arithmetic on the tiny table; the named mass is an exact INTEGER
+    percent sum and every weight is one correctly-rounded double division
     (deterministic — no float SUM anywhere)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     per = (
@@ -188,19 +199,25 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") > 0)
     )
     named = list(sorted(MIXTURE_TARGETS))
-    named_mass = sum(MIXTURE_TARGETS.values())
     in_named = F.col("source").isin(named)
+    pct_entries: list = []
+    for k in named:
+        pct_entries.extend([F.lit(k), F.lit(int(_MIXTURE_PCT[k]))])
+    pct_map = F.create_map(*pct_entries)
     totals = per.agg(
         F.sum("n_tokens").alias("t_total"),
         F.sum(in_named.cast("long")).alias("n_named"),
         F.count(F.lit(1)).alias("n_sources"),
+        # exact integer hundredths of the named sources PRESENT (post the
+        # n_tokens > 0 filter) — an absent named source contributes nothing
+        F.coalesce(
+            F.sum(F.when(in_named, F.element_at(pct_map, F.col("source")))),
+            F.lit(0),
+        ).alias("named_pct"),
     )
-    entries: list = []
-    for k in named:
-        entries.extend([F.lit(k), F.lit(float(MIXTURE_TARGETS[k]))])
     weight = F.coalesce(
-        F.element_at(F.create_map(*entries), F.col("source")),
-        (F.lit(1.0) - F.lit(float(named_mass)))
+        F.element_at(pct_map, F.col("source")).cast("double") / F.lit(100).cast("double"),
+        (F.lit(100) - F.col("named_pct")).cast("double") / F.lit(100).cast("double")
         / (F.col("n_sources") - F.col("n_named")).cast("double"),
     )
     rate = weight * F.col("t_total").cast("double") / F.col("n_tokens").cast("double")
@@ -219,10 +236,13 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mixture_plan_oracle() -> str:
     named = sorted(MIXTURE_TARGETS)
-    named_mass = sum(MIXTURE_TARGETS.values())
     in_list = ", ".join(f"'{k}'" for k in named)
+    pct_cases = " ".join(
+        f"WHEN source = '{k}' THEN {_MIXTURE_PCT[k]}" for k in named
+    )
     w_cases = " ".join(
-        f"WHEN source = '{k}' THEN {MIXTURE_TARGETS[k]}" for k in named
+        f"WHEN source = '{k}' THEN CAST({_MIXTURE_PCT[k]} AS DOUBLE) / CAST(100 AS DOUBLE)"
+        for k in named
     )
     return f"""
 WITH per AS (
@@ -234,13 +254,15 @@ WITH per AS (
 tot AS (
   SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
          sum(CASE WHEN source IN ({in_list}) THEN 1 ELSE 0 END) AS n_named,
-         count(*) AS n_sources
+         count(*) AS n_sources,
+         coalesce(sum(CASE {pct_cases} ELSE NULL END), 0) AS named_pct
   FROM per
 ),
 w AS (
   SELECT per.*, tot.t_total,
          CASE {w_cases}
-              ELSE (1.0 - {named_mass}) / CAST(n_sources - n_named AS DOUBLE)
+              ELSE CAST(100 - named_pct AS DOUBLE) / CAST(100 AS DOUBLE)
+                   / CAST(n_sources - n_named AS DOUBLE)
          END AS weight
   FROM per, tot
 )

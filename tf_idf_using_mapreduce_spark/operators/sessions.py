@@ -376,16 +376,19 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str,
         Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(-lookback, -1)
     )
-    # s2 accumulates squares: at ~1e9 events/hour a bigint sum of n² wraps
-    # int64 (24 × 1e18 ≈ 2.4e19) — widened to DECIMAL(38,0) on Spark to
-    # match DuckDB's automatic HUGEINT sum promotion (exact on both at any
-    # volume; same int64-overflow discipline as q11's threshold)
+    # s2 accumulates squares: widen BEFORE the multiply, not just the sum —
+    # (n*n).cast(decimal) squares in int64 first and wraps per-ROW at
+    # n ≳ 3.0e9 events/hour (and DuckDB's BIGINT n*n errors at the same
+    # point), so the cast must hoist above the product on BOTH engines:
+    # decimal(38,0) * bigint on Spark, HUGEINT * BIGINT on DuckDB. The sum
+    # of widened squares is then exact on both at any volume (same
+    # int64-overflow discipline as q11's threshold).
     scored = hourly.select(
         "event_type",
         "hour",
         "n",
         F.sum("n").over(w).alias("s1"),
-        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).over(w).alias("s2"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).over(w).alias("s2"),
         F.count("n").over(w).alias("cnt"),
     ).where(F.col("cnt") >= lookback)
     mean = F.col("s1").cast("double") / F.col("cnt")
@@ -414,7 +417,7 @@ WITH hourly AS (
 win AS (
   SELECT event_type, hour, n,
          sum(n) OVER w AS s1,
-         sum(n * n) OVER w AS s2,
+         sum(CAST(n AS HUGEINT) * n) OVER w AS s2,
          count(n) OVER w AS cnt
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour

@@ -366,10 +366,23 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
     from pyspark.ml.feature import IDF, CountVectorizer
 
     toks = stemmed_tokens(spark, sf_dir)
-    doc_tokens = toks.groupBy("doc_id").agg(F.collect_list("stem").alias("terms"))
+    # Materialize the stem lineage ONCE: the fit is inherently multi-pass
+    # (cv.fit, cv.transform, idf.fit, the final transform — four actions),
+    # and uncached each pass re-ran scan → tokenize → Porter-stem →
+    # collect_list from parquet; measured 20.2 s for the overlap twin at
+    # sf0.1, 24 % of the whole bench suite (round-6 verdict #1). Eager
+    # localCheckpoint (the repo's standard lineage cut) computes the token
+    # lists once and the term-frequency vectors once; every later pass
+    # reads the checkpointed blocks. Values are unchanged — same lineage,
+    # fewer evaluations — so the oracled overlap gate is untouched.
+    doc_tokens = (
+        toks.groupBy("doc_id")
+        .agg(F.collect_list("stem").alias("terms"))
+        .localCheckpoint(eager=True)
+    )
     cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
     cv_model = cv.fit(doc_tokens)
-    tf = cv_model.transform(doc_tokens)
+    tf = cv_model.transform(doc_tokens).localCheckpoint(eager=True)
     idf = IDF(inputCol="tf_vec", outputCol="features")
     feats = idf.fit(tf).transform(tf).select("doc_id", "features")
     return cv_model.vocabulary, feats

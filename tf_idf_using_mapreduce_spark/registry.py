@@ -228,24 +228,23 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 6: size-derived shard law — both operators now RECORD n_shards
-    # in their output (schema + oracle changed), and the composed manifest
-    # threads the parameter
+    # round 7: dup-id self-pair fix — bucket member lists dedup ids before
+    # pair expansion (expression changed; oracles unchanged)
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    # round 7: sum(n²) now widens BEFORE the multiply on both engines
+    # (expression + oracle changed)
+    "events_hourly_anomalies",
+    # round 7: named mass computed from PRESENT named sources in exact
+    # integer hundredths (expression + oracle changed)
+    "mixture_plan",
+    # round 7: MLlib fit lineage checkpointed (same values, fewer passes)
+    "tfidf_mllib",
+    "tfidf_mllib_topk_overlap",
+    # round 7: registry entries now guard the pinned shard floor explicitly
     "corpus_shuffle",
     "length_bucket_batches",
     "pretraining_manifest",
-    # round 6: empty-stage fix — plain aggregates instead of groupBy(lit)
-    "user_funnel",
-    # round 6: q11 threshold widened to decimal/int128 (int64 overflow at
-    # large SF); embedding_outliers centroid rounded to 9dp pre-dot
-    "q11_important_parts",
-    "embedding_outliers",
-    # round 6: stratified_sample rewritten as two-phase per-stratum top-K
-    # (identical output, new expression)
-    "stratified_sample",
-    # round 6: winnowing core refactored into fingerprint_sets /
-    # FINGERPRINT_SETS_SQL (same algorithm, oracle text changed)
-    "doc_fingerprints",
 })
 
 

@@ -9,8 +9,8 @@ share of near-dup mass). This harness:
 
 1. generates a Zipf-skewed corpus at ~sf0.1 document count (deterministic,
    seeded): near-dup cluster sizes follow ``size_i ∝ head / i**1.1`` with a
-   ~600-member head template cluster — every band bucket that cluster forms
-   is hot (≫ cap) — plus organic unique tails;
+   ~1500-member head template cluster (``HEAD_CLUSTER``) — every band bucket
+   that cluster forms is hot (≫ cap) — plus organic unique tails;
 2. times ``dedup_minhash_lsh`` and ``dedup_incremental`` with the cap at its
    production value (64) and with the cap DISABLED, same data, same session;
 3. prints ONE JSON line with both wall-clocks and the candidate-pair counts,
