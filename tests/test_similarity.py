@@ -202,3 +202,57 @@ def test_knn_label_agreement_perfect_on_separated_clusters(spark):
     assert set(out) == {0, 1, 2}
     for lab, r in out.items():
         assert r["n_vecs"] == 5 and r["nn_same"] == 5, r
+
+
+def test_knn_label_agreement_lsh_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "knn_label_agreement_lsh")
+
+
+def test_knn_lsh_matches_exact_on_sign_separated_clusters(spark):
+    """Three clusters whose centroid SIGN PATTERNS sit ≥ hamming-4 apart
+    (so hamming ≤ 2 probes never cross clusters): the LSH route's blocking
+    really partitions the space, and within a cluster it must reproduce
+    the exact operator bit-for-bit — per-vector 1-NN identical to
+    allpairs.cosine_nn1 and per-label agreement 100 %."""
+    import tempfile
+
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_nn1
+
+    signs = [
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [-1, -1, -1, -1, 1, 1, 1, 1],
+        [1, 1, -1, -1, -1, -1, 1, 1],
+    ]
+    rows, vid = [], 0
+    for lab, s in enumerate(signs):
+        for i in range(6):
+            v = [float(b) for b in s] + [0.05 * i, 0.01 * lab]
+            rows.append((vid, v, lab))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        agg = {r["label"]: r for r in sim.knn_label_agreement_lsh(spark, d).collect()}
+        vecs = sim._vectors(spark, d)
+        lsh_nn = {r["qid"]: r["nid"] for r in sim._lsh_nn1(vecs).collect()}
+        exact_nn = {r["id"]: r["nn_id"] for r in cosine_nn1(vecs).collect()}
+    assert set(agg) == {0, 1, 2}
+    for lab, r in agg.items():
+        assert r["n_vecs"] == 6 and r["nn_same"] == 6, r
+    assert lsh_nn == exact_nn  # recall 1.0 when neighbors share sign structure
+
+
+def test_knn_lsh_recall_floor_on_fixture(spark):
+    """The near-orthogonal fixture is sign-LSH's documented WORST case
+    (neighbor cosine ≈ 0.4 ⇒ per-bit flip prob ≈ 0.37 ⇒ P(within
+    hamming 2 of 8 bits) ≈ 0.3) — pin the floor well below the measured
+    0.36-0.38 so a broken blocking (recall ≈ hamming-weighted chance,
+    < 0.1) fails while geometry noise passes. Real embedding corpora sit
+    far above this: see the sign-separated-clusters test (recall 1.0)."""
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_nn1
+
+    vecs = sim._vectors(spark, SF_SMOKE)
+    lsh_nn = {r["qid"]: r["nid"] for r in sim._lsh_nn1(vecs).collect()}
+    exact = {r["id"]: r["nn_id"] for r in cosine_nn1(vecs).collect()}
+    hits = sum(1 for i, nn in exact.items() if lsh_nn.get(i) == nn)
+    assert hits / len(exact) >= 0.25, f"recall {hits / len(exact):.3f}"

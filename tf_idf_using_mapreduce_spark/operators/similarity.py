@@ -676,6 +676,110 @@ GROUP BY own
 """
 
 
+# hot sign-buckets (embedding mass collapsing onto one orthant — the
+# vector-space analogue of boilerplate band keys) are amputated from the
+# CANDIDATE side before the bucket join, mirrored in the oracle; queries
+# in a hot bucket still reach neighbors through their ≤ hamming-2 probes
+KNN_LSH_BUCKET_CAP = 256
+
+
+def knn_label_agreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, nn_same): the SCALE ROUTE for
+    :func:`knn_label_agreement` — 1-NN restricted to multi-probe sign-LSH
+    candidates (every bucket within hamming ≤ 2 of the query's own
+    sign-bit bucket) instead of the exact all-pairs block matmul. This is
+    the handoff the exact operator's docstring promises beyond ~10⁶
+    vectors: candidate volume is Σ over buckets of (probes landing there ×
+    min(bucket, cap)) — bucketed, never n². The probe fan-out (37 keys)
+    rides the QUERY side of a plain equi-join; the candidate side keeps
+    one bucket key and hot buckets are capped like every LSH operator in
+    this engine (``KNN_LSH_BUCKET_CAP``, mirrored in the oracle, so capped
+    output stays hash-checked). The per-query 1-NN is a window over ≤ 37 ×
+    cap candidate rows — bounded by construction, independent of corpus
+    size. Fully oracled: the blocking is deterministic SQL, so DuckDB
+    reproduces the entire route; the pytest twin additionally pins 1-NN
+    recall against the exact form (same pattern as ann_topk_*_recall).
+    Zero-dot pairs excluded per the file's sparse-join convention."""
+    nn = _lsh_nn1(_vectors(spark, sf_dir))
+    return nn.groupBy(F.col("own").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("own") == F.col("nbr")).cast("long")).alias("nn_same"),
+    )
+
+
+def _lsh_nn1(vecs: DataFrame) -> DataFrame:
+    """(qid, own, nid, nbr, cos_sim): each vector's 1-NN among its
+    multi-probe sign-LSH candidates — the shared core of
+    :func:`knn_label_agreement_lsh` and the pytest recall gate (which
+    compares this frame's nid against ``allpairs.cosine_nn1``)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import _drop_hot_buckets
+
+    vb = vecs.withColumn("bucket", F.expr(_sign_bucket_spark("v")))
+    cand = _drop_hot_buckets(
+        vb.select("bucket", F.col("vec_id").alias("nid"),
+                  F.col("label").alias("nbr"), "v", "nrm"),
+        ["bucket"], KNN_LSH_BUCKET_CAP,
+    )
+    probes = ", ".join(_probe_exprs("bucket"))
+    q = vb.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("own"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+        F.explode(F.expr(f"array({probes})")).alias("bucket"),
+    )
+    # probes are pairwise-distinct keys and each candidate holds ONE key,
+    # so a (qid, nid) pair arises at most once — no dedup pass needed
+    pairs = cand.join(q, "bucket").where(F.col("nid") != F.col("qid"))
+    scored = (
+        pairs.withColumn("dot", F.expr(spark_dot("v", "qv")))
+        .where(F.col("dot") != 0)
+        .select(
+            "qid", "own", "nid", "nbr",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), COS_ROUND).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _knn_label_agreement_lsh_oracle() -> str:
+    probes = ", ".join(_probe_exprs("bucket"))
+    return f"""
+WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+b AS (SELECT *, {_sign_bucket_duck('v')} AS bucket FROM e),
+hot AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > {KNN_LSH_BUCKET_CAP}),
+c AS (SELECT * FROM b bb
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bucket = bb.bucket)),
+qp AS (SELECT vec_id AS qid, label AS own, v AS qv, nrm AS qn,
+              unnest([{probes}]) AS bucket
+       FROM b),
+scored AS (
+  SELECT qp.qid, qp.own, c.vec_id AS nid, c.label AS nbr,
+         {duck_dot('c.v', 'qp.qv')} AS dot,
+         round({duck_dot('c.v', 'qp.qv')} / (c.nrm * qp.qn), {COS_ROUND}) AS cos_sim
+  FROM qp JOIN c ON c.bucket = qp.bucket AND c.vec_id <> qp.qid
+),
+nn AS (
+  SELECT qid, own, nbr,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid ASC) AS rk
+  FROM scored WHERE dot <> 0
+)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN own = nbr THEN 1 ELSE 0 END) AS BIGINT) AS nn_same
+FROM nn WHERE rk = 1
+GROUP BY own
+"""
+
+
+KNN_LABEL_AGREEMENT_LSH_ORACLE = _knn_label_agreement_lsh_oracle()
+
+
 EMBEDDING_OUTLIERS_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm

@@ -211,6 +211,8 @@ register("events_hourly_anomalies", _sess.events_hourly_anomalies,
          _sess.EVENTS_ANOMALY_ORACLE)
 register("knn_label_agreement", _sim.knn_label_agreement,
          _sim.KNN_LABEL_AGREEMENT_ORACLE)
+register("knn_label_agreement_lsh", _sim.knn_label_agreement_lsh,
+         _sim.KNN_LABEL_AGREEMENT_LSH_ORACLE)
 register("sessionize_events_scalable", _sess.sessionize_events_scalable,
          _sess.SESSIONIZE_ORACLE)
 register("asof_purchase_prior_click_scalable",
