@@ -788,7 +788,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
 
 
 def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b",
-                                 max_iters: int = CC_MAX_ITERS) -> DataFrame:
+                                 max_iters: int = CC_MAX_ITERS,
+                                 stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id): connected components via alternating
     large-star / small-star (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14 — public algorithm). Same output contract
@@ -849,8 +850,13 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # ``stats`` (optional out-param): {"rounds": r} after the loop — the
+    # O(log component-size) convergence claim made measurable by harnesses
+    # (tools/skew_bench.py) without touching the return contract
     seen: set[tuple] = set()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # symmetric closure by projection (no distinct needed — see above)
         sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u});
@@ -889,6 +895,8 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # at fixpoint the canonical edges form stars: (child, root). Singleton
     # components that collapsed away keep themselves.
     stars = (

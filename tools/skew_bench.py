@@ -11,10 +11,18 @@ share of near-dup mass). This harness:
    seeded): near-dup cluster sizes follow ``size_i ∝ head / i**1.1`` with a
    ~1500-member head template cluster (``HEAD_CLUSTER``) — every band bucket
    that cluster forms is hot (≫ cap) — plus organic unique tails;
-2. times ``dedup_minhash_lsh`` and ``dedup_incremental`` with the cap at its
-   production value (64) and with the cap DISABLED, same data, same session;
-3. prints ONE JSON line with both wall-clocks and the candidate-pair counts,
-   for the scaling report.
+2. times ``dedup_minhash_lsh``, ``dedup_incremental``, and (round 7)
+   ``dedup_containment`` — whose hot key is the winnowed FINGERPRINT, far
+   denser than band keys (~100 fingerprints/doc vs 8 bands) so the uncapped
+   blowup is proportionally worse — with each cap at its production value
+   and with the cap DISABLED, same data, same session;
+3. (round 7) runs two-star connected components over the capped LSH pair
+   graph: the head template cluster is a ~1500-member near-clique component,
+   and the bench records the ROUND COUNT to pin the O(log component-size)
+   convergence claim on an adversarial component (vs diameter-bound label
+   propagation);
+4. prints ONE JSON line with all wall-clocks, candidate-pair counts, and
+   the two-star round/component census, for the scaling report.
 
 Uncapped, the head cluster alone expands to ~size²/2 candidate pairs, each
 paying an exact-Jaccard array_intersect over hundreds of shingles — the
@@ -87,6 +95,8 @@ def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_zipf"
     sf_dir = generate_zipf_corpus(out_dir)
 
+    from pyspark.sql import functions as F
+
     from tf_idf_using_mapreduce_spark.session import get_spark
     from tf_idf_using_mapreduce_spark.operators import dedup as dd
 
@@ -116,6 +126,46 @@ def main() -> int:
                 }
         finally:
             dd.LSH_BUCKET_CAP = production_cap
+
+    # containment: the hot key is the FINGERPRINT (~100 per doc, so the
+    # head cluster makes ~100 hot buckets of 1500 members each — candidate
+    # mass ~100 × 1500²/2 uncapped). Single uncapped pass (no min-of-2):
+    # the point is the order-of-magnitude gap, and two uncapped passes
+    # would dominate the harness wall-clock.
+    fp_cap = dd.FP_DOC_CAP
+    for label, cap, reps in (("capped", fp_cap, 2), ("uncapped", 1 << 60, 1)):
+        dd.FP_DOC_CAP = cap
+        try:
+            best, n_pairs = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.time()
+                n_pairs = dd.dedup_containment(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            results.setdefault("dedup_containment", {})[label] = {
+                "sec": round(best, 3), "pairs": n_pairs,
+            }
+        finally:
+            dd.FP_DOC_CAP = fp_cap
+
+    # two-star CC over the capped LSH pair graph: the head cluster is a
+    # near-clique component ~HEAD_CLUSTER wide; rounds must stay ~log2 of
+    # the component size, nowhere near its diameter-free member count
+    edges = dd.dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    stats: dict = {}
+    t0 = time.time()
+    labels_df = dd.connected_components_twostar(edges, stats=stats)
+    comp = labels_df.groupBy("cluster_id").count()
+    agg = comp.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("count").alias("max_component"),
+    ).collect()[0]
+    twostar_sec = time.time() - t0
+    results["dedup_clusters_twostar"] = {
+        "sec": round(twostar_sec, 3),
+        "rounds": stats.get("rounds"),
+        "n_components": agg["n_components"],
+        "max_component": agg["max_component"],
+    }
 
     print(json.dumps({
         "metric": "skew_bench",
