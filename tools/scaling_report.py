@@ -21,7 +21,7 @@ def main() -> int:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=900,
+            env=env, capture_output=True, text=True, timeout=1800,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[sf] = json.loads(line)
