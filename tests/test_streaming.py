@@ -319,3 +319,102 @@ def test_watermark_drops_late_data_in_append_stream(spark, tmp_path):
     assert got[("2024-03-01 10:00", "view")] == 2
     assert got[("2024-03-01 11:00", "click")] == 1
     assert got[("2024-03-01 12:00", "view")] == 1
+
+
+def test_stateful_dedup_recovers_state_across_kill_and_restart(spark, tmp_path):
+    """Round-7 verdict #7: the exactly-once story so far covered a clean
+    availableNow drain; this pins RECOVERY — the stateful dedup index
+    (documents_stream_dedup's exact aggregation, via dedup_state_agg)
+    killed between microbatch boundaries and restarted on the same
+    checkpoint must (a) resume the state store (counts ACCUMULATE across
+    runs — a reset would restart them), (b) not reprocess drained files
+    (offset-log replay protection), (c) end bit-identical to the batch
+    dedup over everything ingested: per-hash counts sum to exactly the
+    rows written (no dup, no loss) with min-doc_id canonicals."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.streaming.corpus import (
+        DOCUMENTS_SCHEMA,
+        dedup_state_agg,
+    )
+
+    land = str(tmp_path / "landing")
+    ck = str(tmp_path / "ck")
+    os.makedirs(land)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows], DOCUMENTS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{land}/{name}")
+
+    # three arrival files; 'alpha'/'beta' texts recur ACROSS files so only
+    # retained state can produce the right totals
+    write_file("f1", [(1, "alpha"), (2, "beta"), (3, "gamma")])
+    write_file("f2", [(4, "alpha"), (5, "delta")])
+    write_file("f3", [(6, "beta"), (7, "alpha"), (0, "gamma")])
+
+    def start(name, ckpt):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # force one microbatch per file
+            .parquet(land + "/*")
+            .select("doc_id", "text")
+        )
+        return (
+            dedup_state_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: kill as soon as the FIRST microbatch commits, while input
+    # remains — stop() races the (sub-second) later batches, so retry with a
+    # fresh checkpoint until the kill really lands mid-stream
+    rows_run1, ck = 8, None
+    for attempt in range(5):
+        ck = str(tmp_path / f"ck{attempt}")
+        q1 = start("dedup_recovery_run1", ck)
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q1.lastProgress is not None or not q1.isActive:
+                break
+            _time.sleep(0.01)
+        q1.stop()
+        q1.awaitTermination(60)
+        rows_run1 = sum(p["numInputRows"] for p in q1.recentProgress)
+        if 0 < rows_run1 < 8:
+            break
+    assert 0 < rows_run1 < 8, "kill must land mid-stream, before the full drain"
+
+    # a fourth file lands while the pipeline is down
+    write_file("f4", [(9, "alpha"), (8, "epsilon")])
+
+    # run 2: same checkpoint — must resume state and drain only the rest
+    q2 = start("dedup_recovery_run2", ck)
+    q2.awaitTermination(120)
+    deadline = _time.time() + 60
+    while q2.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert not q2.isActive
+    rows_run2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    # exactly-once across the kill: every row processed once, none twice
+    assert rows_run1 + rows_run2 == 10
+
+    got = {
+        r["text_hash"]: (r["n_docs"], r["canonical_doc_id"])
+        for r in spark.table("dedup_recovery_run2").collect()
+    }
+    truth = {
+        r["text_hash"]: (r["n_docs"], r["canonical_doc_id"])
+        for r in spark.read.parquet(land + "/*")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .collect()
+    }
+    assert got == truth  # alpha=4 docs min 1, beta=2, gamma=2 min 0, ...

@@ -79,19 +79,23 @@ def documents_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per billion docs, RocksDB-backed state store territory at 100 TB);
     the alternative — rebuilding the index per batch from the persisted
     corpus — is exactly what ``dedup_incremental`` shows how to avoid."""
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_dedup_result"
+    run_stream_to_memory(dedup_state_agg(stream), result_name, output_mode="complete")
+    return spark.table(result_name)
+
+
+def dedup_state_agg(stream: DataFrame) -> DataFrame:
+    """The stateful dedup-index aggregation of :func:`documents_stream_dedup`
+    over any (doc_id, text) stream — factored out so the checkpoint-recovery
+    test (tests/test_streaming.py) drives the EXACT operator expression
+    through a kill-and-restart instead of a lookalike."""
     from pyspark.sql import functions as F
 
-    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
-    agg = (
-        stream.groupBy(F.md5("text").alias("text_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("canonical_doc_id"),
-        )
+    return stream.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
     )
-    result_name = "documents_stream_dedup_result"
-    run_stream_to_memory(agg, result_name, output_mode="complete")
-    return spark.table(result_name)
 
 
 def documents_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
