@@ -45,6 +45,8 @@ FUZZ_QUERIES = [
     # round-5 text analysis (bigram-LM scoring + per-lang length profile)
     "doc_lm_score",
     "lang_length_quantiles",
+    # round-7 DSIR importance ratio (same bigram-LM surface, two models)
+    "dsir_importance",
     # round-5 redaction / shuffle / Zipf tier (PII shapes live in _EDGE_TEXTS)
     "pii_redaction",
     "corpus_shuffle",

@@ -152,3 +152,51 @@ def test_mixture_plan_redistributes_absent_named_source_mass(spark):
     assert abs(out["srcy"]["target_weight"] - 0.35) < 1e-9
     assert abs(out["src1"]["target_weight"] - 0.20) < 1e-9
     assert abs(out["src2"]["target_weight"] - 0.10) < 1e-9
+
+
+def test_split_leakage_semantic_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "split_leakage_semantic")
+
+
+def test_split_leakage_semantic_flags_cross_split_twin(spark):
+    """Constructed semantic leak: two docs whose TEXTS share no n-grams
+    (opposite vocabularies — the textual audit is blind to them) but whose
+    embeddings are nearly parallel, content-hashed into different splits;
+    the census must report exactly that cross-split pair at cos ≈ 1, and
+    an orthogonal distractor in a far sign-bucket must not pair."""
+    import tempfile
+
+    # find two texts landing in different splits (content-hash is
+    # deterministic, so probe a few candidates through the real assignment)
+    cands = [(i, f"candidate text number {i} with deterministic words") for i in range(40)]
+    cdf = spark.createDataFrame(cands, "doc_id long, text string")
+    splits = {r["doc_id"]: r["split"] for r in rel.split_assignment_df(cdf).collect()}
+    by_split: dict = {}
+    for i, s in splits.items():
+        by_split.setdefault(s, i)
+    assert "train" in by_split and len(by_split) >= 2
+    i_train = by_split["train"]
+    i_other = next(i for s, i in by_split.items() if s != "train")
+
+    docs = [
+        (0, cands[i_train][1]),
+        (1, cands[i_other][1]),
+        (2, "completely different distractor content entirely"),
+    ]
+    embs = [
+        (0, [1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 0.05], 0),
+        (1, [1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0, 1.0, 0.10], 0),  # cos ~ 1 with vec 0
+        (2, [-1.0, -1.0, 1.0, -1.0, -1.0, 1.0, -1.0, -1.0, 0.2], 1),  # opposite orthant
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(f"{tmp}/embeddings.parquet")
+        out = rel.split_leakage_semantic(spark, tmp).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["split_a"] != row["split_b"]
+    assert row["n_pairs"] == 1 and row["max_cos"] > 0.99

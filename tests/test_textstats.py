@@ -247,3 +247,45 @@ def test_script_mix_classifies_scripts(spark):
     assert out[5]["dominant"] == "latin" and out[6]["dominant"] == "cjk"
     assert out[7]["dominant"] == "none"
     assert out[8]["dominant"] is None and out[8]["n_latin"] is None
+
+
+def test_dsir_importance_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dsir_importance")
+
+
+def test_dsir_importance_upweights_target_domain(spark):
+    """Fixture check: the target slice's own documents must average strictly
+    above every other source (its bigrams dominate the target LM), and a
+    synthetic two-domain corpus must separate with the RIGHT SIGN — target
+    -vocabulary docs positive, background-vocabulary docs negative."""
+    import tempfile
+
+    d = ts.dsir_importance(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "source")
+    per = {
+        r["source"]: r["m"]
+        for r in d.join(docs, "doc_id")
+        .groupBy("source").agg(F.avg("log_ratio").alias("m")).collect()
+    }
+    tgt = per.pop(ts.DSIR_TARGET_SOURCE)
+    assert all(tgt > m for m in per.values())
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "physics quantum lattice boson fermion gauge " * 3,
+                     "en", ts.DSIR_TARGET_SOURCE, 100))
+    for i in range(20, 60):
+        rows.append((i, "recipe butter flour sugar oven whisk dough " * 3,
+                     "en", f"src{1 + i % 5}", 100))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        out = {r["doc_id"]: r["log_ratio"] for r in ts.dsir_importance(spark, tmp).collect()}
+    # exclusive-vocab target bigrams score exactly 0: the background LM
+    # contains the target slice, so Pt == Pb wherever the slice is those
+    # bigrams' only source — the ratio upweights RELATIVE to background
+    # docs, whose out-of-target bigrams go sharply negative
+    assert all(out[i] == 0 for i in range(20)), "exclusive target vocab ⇒ ratio 0"
+    assert all(out[i] < -1 for i in range(20, 60)), "background docs must downweight"

@@ -153,6 +153,139 @@ FROM joined
 """
 
 
+def split_leakage_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs, max_cos): the SEMANTIC leakage audit —
+    near-neighbor pairs in EMBEDDING space censused by the split pair they
+    land in. Textual :func:`split_leakage` catches paraphrase-free overlap
+    (shingles); this catches what it structurally can't: rewordings and
+    translations whose embeddings stay close while their n-grams share
+    nothing — the leakage modality that actually inflates eval scores on a
+    released split. Candidates come from shared sign-LSH buckets (the
+    engine's standard vector blocking: one groupBy on the 8-bit sign key,
+    pair expansion over the id-deduped sorted member list, hot buckets
+    capped and the cap mirrored in the oracle — candidate volume
+    Σ min(bucket, cap)², never n²); pairs at cosine ≥ the near-dup
+    threshold join the content-hash split assignment on doc_id = vec_id.
+    Docs with NULL split (NULL text) are excluded — unknown stays unknown.
+    The output is O(split²) rows: (ordered split pair, pair count, max
+    cosine observed), the table a release datasheet prints."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        _drop_hot_buckets,
+        _ordered_pairs_expr,
+    )
+    from tf_idf_using_mapreduce_spark.operators.similarity import (
+        KNN_LSH_BUCKET_CAP,
+        NEARDUP_COS_THRESHOLD,
+        _sign_bucket_spark,
+        _vectors,
+    )
+    from tf_idf_using_mapreduce_spark.functions.vectors import COS_ROUND, spark_dot
+
+    vecs = (
+        _vectors(spark, sf_dir)
+        .withColumn("bucket", F.expr(_sign_bucket_spark("v")))
+        .localCheckpoint(eager=False)
+    )
+    banded = _drop_hot_buckets(
+        vecs.select("bucket", "vec_id"), ["bucket"], KNN_LSH_BUCKET_CAP
+    )
+    cand = (
+        banded.groupBy("bucket")
+        .agg(F.expr("array_sort(array_distinct(collect_list(vec_id)))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+        .distinct()
+    )
+    sa = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    sb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    near = (
+        cand.join(sa, "vec_a").join(sb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            F.round(F.expr(spark_dot("va", "vb")) / (F.col("na") * F.col("nb")),
+                    COS_ROUND).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assign = split_assignment_df(docs).where(F.col("split").isNotNull()).select(
+        "doc_id", "split"
+    )
+    a = assign.select(F.col("doc_id").alias("vec_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("vec_b"), F.col("split").alias("sb"))
+    return (
+        near.join(a, "vec_a").join(b, "vec_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "cos_sim",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )
+
+
+def split_leakage_semantic_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.similarity import (
+        KNN_LSH_BUCKET_CAP,
+        NEARDUP_COS_THRESHOLD,
+        _sign_bucket_duck,
+    )
+    from tf_idf_using_mapreduce_spark.functions.vectors import (
+        COS_ROUND,
+        duck_cast_double,
+        duck_dot,
+        duck_norm,
+    )
+
+    return f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+b AS (SELECT *, {_sign_bucket_duck('v')} AS bucket FROM e),
+hot AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > {KNN_LSH_BUCKET_CAP}),
+cold AS (SELECT * FROM b bb
+         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bucket = bb.bucket)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM cold x JOIN cold y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+near AS (
+  SELECT c.vec_a, c.vec_b,
+         round({duck_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm), {COS_ROUND}) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+  WHERE round({duck_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm), {COS_ROUND})
+        >= {NEARDUP_COS_THRESHOLD}
+),
+assign AS (SELECT doc_id,
+                  CASE WHEN text IS NULL THEN NULL
+                       WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_TRAIN_END} THEN 'train'
+                       WHEN {_SPLIT_BUCKET_DUCK} < {SPLIT_VAL_END} THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents),
+labeled AS (
+  SELECT least(a.split, bb.split) AS split_a,
+         greatest(a.split, bb.split) AS split_b,
+         n.cos_sim
+  FROM near n
+  JOIN assign a ON a.doc_id = n.vec_a AND a.split IS NOT NULL
+  JOIN assign bb ON bb.doc_id = n.vec_b AND bb.split IS NOT NULL
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(cos_sim) AS max_cos
+FROM labeled
+GROUP BY split_a, split_b
+"""
+
+
 # --------------------------------------------------------------------------- #
 # token-budget mixture plan (sampling rates + epochs per source)
 # --------------------------------------------------------------------------- #

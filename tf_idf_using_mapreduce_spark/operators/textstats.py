@@ -513,6 +513,104 @@ GROUP BY b.doc_id
 """
 
 
+# the "domain we want more of" for importance resampling — a trained recipe
+# would point this at a curated high-quality slice; the seam is the constant
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, log_ratio): per-document importance weight for
+    DATA SELECTION — the average bigram log-likelihood RATIO between a
+    target-domain LM (trained on the ``DSIR_TARGET_SOURCE`` slice) and the
+    background LM (trained on the whole corpus), the hashed-n-gram
+    importance-resampling recipe of DSIR (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    method). log_ratio > 0 ⇒ the document looks more like the target
+    domain than the corpus average; sampling ∝ exp(weight) upweights
+    target-like data. Both LMs are Laplace-smoothed over the SAME support
+    (the global unigram vocab V), so the ratio is well-defined for bigrams
+    the target slice never saw.
+
+    Scale shape — identical to :func:`doc_lm_score`, whose count-table
+    "model" pattern this reuses: map-only bigram extraction, two
+    partial+final hash aggregations per LM (the target LM's tables are a
+    filtered subset of the same stream), equi-joins back to the bigram
+    stream with the vocab scalar broadcast, one final groupBy(doc_id).
+    The per-bigram term ln(Pt) − ln(Pb) is computed from the SAME joined
+    row in both engines (no split-CTE mixing), and the doc average is
+    rounded at LM_ROUND exactly like the proven doc_lm_score oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    toks = spread(docs).select(
+        "doc_id", "source",
+        F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t"),
+    )
+    doc_bigrams = toks.where(F.size("t") >= 2).select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    is_tgt = F.col("source") == DSIR_TARGET_SOURCE
+    # one pass builds BOTH LMs: background counts plus conditional target
+    # counts ride the same aggregation (no second scan of the bigram stream)
+    c12 = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb12"),
+        F.sum(is_tgt.cast("long")).alias("ct12"),
+    )
+    c1 = doc_bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cb1"),
+        F.sum(is_tgt.cast("long")).alias("ct1"),
+    )
+    vocab = toks.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))
+    term = F.log((F.col("ct12") + 1) / (F.col("ct1") + F.col("v"))) - F.log(
+        (F.col("cb12") + 1) / (F.col("cb1") + F.col("v"))
+    )
+    scored = (
+        doc_bigrams.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", term.alias("lr"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lr"), LM_ROUND).alias("log_ratio"),
+    )
+
+
+DSIR_IMPORTANCE_ORACLE = f"""
+WITH toksarr AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '([a-z]+)', 1) AS t FROM documents
+),
+doc_bigrams AS (
+  SELECT doc_id, source, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+    SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+                                                 i -> {{'w1': t[i], 'w2': t[i+1]}})) AS bg
+    FROM toksarr WHERE len(t) >= 2
+  ) bgx
+),
+c12 AS (SELECT w1, w2, count(*) AS cb12,
+               sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct12
+        FROM doc_bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS cb1,
+              sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct1
+       FROM doc_bigrams GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toksarr) u)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c12.ct12 + 1) * 1.0 / (c1.ct1 + vocab.v))
+                 - ln((c12.cb12 + 1) * 1.0 / (c1.cb1 + vocab.v))), {LM_ROUND}) AS log_ratio
+FROM doc_bigrams b
+JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
 def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, n_docs, p10, p50, p90): per-language token-length quantiles —
     the profile a length-filter curation rule is calibrated from (length

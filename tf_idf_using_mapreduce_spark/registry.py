@@ -94,6 +94,7 @@ register("doc_freq_approx_err", _tfidf.doc_freq_approx_err, _tfidf.doc_freq_appr
 register("lineitem_price_stats_approx_err", _rel.lineitem_price_stats_approx_err,
          _rel.LINEITEM_PRICE_STATS_APPROX_ERR_ORACLE)
 register("doc_lm_score", _ts.doc_lm_score, _ts.DOC_LM_SCORE_ORACLE)
+register("dsir_importance", _ts.dsir_importance, _ts.DSIR_IMPORTANCE_ORACLE)
 register("lang_length_quantiles", _ts.lang_length_quantiles, _ts.LANG_LENGTH_QUANTILES_ORACLE)
 register("documents_stream_curation", _stream_corpus.documents_stream_curation, _cur.curation_filter_oracle())
 register("dedup_incremental", _dedup.dedup_incremental, _dedup.DEDUP_INCREMENTAL_ORACLE)
@@ -201,6 +202,8 @@ from tf_idf_using_mapreduce_spark.operators import release as _rel6  # noqa: E40
 
 register("train_val_test_split", _rel6.train_val_test_split, _rel6.TRAIN_VAL_TEST_SPLIT_ORACLE)
 register("split_leakage", _rel6.split_leakage, _rel6.split_leakage_oracle())
+register("split_leakage_semantic", _rel6.split_leakage_semantic,
+         _rel6.split_leakage_semantic_oracle())
 register("mixture_plan", _rel6.mixture_plan, _rel6.mixture_plan_oracle())
 register("dataset_card", _rel6.dataset_card, _rel6.dataset_card_oracle())
 register("documents_stream_split", _stream_corpus.documents_stream_split,
