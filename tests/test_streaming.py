@@ -418,3 +418,19 @@ def test_stateful_dedup_recovers_state_across_kill_and_restart(spark, tmp_path):
         .collect()
     }
     assert got == truth  # alpha=4 docs min 1, beta=2, gamma=2 min 0, ...
+
+
+def test_documents_stream_quality_matches_batch(spark):
+    """Ingest-time quality filter: the streaming run must produce the exact
+    same probabilities/labels as the batch classifier (same expression
+    tree, same oracle) — the batch↔stream portability contract."""
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier
+    from tf_idf_using_mapreduce_spark.streaming.corpus import documents_stream_quality
+
+    batch = sorted(map(tuple, quality_classifier(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_quality(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+def test_documents_stream_quality_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "documents_stream_quality")

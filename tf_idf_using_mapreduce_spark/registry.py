@@ -82,6 +82,8 @@ register("zipf_slope", _ts.zipf_slope, _ts.ZIPF_SLOPE_ORACLE)
 register("embedding_outliers", _sim.embedding_outliers, _sim.EMBEDDING_OUTLIERS_ORACLE)
 register("documents_stream_pii", _stream_corpus.documents_stream_pii, _cur.PII_REDACTION_ORACLE)
 register("quality_classifier", _ts.quality_classifier, _ts.quality_classifier_oracle())
+register("documents_stream_quality", _stream_corpus.documents_stream_quality,
+         _ts.quality_classifier_oracle())
 register("source_dup_matrix", _dedup.source_dup_matrix, _dedup.source_dup_matrix_oracle())
 register("length_bucket_batches", _pack.length_bucket_batches, _pack.LENGTH_BUCKET_BATCHES_ORACLE)
 register("pretraining_manifest", _pre.pretraining_manifest, _pre.pretraining_manifest_oracle())

@@ -98,6 +98,22 @@ def dedup_state_agg(stream: DataFrame) -> DataFrame:
     )
 
 
+def documents_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_prob, quality_label): the model-based quality filter
+    evaluated ON THE STREAM — same expression tree, same oracle as the
+    batch ``quality_classifier``. Completes the ingest-time curation set
+    (cascade → quality model → PII scrub → split → dedup index): a crawler
+    gets keep/drop probabilities while data lands, and a trained model
+    swaps in as constants through the same seam as the batch form.
+    Stateless map-only microbatching, zero shuffle at any rate."""
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_df
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_quality_result"
+    run_stream_to_memory(quality_classifier_df(stream), result_name, output_mode="append")
+    return spark.table(result_name)
+
+
 def documents_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, clean_text, n_emails, n_ips, n_digitruns): the PII scrub
     evaluated ON THE STREAM — same expression tree, same oracle as the
