@@ -321,3 +321,29 @@ def test_dup_id_docs_emit_no_self_pairs(spark):
     assert len(cont_pdf) == len(cont_oracle)
     assert canon_rows(cont_pdf) == canon_rows(cont_oracle)
     assert (cont_pdf[["doc_a", "doc_b"]].apply(tuple, axis=1) == (7, 8)).any()
+
+
+def test_dedup_apply_quality_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_apply_quality")
+
+
+def test_quality_election_keeps_best_copy_not_first_crawled(spark):
+    """A near-dup cluster where the CLEAN copy has the HIGHER doc_id: digit
+    noise leaves the token stream (and so the trigram shingles, jaccard
+    1.0) untouched but drags the quality classifier's alphabetic-share
+    feature down — min-id election (dedup_apply) keeps the mangled first
+    crawl, quality election must keep the clean one."""
+    import tempfile
+
+    base = " ".join(
+        f"{a}{b}ole" for a in "bcdfglmnpr" for b in "aeiou"
+    )  # 50 distinct words, clean alphabetic text
+    noisy = base + " 0123456789" * 20  # same [a-z]+ tokens, low alpha share
+    rows = [(1, noisy), (2, base), (3, "unrelated other words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        blind = {r["doc_id"] for r in dedup.dedup_apply(spark, d).collect()}
+        quality = {r["doc_id"] for r in dedup.dedup_apply_quality(spark, d).collect()}
+    assert blind == {1, 3}      # min-id keeps the mangled first crawl
+    assert quality == {2, 3}    # quality election keeps the clean copy

@@ -47,6 +47,8 @@ FUZZ_QUERIES = [
     "lang_length_quantiles",
     # round-7 DSIR importance ratio (same bigram-LM surface, two models)
     "dsir_importance",
+    # round-7 snapshot drift monitor (top-K conditional counts + JS terms)
+    "token_drift",
     # round-5 redaction / shuffle / Zipf tier (PII shapes live in _EDGE_TEXTS)
     "pii_redaction",
     "corpus_shuffle",

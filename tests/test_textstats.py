@@ -289,3 +289,40 @@ def test_dsir_importance_upweights_target_domain(spark):
     # docs, whose out-of-target bigrams go sharply negative
     assert all(out[i] == 0 for i in range(20)), "exclusive target vocab ⇒ ratio 0"
     assert all(out[i] < -1 for i in range(20, 60)), "background docs must downweight"
+
+
+def test_token_drift_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "token_drift")
+
+
+def test_token_drift_flags_shifted_terms_only(spark):
+    """Constructed drift: both snapshot halves share a base vocabulary, but
+    the odd half replaces one term wholesale — that term (and its
+    replacement) must dominate js_term, while unshifted terms sit at
+    (Laplace-) noise level; identical halves must score ~0 everywhere."""
+    import tempfile
+
+    stable = "alpha beta gamma delta epsilon " * 4
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, stable + "oldterm " * 10))
+        else:
+            rows.append((i, stable + "newterm " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r["term"]: r for r in ts.token_drift(spark, d).collect()}
+    shifted = {"oldterm", "newterm"}
+    floor = max(out[t]["js_term"] for t in out if t not in shifted)
+    for t in shifted:
+        assert out[t]["js_term"] > 10 * max(floor, 1e-9), (t, out[t], floor)
+    assert out["oldterm"]["p_a"] > out["oldterm"]["p_b"]
+    assert out["newterm"]["p_b"] > out["newterm"]["p_a"]
+
+    ident = [(i, stable) for i in range(40)]
+    df2 = spark.createDataFrame(ident, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df2.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out2 = ts.token_drift(spark, d).collect()
+    assert all(abs(r["js_term"]) < 1e-6 for r in out2)

@@ -1003,6 +1003,74 @@ WHERE c.doc_id IS NULL
 """
 
 
+def dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_prob): the deduplicated corpus with QUALITY-AWARE
+    survivor election — per near-dup cluster the member with the highest
+    quality-classifier probability survives (tie → min doc_id), instead of
+    :func:`dedup_apply`'s blind min-id rule. This is what production
+    pipelines actually want from dedup: near-dup clusters mix a clean
+    original with mangled scrapes of it, and min-id keeps whichever was
+    crawled first, not whichever is best. Election is two bounded
+    aggregations over the cluster membership (max prob per cluster, then
+    min doc_id among the max — the float-equality join is safe because
+    quality_prob is ROUNDED identically in both engines), so no per-cluster
+    window ever sees more than its own members, and the giant-component
+    case costs two partial-aggregated shuffles, not a rank window.
+    Singletons (docs in no cluster, incl. NULL-text docs, which produce no
+    shingles) survive with their own probability (NULL for NULL text)."""
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier
+
+    q = quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+    members = (
+        dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+        .join(q, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    mx = members.groupBy("cluster_id").agg(F.max("quality_prob").alias("mp"))
+    winners = (
+        members.join(mx, "cluster_id")
+        .where(F.col("quality_prob") == F.col("mp"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    losers = members.select("doc_id").join(winners, "doc_id", "left_anti")
+    return (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .join(q, "doc_id", "left")
+        .select("doc_id", "quality_prob")
+    )
+
+
+def dedup_apply_quality_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier_oracle
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE.replace(chr(10), ' ')}),
+quality AS (SELECT doc_id, quality_prob FROM ({quality_classifier_oracle()}) qq),
+members AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_prob
+  FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+),
+mx AS (SELECT cluster_id, max(quality_prob) AS mp FROM members GROUP BY cluster_id),
+winners AS (
+  SELECT min(m.doc_id) AS doc_id
+  FROM members m JOIN mx ON mx.cluster_id = m.cluster_id
+  WHERE m.quality_prob = mx.mp
+  GROUP BY m.cluster_id
+),
+losers AS (
+  SELECT doc_id FROM members
+  WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+)
+SELECT d.doc_id, q.quality_prob
+FROM documents d
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 # --------------------------------------------------------------------------- #
 # cross-source duplication matrix (corpus-overlap report)
 # --------------------------------------------------------------------------- #

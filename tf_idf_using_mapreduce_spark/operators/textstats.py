@@ -686,6 +686,93 @@ LIMIT {ZIPF_TOP}
 """
 
 
+DRIFT_TOP = 50
+
+
+def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, p_a, p_b, js_term): term-distribution DRIFT between two corpus
+    snapshots — the monitoring check a continuously-crawling pipeline runs
+    before every release (a shifted token distribution means the crawl mix
+    changed, the tokenizer regressed, or a source went rogue). Snapshot
+    proxy: doc_id parity (even = "previous crawl" A, odd = "current" B) —
+    in production the two sides are two partition predicates on the same
+    layout. Over the global top-``DRIFT_TOP`` terms, each side's
+    Laplace-smoothed frequency and the term's Jensen-Shannon divergence
+    contribution (natural log): js = ½ pₐ ln(pₐ/m) + ½ p_b ln(p_b/m),
+    m = (pₐ+p_b)/2. Output is PER-TERM — summing the K contributions is
+    the scalar JS, but the per-term table is what you debug from, and
+    emitting it keeps every float a single-expression value (no cross-term
+    float sum anywhere — engine-order-proof by construction).
+
+    Scale shape: ONE conditional aggregation builds both sides' counts
+    (the dsir pattern), a plan-level top-K (TakeOrderedAndProject) bounds
+    the working set at K rows, and the side totals are an aggregate over
+    those K rows broadcast back — everything after the single token
+    shuffle is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("term"),
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.col("in_a").cast("long")).alias("ca"),
+            F.sum((~F.col("in_a")).cast("long")).alias("cb"),
+        )
+        .withColumn("total", F.col("ca") + F.col("cb"))
+        .orderBy(F.desc("total"), F.asc("term"))
+        .limit(DRIFT_TOP)
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+    m = (pa + pb) / F.lit(2).cast("double")
+    js = F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(pb / m)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(pa, LM_ROUND).alias("p_a"),
+        F.round(pb, LM_ROUND).alias("p_b"),
+        F.round(js, LM_ROUND + 3).alias("js_term"),
+    )
+
+
+TOKEN_DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT (doc_id % 2 = 0) AS in_a,
+         unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY term
+  ORDER BY ca + cb DESC, term ASC
+  LIMIT {DRIFT_TOP}
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               count(*) AS k
+        FROM counts),
+p AS (
+  SELECT term,
+         CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS pa,
+         CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS pb
+  FROM counts, tot
+)
+SELECT term,
+       round(pa, {LM_ROUND}) AS p_a,
+       round(pb, {LM_ROUND}) AS p_b,
+       round(0.5 * pa * ln(pa / ((pa + pb) / CAST(2 AS DOUBLE)))
+             + 0.5 * pb * ln(pb / ((pa + pb) / CAST(2 AS DOUBLE))),
+             {LM_ROUND + 3}) AS js_term
+FROM p
+"""
+
+
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(slope, n_terms): least-squares slope of ln(freq) on ln(rank) over
     the top-100 table — the one-number Zipf exponent estimate (natural

@@ -78,6 +78,7 @@ register("q21_waiting_suppliers", _tpch.q21_waiting_suppliers, _tpch.Q21_ORACLE)
 register("pii_redaction", _cur.pii_redaction, _cur.PII_REDACTION_ORACLE)
 register("corpus_shuffle", _pack.corpus_shuffle, _pack.CORPUS_SHUFFLE_ORACLE)
 register("token_zipf", _ts.token_zipf, _ts.TOKEN_ZIPF_ORACLE)
+register("token_drift", _ts.token_drift, _ts.TOKEN_DRIFT_ORACLE)
 register("zipf_slope", _ts.zipf_slope, _ts.ZIPF_SLOPE_ORACLE)
 register("embedding_outliers", _sim.embedding_outliers, _sim.EMBEDDING_OUTLIERS_ORACLE)
 register("documents_stream_pii", _stream_corpus.documents_stream_pii, _cur.PII_REDACTION_ORACLE)
@@ -108,6 +109,8 @@ register("mixture_sample", _cur.mixture_sample, _cur.MIXTURE_SAMPLE_ORACLE)
 register("dedup_clusters", _dedup.dedup_clusters, _dedup.DEDUP_CLUSTERS_ORACLE)
 register("dedup_clusters_twostar", _dedup.dedup_clusters_twostar, _dedup.DEDUP_CLUSTERS_ORACLE)
 register("dedup_apply", _dedup.dedup_apply, _dedup.DEDUP_APPLY_ORACLE)
+register("dedup_apply_quality", _dedup.dedup_apply_quality,
+         _dedup.dedup_apply_quality_oracle())
 register("events_hourly_streaming", _stream.events_hourly_streaming, _EV_HOURLY)
 register("events_stream_dedup", _stream.events_stream_dedup, _stream.STREAM_DEDUP_ORACLE)
 register("events_stream_stream_join", _stream.events_stream_stream_join, _stream.STREAM_STREAM_JOIN_ORACLE)
