@@ -49,6 +49,8 @@ FUZZ_QUERIES = [
     "dsir_importance",
     # round-7 snapshot drift monitor (top-K conditional counts + JS terms)
     "token_drift",
+    # round-7 per-doc novelty share (distinct-shingle marginal)
+    "ngram_novelty",
     # round-5 redaction / shuffle / Zipf tier (PII shapes live in _EDGE_TEXTS)
     "pii_redaction",
     "corpus_shuffle",
@@ -298,6 +300,11 @@ EMBED_FUZZ_QUERIES = [
     # round-6: exact 1-NN agreement — duplicate vectors (cos=1 ties with
     # min-id break) and zero-norm exclusions go through the tile argmax
     "knn_label_agreement",
+    # round-7: the LSH scale route through the same adversarial vectors
+    "knn_label_agreement_lsh",
+    # round-7: per-label snapshot centroid drift (one-sided labels,
+    # zero-norm exclusions, duplicate vectors)
+    "embedding_centroid_shift",
 ]
 
 

@@ -256,3 +256,34 @@ def test_knn_lsh_recall_floor_on_fixture(spark):
     exact = {r["id"]: r["nn_id"] for r in cosine_nn1(vecs).collect()}
     hits = sum(1 for i, nn in exact.items() if lsh_nn.get(i) == nn)
     assert hits / len(exact) >= 0.25, f"recall {hits / len(exact):.3f}"
+
+
+def test_embedding_centroid_shift_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "embedding_centroid_shift")
+
+
+def test_embedding_centroid_shift_detects_flip(spark):
+    """Label 0: both parity halves drawn around one direction ⇒ cos ≈ 1
+    (no drift). Label 1: the odd half NEGATED ⇒ cos ≈ -1 (max drift).
+    Label 2: only even ids ⇒ excluded (no defined B-side direction)."""
+    import tempfile
+
+    rows = []
+    vid = 0
+    for i in range(8):
+        base = [1.0, 0.5, -0.25, 0.75, 1.0, -0.5, 0.25, 1.0, 0.01 * i]
+        rows.append((vid, base, 0)); vid += 1
+    for i in range(8):
+        base = [0.5, -1.0, 0.75, 0.25, -1.0, 0.5, 1.0, -0.25, 0.01 * i]
+        if vid % 2 == 1:
+            base = [-x for x in base]
+        rows.append((vid, base, 1)); vid += 1
+    rows.append((vid * 2, [1.0] * 9, 2))  # even-only label
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = {r["label"]: r for r in sim.embedding_centroid_shift(spark, d).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["centroid_cos"] > 0.99
+    assert out[1]["centroid_cos"] < -0.99
+    assert out[0]["n_a"] + out[0]["n_b"] == 8

@@ -326,3 +326,26 @@ def test_token_drift_flags_shifted_terms_only(spark):
         df2.coalesce(1).write.parquet(f"{d}/documents.parquet")
         out2 = ts.token_drift(spark, d).collect()
     assert all(abs(r["js_term"]) < 1e-6 for r in out2)
+
+
+def test_ngram_novelty_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "ngram_novelty")
+
+
+def test_ngram_novelty_extremes(spark):
+    """A doc with unique content scores novel_share 1.0; a doc whose text
+    is copied verbatim from another scores 0.0 on BOTH copies (every
+    trigram is shared); a half-copied doc lands strictly between."""
+    import tempfile
+
+    unique = "entirely original prose about something nobody else wrote here"
+    copied = "this exact sentence body appears twice in the tiny corpus today"
+    half = copied + " plus a fresh unique tail nobody shares anywhere else now"
+    rows = [(1, unique), (2, copied), (3, copied), (4, half)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r["novel_share"] for r in ts.ngram_novelty(spark, d).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert 0.0 < out[4] < 1.0

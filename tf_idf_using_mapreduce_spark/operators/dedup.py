@@ -141,9 +141,15 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — row-per-shingle form (exploded `_shingle_sets`),
     kept for the exact all-pairs baseline whose pair generation is a
-    shingle-level equi-join."""
-    return _shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    shingle-level equi-join. The lineage cut before the explode is
+    LOAD-BEARING: Generate over the inlined tokenize→transform→
+    array_distinct expression re-evaluates the whole array expression per
+    OUTPUT row (measured 16 s vs 0.5 s at sf0.1 — a ~40× per-shingle
+    blowup), the same Catalyst pathology as the stem dictionary's cut."""
+    return (
+        _shingle_sets(spark, sf_dir)
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("sh").alias("shingle"))
     )
 
 

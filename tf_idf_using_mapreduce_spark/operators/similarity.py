@@ -780,6 +780,82 @@ GROUP BY own
 KNN_LABEL_AGREEMENT_LSH_ORACLE = _knn_label_agreement_lsh_oracle()
 
 
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_a, n_b, centroid_cos): ENCODER/DISTRIBUTION drift monitor
+    in embedding space — per label, the cosine between the centroid of
+    snapshot A (even vec_ids, the "previous" batch) and snapshot B (odd,
+    the "current"); the vector-space analogue of ``token_drift`` and the
+    check a pipeline runs after re-embedding or re-crawling (centroid_cos
+    ≈ 1: same manifold; a drop = the encoder changed, inputs shifted, or
+    a label's population moved). Both per-side centroids come from ONE
+    posexplode aggregation (conditional avgs per side, NULL-skipping),
+    each dimension rounded at 9 dp before the dot — the exact
+    ``embedding_outliers`` float discipline its oracle proved. Labels
+    missing a side or with a zero-norm centroid are excluded on both
+    engines (no defined direction)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(CAST_DOUBLE.format(v="embedding")).alias("v")
+    ).withColumn("nrm", F.expr(spark_norm("v"))).where(F.col("nrm") > 0)
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("in_a"),
+        F.posexplode("v").alias("pos", "val"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.when(F.col("in_a"), F.col("val"))), 9).alias("ca"),
+        F.round(F.avg(F.when(~F.col("in_a"), F.col("val"))), 9).alias("cb"),
+    )
+    per = cent.groupBy("label").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_b"),
+    )
+    return (
+        per.join(counts, "label")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "label", "n_a", "n_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), COS_ROUND)
+            .alias("centroid_cos"),
+        )
+    )
+
+
+EMBEDDING_CENTROID_SHIFT_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+ex AS (SELECT label, (vec_id % 2 = 0) AS in_a, unnest(v) AS val,
+              unnest(range(1, len(v) + 1)) AS pos
+       FROM e),
+cent AS (
+  SELECT label, pos,
+         round(avg(CASE WHEN in_a THEN val END), 9) AS ca,
+         round(avg(CASE WHEN NOT in_a THEN val END), 9) AS cb
+  FROM ex GROUP BY label, pos
+),
+per AS (
+  SELECT label, sum(ca * cb) AS dot,
+         sqrt(sum(ca * ca)) AS na, sqrt(sum(cb * cb)) AS nb
+  FROM cent GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM e GROUP BY label
+)
+SELECT p.label, c.n_a, c.n_b,
+       round(p.dot / (p.na * p.nb), {COS_ROUND}) AS centroid_cos
+FROM per p JOIN counts c ON c.label = p.label
+WHERE p.na > 0 AND p.nb > 0
+"""
+
+
 EMBEDDING_OUTLIERS_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm

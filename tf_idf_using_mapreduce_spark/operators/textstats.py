@@ -686,6 +686,56 @@ LIMIT {ZIPF_TOP}
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, novel_share): per document, the fraction of its
+    DISTINCT word trigrams that appear in NO other document — the novelty
+    spectrum a curation pass reads alongside pairwise dedup (novel_share
+    ≈ 1: unique content; ≈ 0: assembled entirely from corpus-shared
+    n-grams — templates, quote mosaics, spun text — even when no single
+    pairwise near-dup fires). Complements train_eval_contamination (which
+    is cross-SPLIT) and dedup (which is pairwise): this is the per-doc
+    marginal. Shingle sharedness counts DISTINCT doc_ids, so duplicate
+    ids and within-doc repetition (already array_distinct'd) cannot
+    deflate novelty. Scale shape: one hash aggregation per shingle type
+    (Zipf keys collapse map-side) and one equi-join back to the shingle
+    stream — join output is exactly the input stream size, never
+    quadratic; final per-doc aggregation is integer counts with one
+    rounded division."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import _shingles
+
+    # row-level distinct mirrors the oracle's DISTINCT shingle stream: under
+    # duplicate doc_ids (fuzz-legal) the per-row shingle arrays would
+    # otherwise double-count a doc's own shingles in n_shingles
+    sh = _shingles(spark, sf_dir).distinct().localCheckpoint(eager=False)
+    nd = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(nd, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum((F.col("nd") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                LM_ROUND,
+            ).alias("novel_share"),
+        )
+    )
+
+
+def ngram_novelty_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import _SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+nd AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       round(sum(CASE WHEN nd.nd = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), {LM_ROUND}) AS novel_share
+FROM sh JOIN nd ON nd.shingle = sh.shingle
+GROUP BY sh.doc_id
+"""
+
+
 DRIFT_TOP = 50
 
 

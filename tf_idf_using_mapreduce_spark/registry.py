@@ -79,6 +79,9 @@ register("pii_redaction", _cur.pii_redaction, _cur.PII_REDACTION_ORACLE)
 register("corpus_shuffle", _pack.corpus_shuffle, _pack.CORPUS_SHUFFLE_ORACLE)
 register("token_zipf", _ts.token_zipf, _ts.TOKEN_ZIPF_ORACLE)
 register("token_drift", _ts.token_drift, _ts.TOKEN_DRIFT_ORACLE)
+register("ngram_novelty", _ts.ngram_novelty, _ts.ngram_novelty_oracle())
+register("embedding_centroid_shift", _sim.embedding_centroid_shift,
+         _sim.EMBEDDING_CENTROID_SHIFT_ORACLE)
 register("zipf_slope", _ts.zipf_slope, _ts.ZIPF_SLOPE_ORACLE)
 register("embedding_outliers", _sim.embedding_outliers, _sim.EMBEDDING_OUTLIERS_ORACLE)
 register("documents_stream_pii", _stream_corpus.documents_stream_pii, _cur.PII_REDACTION_ORACLE)
