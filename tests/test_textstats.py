@@ -349,3 +349,32 @@ def test_ngram_novelty_extremes(spark):
     assert out[1] == 1.0
     assert out[2] == 0.0 and out[3] == 0.0
     assert 0.0 < out[4] < 1.0
+
+
+def test_token_drift_null_doc_id_counts_in_neither_side(spark):
+    """A NULL doc_id has no snapshot parity: its tokens must count in
+    NEITHER side on BOTH engines (the oracle's B-side predicate is
+    `NOT in_a`, never ELSE — ELSE would silently bucket unknown rows
+    into B while Spark's NULL-propagating sum drops them)."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    rows = [(0, "alpha beta"), (1, "alpha gamma"), (None, "alpha delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        spdf = ts.token_drift(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        ddf = con.sql(e.oracle_sql()["token_drift"]).df()
+        con.close()
+    assert canon_rows(spdf) == canon_rows(ddf)
+    # 'delta' (NULL-id doc only) carries Laplace-only mass on both sides
+    row = spdf[spdf["term"] == "delta"].iloc[0]
+    assert row["p_a"] == row["p_b"]

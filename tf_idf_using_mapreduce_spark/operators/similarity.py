@@ -810,9 +810,11 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
         F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
     )
+    # count(when(...)) not sum(cast(...)): all-NULL vec_id groups must
+    # count 0 like the oracle's CASE-sum, not NULL
     counts = e.groupBy("label").agg(
-        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
-        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_b"),
+        F.count(F.when(F.col("vec_id") % 2 == 0, True)).alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, True)).alias("n_b"),
     )
     return (
         per.join(counts, "label")

@@ -557,13 +557,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_tgt = F.col("source") == DSIR_TARGET_SOURCE
     # one pass builds BOTH LMs: background counts plus conditional target
     # counts ride the same aggregation (no second scan of the bigram stream)
+    # count(when(...)) not sum(cast(...)): a bigram type occurring only in
+    # NULL-source docs must have target count 0, not NULL (Spark sums an
+    # all-NULL group to NULL; the oracle's CASE-sum gives 0)
     c12 = doc_bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cb12"),
-        F.sum(is_tgt.cast("long")).alias("ct12"),
+        F.count(F.when(is_tgt, True)).alias("ct12"),
     )
     c1 = doc_bigrams.groupBy("w1").agg(
         F.count(F.lit(1)).alias("cb1"),
-        F.sum(is_tgt.cast("long")).alias("ct1"),
+        F.count(F.when(is_tgt, True)).alias("ct1"),
     )
     vocab = toks.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))
     term = F.log((F.col("ct12") + 1) / (F.col("ct1") + F.col("v"))) - F.log(
@@ -764,11 +767,15 @@ def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2 == 0).alias("in_a"),
         F.explode(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)")).alias("term"),
     )
+    # count(when(...)) not sum(cast(...)): a term whose every occurrence
+    # has unknown parity (NULL doc_id) must count 0, not NULL — sum over
+    # an all-NULL group is NULL on Spark while the oracle's CASE-sum is 0
+    # (pinned by the NULL-doc_id dialect test)
     counts = (
         toks.groupBy("term")
         .agg(
-            F.sum(F.col("in_a").cast("long")).alias("ca"),
-            F.sum((~F.col("in_a")).cast("long")).alias("cb"),
+            F.count(F.when(F.col("in_a"), True)).alias("ca"),
+            F.count(F.when(~F.col("in_a"), True)).alias("cb"),
         )
         .withColumn("total", F.col("ca") + F.col("cb"))
         .orderBy(F.desc("total"), F.asc("term"))
@@ -797,9 +804,13 @@ WITH toks AS (
   FROM documents
 ),
 counts AS (
+  -- the B-side predicate is NOT in_a, not ELSE: a NULL doc_id makes in_a
+  -- NULL, and ELSE-counting would silently bucket unknown-snapshot rows
+  -- into B while the Spark side (sum over a NULL-propagating cast)
+  -- counts them in neither — unknown stays unknown on both engines
   SELECT term,
          CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
   FROM toks GROUP BY term
   ORDER BY ca + cb DESC, term ASC
   LIMIT {DRIFT_TOP}
