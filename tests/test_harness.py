@@ -51,3 +51,15 @@ def test_registry_is_complete_and_callable():
         assert len(required) == 2, name  # callable as fn(spark, sf_dir)
     for name, sql in os_.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_force_fresh_names_exist_in_registry():
+    """FORCE_FRESH is maintained by hand each round; a typo'd name silently
+    wastes a rotation slot (it sorts nothing forward) — round 7 shipped
+    exactly that mistake for a day ("tfidf_mllib_exploded"). Every entry
+    must name a registered query."""
+    import __spark_entry__ as e
+    from tf_idf_using_mapreduce_spark.registry import FORCE_FRESH
+
+    unknown = FORCE_FRESH - set(e.queries())
+    assert not unknown, f"FORCE_FRESH names not in the registry: {sorted(unknown)}"
