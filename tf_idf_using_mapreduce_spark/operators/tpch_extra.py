@@ -56,6 +56,32 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# Exact-grid revenue aggregation: price (2 dp) × (1 − discount) (2 dp) lies
+# on an exact 1e-4 grid, so the double SUM's accumulation ORDER decides
+# which side of a .005 midpoint the rounded cents land on — Spark and
+# DuckDB sum in different orders, and at sf0.1 three q9 groups really
+# landed one cent apart (the q11 bug class; see the float-parity rules).
+# The fix sums EXACT INTEGER 1e-4 units, rounds HALF-UP to cents in
+# integer space (portable: `div`/`//`), and divides once at the end.
+_REV_UNITS_EXPR = (
+    "cast(round(l_extendedprice * 100) as bigint)"
+    " * cast(round((1 - l_discount) * 100) as bigint)"
+)
+
+
+def _rev_sum_2dp():
+    # (Σ units + 50) div 100 = half-up cents, exact in int64 far past 100 TB
+    return F.expr(
+        f"cast((sum({_REV_UNITS_EXPR}) + 50) div 100 as double)"
+        " / cast(100 as double)"
+    )
+
+
+_REV_SUM_2DP_SQL = (
+    f"CAST((sum({_REV_UNITS_EXPR}) + 50) // 100 AS DOUBLE) / CAST(100 AS DOUBLE)"
+)
+
+
 # --------------------------------------------------------------------------- #
 # Q2 shape: cheapest supplier per part (correlated MIN subquery)
 # --------------------------------------------------------------------------- #
@@ -221,13 +247,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("profit"))
+        .agg(_rev_sum_2dp().alias("profit"))
     )
 
 
-Q9_ORACLE = """
+Q9_ORACLE = f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+       {_REV_SUM_2DP_SQL} AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey

@@ -248,6 +248,9 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # round 7: _shingles lineage cut before the explode (same values,
     # ~3x faster expression)
     "dedup_ngram_jaccard",
+    # round 7: exact-integer-units revenue sum (the 10x sweep caught three
+    # groups one cent apart at sf0.1 — .005-midpoint sum-order trap)
+    "q9_product_profit",
     # round 7: sum(n²) now widens BEFORE the multiply on both engines
     # (expression + oracle changed)
     "events_hourly_anomalies",
