@@ -347,3 +347,38 @@ def test_quality_election_keeps_best_copy_not_first_crawled(spark):
         quality = {r["doc_id"] for r in dedup.dedup_apply_quality(spark, d).collect()}
     assert blind == {1, 3}      # min-id keeps the mangled first crawl
     assert quality == {2, 3}    # quality election keeps the clean copy
+
+
+def test_dedup_apply_quality_keeps_null_doc_id_rows_on_both_engines(spark):
+    """A NULL-doc_id document (in-contract dirty data: NULL text docs and
+    NULL ids flow through the whole dedup tier) can never be a cluster
+    member, so it must SURVIVE quality-aware dedup on BOTH engines. The
+    oracle's final filter must therefore be the NULL-safe
+    `LEFT JOIN losers ... IS NULL` pattern, not `NOT IN (losers)` —
+    NOT IN over a non-empty losers set evaluates NULL for a NULL
+    doc_id and silently drops the row only on the DuckDB side."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    base = " ".join(f"{a}{b}ole" for a in "bcdfglmnpr" for b in "aeiou")
+    noisy = base + " 0123456789" * 20
+    rows = [(1, noisy), (2, base), (None, "floating row with no identity")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        spdf = dedup.dedup_apply_quality(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        ddf = con.sql(e.oracle_sql()["dedup_apply_quality"]).df()
+        con.close()
+    # losers is non-empty (1 loses to 2), and the NULL-id row survives
+    kept = set(spdf["doc_id"].dropna().astype(int))
+    assert kept == {2}
+    assert spdf["doc_id"].isna().sum() == 1
+    assert canon_rows(spdf) == canon_rows(ddf)

@@ -63,3 +63,24 @@ def test_force_fresh_names_exist_in_registry():
 
     unknown = FORCE_FRESH - set(e.queries())
     assert not unknown, f"FORCE_FRESH names not in the registry: {sorted(unknown)}"
+
+
+def test_bench_names_guard_rejects_unknown_names():
+    """BENCH_QUERIES / BENCH_EXCLUDE are hand-maintained name lists like
+    FORCE_FRESH: a renamed registry entry must crash the bench loudly —
+    a silently-dropped curated row loses its cross-round series, and a
+    silently-unmatched exclusion re-admits the declared O(n²) baseline
+    into the full-registry sweep."""
+    import bench
+    import __spark_entry__ as e
+
+    names = set(e.queries())
+    # the real lists must pass against the real registry
+    ordered = bench.bench_names(names)
+    assert set(ordered) == names - bench.BENCH_EXCLUDE
+    assert ordered[: len(bench.BENCH_QUERIES)] == list(bench.BENCH_QUERIES)
+    # a typo'd curated or excluded name must raise
+    with pytest.raises(KeyError):
+        bench.bench_names(names - {bench.BENCH_QUERIES[0]})
+    with pytest.raises(KeyError):
+        bench.bench_names(names - set(bench.BENCH_EXCLUDE))

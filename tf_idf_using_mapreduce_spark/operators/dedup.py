@@ -1067,13 +1067,15 @@ winners AS (
   GROUP BY m.cluster_id
 ),
 losers AS (
-  SELECT doc_id FROM members
-  WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+  SELECT m.doc_id FROM members m
+  LEFT JOIN winners w ON w.doc_id = m.doc_id
+  WHERE w.doc_id IS NULL
 )
 SELECT d.doc_id, q.quality_prob
 FROM documents d
 LEFT JOIN quality q ON q.doc_id = d.doc_id
-WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+LEFT JOIN losers l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
 """
 
 

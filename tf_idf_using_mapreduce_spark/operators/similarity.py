@@ -790,9 +790,14 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a label's population moved). Both per-side centroids come from ONE
     posexplode aggregation (conditional avgs per side, NULL-skipping),
     each dimension rounded at 9 dp before the dot — the exact
-    ``embedding_outliers`` float discipline its oracle proved. Labels
-    missing a side or with a zero-norm centroid are excluded on both
-    engines (no defined direction)."""
+    ``embedding_outliers`` float discipline its oracle proved. The
+    dot/norm reductions then run in EXACT integer units: each 9-dp
+    centroid component becomes a 1e-9-grid integer, products/sums stay
+    DECIMAL(38,0) (DuckDB HUGEINT), and the single double division +
+    sqrt happen only at the end — so no cross-row float-sum ORDER can
+    perturb the rounded cosine (the q9/q11 widen-before-multiply
+    discipline). Labels missing a side or with a zero-norm centroid are
+    excluded on both engines (no defined direction)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(CAST_DOUBLE.format(v="embedding")).alias("v")
     ).withColumn("nrm", F.expr(spark_norm("v"))).where(F.col("nrm") > 0)
@@ -805,10 +810,18 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("in_a"), F.col("val"))), 9).alias("ca"),
         F.round(F.avg(F.when(~F.col("in_a"), F.col("val"))), 9).alias("cb"),
     )
-    per = cent.groupBy("label").agg(
-        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
-        F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
-        F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+    centi = cent.select(
+        "label",
+        F.round(F.col("ca") * 1e9).cast("decimal(38,0)").alias("ca9"),
+        F.round(F.col("cb") * 1e9).cast("decimal(38,0)").alias("cb9"),
+    )
+    per = centi.groupBy("label").agg(
+        (F.sum(F.col("ca9") * F.col("cb9")).cast("double") / F.lit(1e18))
+        .alias("dot"),
+        F.sqrt(F.sum(F.col("ca9") * F.col("ca9")).cast("double") / F.lit(1e18))
+        .alias("na"),
+        F.sqrt(F.sum(F.col("cb9") * F.col("cb9")).cast("double") / F.lit(1e18))
+        .alias("nb"),
     )
     # count(when(...)) not sum(cast(...)): all-NULL vec_id groups must
     # count 0 like the oracle's CASE-sum, not NULL
@@ -840,10 +853,16 @@ cent AS (
          round(avg(CASE WHEN NOT in_a THEN val END), 9) AS cb
   FROM ex GROUP BY label, pos
 ),
+centi AS (
+  SELECT label, CAST(round(ca * 1e9) AS HUGEINT) AS ca9,
+         CAST(round(cb * 1e9) AS HUGEINT) AS cb9
+  FROM cent
+),
 per AS (
-  SELECT label, sum(ca * cb) AS dot,
-         sqrt(sum(ca * ca)) AS na, sqrt(sum(cb * cb)) AS nb
-  FROM cent GROUP BY label
+  SELECT label, CAST(sum(ca9 * cb9) AS DOUBLE) / 1e18 AS dot,
+         sqrt(CAST(sum(ca9 * ca9) AS DOUBLE) / 1e18) AS na,
+         sqrt(CAST(sum(cb9 * cb9) AS DOUBLE) / 1e18) AS nb
+  FROM centi GROUP BY label
 ),
 counts AS (
   SELECT label,
