@@ -287,3 +287,35 @@ def test_embedding_centroid_shift_detects_flip(spark):
     assert out[0]["centroid_cos"] > 0.99
     assert out[1]["centroid_cos"] < -0.99
     assert out[0]["n_a"] + out[0]["n_b"] == 8
+
+
+def test_derive_sign_bits_law_and_sql_mirror():
+    """The sign-LSH width law (round-8 verdict item): floor 8 at fixture
+    scales (500 vecs — fixture behavior unchanged), 10 at sf0.1's 2000,
+    ceiling 24 where the per-bucket caps take over — and the IN-SQL mirror
+    inside the oracle must derive the identical width for any count, else
+    the two engines silently bucket at different widths."""
+    import duckdb
+
+    assert sim._derive_sign_bits(500) == 8
+    assert sim._derive_sign_bits(512) == 8
+    assert sim._derive_sign_bits(2000) == 10
+    assert sim._derive_sign_bits(0) == 8
+    assert sim._derive_sign_bits(10**9) == 24
+    law = (f"greatest({sim.LSH_SIGN_DIMS}, least({sim.LSH_SIGN_DIMS_MAX}, "
+           "CAST(ceil(log2(CAST(n AS DOUBLE) / 2.0)) AS INT)))")
+    # the oracle carries the same law over count(*)
+    assert "log2(CAST(count(*) AS DOUBLE) / 2.0)" in sim.KNN_LABEL_AGREEMENT_LSH_ORACLE
+    for n in [2, 3, 500, 512, 513, 1024, 2000, 65536, 10**6, 10**9]:
+        got = duckdb.sql(f"SELECT {law}".replace("n AS DOUBLE", f"{n} AS DOUBLE")).fetchone()[0]
+        assert got == sim._derive_sign_bits(n), (n, got)
+
+
+def test_knn_lsh_derived_bits_widen_with_corpus(spark):
+    """At sf0.1 (2000 vecs) the operator runs at 10 bits: the oracle's
+    dynamic probes must reproduce it exactly (hash parity at a width the
+    8-bit fixtures never exercise)."""
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "knn_label_agreement_lsh",
+                                sf_dir="/root/testdata/sf0.1")

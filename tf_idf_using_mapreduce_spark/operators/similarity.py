@@ -89,22 +89,43 @@ SELECT query_id, neighbor_id, cos_sim, rk FROM (
 """
 
 
-def _sign_bucket_spark(v: str) -> str:
-    bits = [f"(CASE WHEN element_at({v}, {i}) >= 0 THEN '1' ELSE '0' END)"
-            for i in range(1, LSH_SIGN_DIMS + 1)]
-    return "concat(" + ", ".join(bits) + ")"
+LSH_SIGN_DIMS_MAX = 24  # derived-law ceiling: 16M buckets; must stay < dim
 
 
-def _sign_bucket_duck(v: str) -> str:
-    bits = [f"(CASE WHEN {v}[{i}] >= 0 THEN '1' ELSE '0' END)"
-            for i in range(1, LSH_SIGN_DIMS + 1)]
-    return "concat(" + ", ".join(bits) + ")"
+def _derive_sign_bits(n_vecs: int) -> int:
+    """Sign-LSH key width as a FUNCTION of corpus size — the
+    ``_derive_shard_count`` pattern applied to the 8-bit seam the round-7
+    verdict flagged: with every vector a query, candidate mass is
+    Σ occupancy² ≈ n²/2^bits, so a FIXED width is quadratic until the
+    hot-bucket caps saturate. Target mean occupancy 2 keeps the mass
+    linear: ``bits = clamp(ceil(log2(n/2)), LSH_SIGN_DIMS,
+    LSH_SIGN_DIMS_MAX)``. The law is mirrored VERBATIM in
+    ``_knn_label_agreement_lsh_oracle`` as in-SQL arithmetic over
+    ``count(*)``, so both engines derive the same width at EVERY scale
+    (fixtures: 500 vecs → 8 bits, unchanged; sf0.1's 2000 → 10;
+    1e9 → 24, the ceiling, where per-bucket caps take over)."""
+    import math
+
+    return max(LSH_SIGN_DIMS,
+               min(LSH_SIGN_DIMS_MAX, math.ceil(math.log2(max(n_vecs, 2) / 2.0))))
+
+
+def _sign_bucket_spark(v: str, bits: int = LSH_SIGN_DIMS) -> str:
+    cells = [f"(CASE WHEN element_at({v}, {i}) >= 0 THEN '1' ELSE '0' END)"
+             for i in range(1, bits + 1)]
+    return "concat(" + ", ".join(cells) + ")"
+
+
+def _sign_bucket_duck(v: str, bits: int = LSH_SIGN_DIMS) -> str:
+    cells = [f"(CASE WHEN {v}[{i}] >= 0 THEN '1' ELSE '0' END)"
+             for i in range(1, bits + 1)]
+    return "concat(" + ", ".join(cells) + ")"
 
 
 MULTIPROBE_HAMMING = 2  # probe all buckets within this hamming radius
 
 
-def _probe_exprs(bucket: str) -> list[str]:
+def _probe_exprs(bucket: str, bits: int = LSH_SIGN_DIMS) -> list[str]:
     """SQL exprs for every bucket within hamming ≤ MULTIPROBE_HAMMING of
     ``bucket`` (multi-probe LSH: query-side fan-out, candidate-side single
     bucket — probes scale the small side only)."""
@@ -112,7 +133,7 @@ def _probe_exprs(bucket: str) -> list[str]:
 
     def flip(positions: tuple[int, ...]) -> str:
         pieces = []
-        for i in range(1, LSH_SIGN_DIMS + 1):
+        for i in range(1, bits + 1):
             cell = f"substr({bucket}, {i}, 1)"
             if i in positions:
                 pieces.append(f"(CASE WHEN {cell} = '1' THEN '0' ELSE '1' END)")
@@ -122,7 +143,7 @@ def _probe_exprs(bucket: str) -> list[str]:
 
     probes = [bucket]
     for r in range(1, MULTIPROBE_HAMMING + 1):
-        probes.extend(flip(c) for c in combinations(range(1, LSH_SIGN_DIMS + 1), r))
+        probes.extend(flip(c) for c in combinations(range(1, bits + 1), r))
     return probes
 
 
@@ -694,33 +715,45 @@ def knn_label_agreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the QUERY side of a plain equi-join; the candidate side keeps
     one bucket key and hot buckets are capped like every LSH operator in
     this engine (``KNN_LSH_BUCKET_CAP``, mirrored in the oracle, so capped
-    output stays hash-checked). The per-query 1-NN is a window over ≤ 37 ×
-    cap candidate rows — bounded by construction, independent of corpus
-    size. Fully oracled: the blocking is deterministic SQL, so DuckDB
-    reproduces the entire route; the pytest twin additionally pins 1-NN
-    recall against the exact form (same pattern as ann_topk_*_recall).
-    Zero-dot pairs excluded per the file's sparse-join convention."""
-    nn = _lsh_nn1(_vectors(spark, sf_dir))
+    output stays hash-checked). The key WIDTH is not fixed: it follows the
+    :func:`_derive_sign_bits` law over ``count(*)`` (mean occupancy 2), so
+    candidate mass stays linear in n instead of n²/2⁸ — the oracle derives
+    the identical width in SQL and builds its buckets/probes dynamically,
+    keeping full hash parity at every scale. The per-query 1-NN is a
+    window over ≤ n_probes × cap candidate rows — bounded by construction,
+    independent of corpus size. Fully oracled: the blocking is
+    deterministic SQL, so DuckDB reproduces the entire route; the pytest
+    twin additionally pins 1-NN recall against the exact form (same
+    pattern as ann_topk_*_recall). Zero-dot pairs excluded per the file's
+    sparse-join convention."""
+    bits = _derive_sign_bits(load_table(spark, sf_dir, "embeddings").count())
+    nn = _lsh_nn1(_vectors(spark, sf_dir), bits)
     return nn.groupBy(F.col("own").alias("label")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum((F.col("own") == F.col("nbr")).cast("long")).alias("nn_same"),
     )
 
 
-def _lsh_nn1(vecs: DataFrame) -> DataFrame:
+def _lsh_nn1(vecs: DataFrame, bits: int = LSH_SIGN_DIMS) -> DataFrame:
     """(qid, own, nid, nbr, cos_sim): each vector's 1-NN among its
     multi-probe sign-LSH candidates — the shared core of
     :func:`knn_label_agreement_lsh` and the pytest recall gate (which
     compares this frame's nid against ``allpairs.cosine_nn1``)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import _drop_hot_buckets
 
-    vb = vecs.withColumn("bucket", F.expr(_sign_bucket_spark("v")))
+    # lineage cut before the probe fan-out: the Generate's 1+B+C(B,2)-expr
+    # probe array would otherwise inline the bucket concat (and the parquet
+    # array decode) into every probe expression — the dedup._shingles
+    # Generate-over-inlined-expression pathology — and the frame is read
+    # TWICE (candidate side + query side)
+    vb = (vecs.withColumn("bucket", F.expr(_sign_bucket_spark("v", bits)))
+          .localCheckpoint(eager=False))
     cand = _drop_hot_buckets(
         vb.select("bucket", F.col("vec_id").alias("nid"),
                   F.col("label").alias("nbr"), "v", "nrm"),
         ["bucket"], KNN_LSH_BUCKET_CAP,
     )
-    probes = ", ".join(_probe_exprs("bucket"))
+    probes = ", ".join(_probe_exprs("bucket", bits))
     q = vb.select(
         F.col("vec_id").alias("qid"), F.col("label").alias("own"),
         F.col("v").alias("qv"), F.col("nrm").alias("qn"),
@@ -746,18 +779,52 @@ def _lsh_nn1(vecs: DataFrame) -> DataFrame:
 
 
 def _knn_label_agreement_lsh_oracle() -> str:
-    probes = ", ".join(_probe_exprs("bucket"))
+    # The key width is DERIVED IN SQL from count(*) — the verbatim
+    # _derive_sign_bits law — and buckets/probes are built dynamically at
+    # that width, so this one static oracle string reproduces the Spark
+    # route at every scale (8 bits on the 500-vec fixtures, 10 at sf0.1).
+    # A probe is the bucket with positions f1/f2 flipped (0 = no flip):
+    # (0,0) identity + (i,0) hamming-1 + (i,j>i) hamming-2 — distinct
+    # masks give distinct strings, so no (qid,nid) pair arises twice.
     return f"""
 WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
            FROM embeddings WHERE nrm > 0),
-b AS (SELECT *, {_sign_bucket_duck('v')} AS bucket FROM e),
+params AS (SELECT greatest({LSH_SIGN_DIMS}, least({LSH_SIGN_DIMS_MAX},
+                  CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 2.0)) AS INT))) AS nb
+           FROM embeddings),
+b AS (SELECT e.*,
+             array_to_string(list_transform(e.v[1:p.nb],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM e, params p),
 hot AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) > {KNN_LSH_BUCKET_CAP}),
 c AS (SELECT * FROM b bb
       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bucket = bb.bucket)),
-qp AS (SELECT vec_id AS qid, label AS own, v AS qv, nrm AS qn,
-              unnest([{probes}]) AS bucket
-       FROM b),
+flips AS (
+  SELECT 0 AS f1, 0 AS f2
+  UNION ALL
+  SELECT i, 0 FROM (SELECT unnest(range(1, nb + 1)) AS i FROM params)
+  UNION ALL
+  SELECT i, j
+  FROM (SELECT unnest(range(1, nb + 1)) AS i FROM params) fa,
+       (SELECT unnest(range(1, nb + 1)) AS j FROM params) fb
+  WHERE fb.j > fa.i
+),
+qp AS (
+  SELECT qid, own, qv, qn,
+         CASE WHEN f2 = 0 THEN s1
+              ELSE substr(s1, 1, f2 - 1) ||
+                   (CASE WHEN substr(s1, f2, 1) = '1' THEN '0' ELSE '1' END) ||
+                   substr(s1, f2 + 1) END AS bucket
+  FROM (
+    SELECT bq.vec_id AS qid, bq.label AS own, bq.v AS qv, bq.nrm AS qn, f.f2,
+           CASE WHEN f.f1 = 0 THEN bq.bucket
+                ELSE substr(bq.bucket, 1, f.f1 - 1) ||
+                     (CASE WHEN substr(bq.bucket, f.f1, 1) = '1' THEN '0' ELSE '1' END) ||
+                     substr(bq.bucket, f.f1 + 1) END AS s1
+    FROM b bq CROSS JOIN flips f
+  ) flipped
+),
 scored AS (
   SELECT qp.qid, qp.own, c.vec_id AS nid, c.label AS nbr,
          {duck_dot('c.v', 'qp.qv')} AS dot,
