@@ -20,6 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tf_idf_using_mapreduce_spark.functions.money import (
+    REV_UNITS_DUCK as _REV_UNITS_DUCK,
+    REV_SUM_2DP_SQL as _REV_SUM_2DP_SQL,
+    SUM_CHARGE_2DP_SQL as _SUM_CHARGE_2DP_SQL,
+    cents_sum_2dp as _cents_sum_2dp,
+    cents_sum_2dp_sql as _cents_sum_2dp_sql,
+    rev_sum_2dp as _rev_sum_2dp,
+    sum_charge_2dp as _sum_charge_2dp,
+)
 from tf_idf_using_mapreduce_spark.sources.corpus import load_table
 
 _CUTOFF = "1998-09-01"
@@ -31,16 +40,20 @@ _CUTOFF = "1998-09-01"
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # money sums run in exact integer units (functions/money.py): base
+    # price in cents, disc_price on its 1e-4 grid, charge on its 1e-6
+    # grid (DECIMAL(38,0) sum) — no float accumulation order anywhere.
+    # sum_qty stays a double sum: quantities are exact small integers,
+    # whose double sum is exact to 2^53 (~9e15 — past 100 TB row counts
+    # times max quantity).
     return (
         li.where(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _cents_sum_2dp("l_extendedprice").alias("sum_base_price"),
+            _rev_sum_2dp().alias("sum_disc_price"),
+            _sum_charge_2dp().alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -51,9 +64,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {_cents_sum_2dp_sql('l_extendedprice')} AS sum_base_price,
+       {_REV_SUM_2DP_SQL} AS sum_disc_price,
+       {_SUM_CHARGE_2DP_SQL} AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -75,15 +88,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_rev_sum_2dp().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT l_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_REV_SUM_2DP_SQL} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -112,13 +125,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_rev_sum_2dp().alias("revenue"))
     )
 
 
-Q5_ORACLE = """
+Q5_ORACLE = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_REV_SUM_2DP_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -333,16 +346,17 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_rev_sum_2dp().alias("revenue"))
     )
 
 
-Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST((sum(volume) + 50) // 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         {_REV_UNITS_DUCK} AS volume
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey

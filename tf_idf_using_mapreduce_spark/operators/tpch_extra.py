@@ -56,29 +56,18 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-# Exact-grid revenue aggregation: price (2 dp) × (1 − discount) (2 dp) lies
-# on an exact 1e-4 grid, so the double SUM's accumulation ORDER decides
-# which side of a .005 midpoint the rounded cents land on — Spark and
-# DuckDB sum in different orders, and at sf0.1 three q9 groups really
-# landed one cent apart (the q11 bug class; see the float-parity rules).
-# The fix sums EXACT INTEGER 1e-4 units, rounds HALF-UP to cents in
-# integer space (portable: `div`/`//`), and divides once at the end.
-_REV_UNITS_EXPR = (
-    "cast(round(l_extendedprice * 100) as bigint)"
-    " * cast(round((1 - l_discount) * 100) as bigint)"
-)
-
-
-def _rev_sum_2dp():
-    # (Σ units + 50) div 100 = half-up cents, exact in int64 far past 100 TB
-    return F.expr(
-        f"cast((sum({_REV_UNITS_EXPR}) + 50) div 100 as double)"
-        " / cast(100 as double)"
-    )
-
-
-_REV_SUM_2DP_SQL = (
-    f"CAST((sum({_REV_UNITS_EXPR}) + 50) // 100 AS DOUBLE) / CAST(100 AS DOUBLE)"
+# Exact-grid revenue aggregation (the q9 round-7 cent-divergence fix),
+# now shared engine-wide from functions/money.py — round 8 migrated every
+# `round(sum(<1e-4/1e-6 grid product>), 2)` site onto it, since each one
+# is the same .005-midpoint sum-order trap waiting for data to roll it.
+from tf_idf_using_mapreduce_spark.functions.money import (  # noqa: E402
+    DISC_REV_SUM_2DP_SQL as _DISC_REV_SUM_2DP_SQL,
+    DISC_REV_UNITS_SPARK as _DISC_REV_UNITS_EXPR,
+    REV_SUM_2DP_SQL as _REV_SUM_2DP_SQL,
+    REV_UNITS_DUCK as _REV_UNITS_DUCK,
+    REV_UNITS_SPARK as _REV_UNITS_EXPR,
+    rev_sum_2dp as _rev_sum_2dp,
+    sum_units_2dp as _sum_units_2dp,
 )
 
 
@@ -148,12 +137,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_sum_units_2dp(_DISC_REV_UNITS_EXPR, 4).alias("revenue"))
     )
 
 
-Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+Q6_ORACLE = f"""
+SELECT {_DISC_REV_SUM_2DP_SQL} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -195,23 +184,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        # exact integer unit sums for BOTH ratio legs (the money.py
+        # discipline): one double division at the end, then the 6-dp round
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", _rev()).otherwise(F.lit(0.0)))
-                / F.sum(_rev()),
-                6,
+            F.expr(
+                "round(cast(sum(CASE WHEN supp_nation = 'NATION_2' THEN "
+                f"{_REV_UNITS_EXPR} ELSE 0 END) as double)"
+                f" / cast(sum({_REV_UNITS_EXPR}) as double), 6)"
             ).alias("mkt_share")
         )
     )
 
 
-Q8_ORACLE = """
+Q8_ORACLE = f"""
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END)
-             / sum(volume), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         {_REV_UNITS_DUCK} AS volume,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
@@ -283,14 +274,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(_rev_sum_2dp().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
-Q10_ORACLE = """
-SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name, {_REV_SUM_2DP_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -318,19 +309,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100 * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0)))
-                / F.sum(_rev()),
-                6,
+            F.expr(
+                "round(100 * cast(sum(CASE WHEN p_type = 'PROMO' THEN "
+                f"{_REV_UNITS_EXPR} ELSE 0 END) as double)"
+                f" / cast(sum({_REV_UNITS_EXPR}) as double), 6)"
             ).alias("promo_revenue_pct")
         )
     )
 
 
-Q14_ORACLE = """
-SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+Q14_ORACLE = f"""
+SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN {_REV_UNITS_DUCK} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_REV_UNITS_DUCK}) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -353,7 +344,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     revenue = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(_rev_sum_2dp().alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -363,9 +354,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q15_ORACLE = """
+Q15_ORACLE = f"""
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, {_REV_SUM_2DP_SQL} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -520,12 +511,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return joined.where(arm1 | arm2 | arm3).agg(
-        F.round(F.sum(_rev()), 2).alias("revenue")
+        _rev_sum_2dp().alias("revenue")
     )
 
 
-Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q19_ORACLE = f"""
+SELECT {_REV_SUM_2DP_SQL} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
