@@ -106,3 +106,75 @@ def test_model_swap_keeps_plan_shape(spark):
     assert _plan_shape(base) == _plan_shape(swapped)
     plan = base._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "HashAggregate" in plan, plan[:1500]
+
+
+PENN_CASES = {
+    # inventory-splitting cases the UD ruleset cannot express
+    "to": "TO", "of": "IN", "because": "IN",      # UD: ADP vs SCONJ; Penn merges, TO splits
+    "will": "MD", "is": "VBZ", "are": "VBP",      # UD: all AUX
+    "was": "VBD", "be": "VB", "been": "VBN", "being": "VBG",
+    "his": "PRP$", "who": "WP", "them": "PRP",    # UD: all PRON
+    "tables": "NNS", "table": "NN",               # UD: both NOUN
+    "glass": "NN",                                # -ss guard: not plural
+    "running": "VBG", "jumped": "VBD",            # UD: both VERB
+    ",": ",", ".": ".", ";": ":", "#": "SYM",     # UD: all PUNCT
+    "123": "CD", "quickly": "RB", "not": "RB",
+    "the": "DT", "and": "CC", "famous": "JJ", "fast": "JJ",
+}
+
+
+def test_penn_tag_rules_python():
+    from tf_idf_using_mapreduce_spark.functions.postag import penn_tag_py
+
+    bad = {w: (penn_tag_py(w), exp) for w, exp in PENN_CASES.items()
+           if penn_tag_py(w) != exp}
+    assert not bad, bad
+
+
+def test_penn_tag_rules_sql_matches_python(duck):
+    from tf_idf_using_mapreduce_spark.functions.postag import penn_tag_py, penn_tag_sql
+
+    vals = ", ".join(f"('{w}')" for w in PENN_CASES)
+    rows = duck.execute(
+        f"SELECT token, {penn_tag_sql('token')} FROM (VALUES {vals}) v(token)"
+    ).fetchall()
+    bad = {w: (got, penn_tag_py(w)) for w, got in rows if got != penn_tag_py(w)}
+    assert not bad, bad
+
+
+def test_pos_counts_penn_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "pos_counts_penn")
+
+
+def test_penn_seam_carries_different_inventory(spark):
+    """The round-8 seam proof: the SAME stripes pipeline, swapping only the
+    tagger_factory, yields a different tag INVENTORY (Penn) with the same
+    total token mass — i.e. the seam swaps the model, not the pipeline.
+    Runs over a purpose-built corpus because the driver fixture's synthetic
+    vocabulary never exercises plurals/prepositions/punctuation (its UD
+    profile is exactly {DET, ADJ, NOUN}); on that fixture the swap is still
+    visible as DT/JJ/NN, which the oracle-parity test covers."""
+    import tempfile
+
+    from tf_idf_using_mapreduce_spark.operators.pos import pos_counts_penn
+
+    rows = [
+        (1, "the queries ran to completion because all tables will fit ."),
+        (2, "it was running quickly , and not once did his glass break ;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        ud = {r["tag"]: r["cnt"] for r in pos_counts(spark, d).collect()}
+        penn = {r["tag"]: r["cnt"] for r in pos_counts_penn(spark, d).collect()}
+    # genuinely different inventories...
+    assert "NOUN" in ud and "NOUN" not in penn
+    assert "NN" in penn and "NNS" in penn and "IN" in penn and "TO" in penn
+    assert "ADP" in ud and "ADP" not in penn
+    # ...over the same token stream (total mass conserved)
+    assert sum(ud.values()) == sum(penn.values())
+    # the merge really merges: Penn IN collects UD's ADP + SCONJ minus TO
+    assert penn["IN"] == ud["ADP"] + ud.get("SCONJ", 0) - penn["TO"]
+    # plural split carves NOUN, punctuation gets Penn's ','/'.'/':' tags
+    assert penn["NN"] + penn["NNS"] <= ud["NOUN"]
+    assert penn["."] == 1 and penn[","] == 1 and penn[":"] == 1

@@ -94,3 +94,29 @@ def pos_counts_oracle() -> str:
         f"WITH postoks AS (SELECT unnest({tok}) AS token FROM documents) "
         f"SELECT {pos_tag_sql('token')} AS tag, count(*) AS cnt FROM postoks GROUP BY 1"
     )
+
+
+def pos_counts_penn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tag, cnt) under the PENN-style ruleset, shipped END-TO-END through
+    :func:`pos_counts_stripes`' ``tagger_factory`` model-swap seam — the
+    round-8 proof that the seam carries a genuinely different tag
+    INVENTORY (IN/TO vs ADP+SCONJ, NN/NNS plural split, MD + inflected
+    VB* vs AUX, PRP/PRP$/WP, Penn punctuation tags), not just the default
+    rules re-keyed. Same bounded stripe shuffle (O(|tagset| × n_batches)
+    rows); oracled against its own CASE SQL
+    (:func:`tf_idf_using_mapreduce_spark.functions.postag.penn_tag_sql`),
+    so the Python twin the seam loads is value-checked against the
+    declarative form on every gate run."""
+    from tf_idf_using_mapreduce_spark.functions.postag import penn_tag_py
+
+    return pos_counts_stripes(spark, sf_dir, tagger_factory=lambda: penn_tag_py)
+
+
+def pos_counts_penn_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.functions.postag import penn_tag_sql
+
+    tok = POS_TOKENIZE_SQL.format(col="text")
+    return (
+        f"WITH postoks AS (SELECT unnest({tok}) AS token FROM documents) "
+        f"SELECT {penn_tag_sql('token')} AS tag, count(*) AS cnt FROM postoks GROUP BY 1"
+    )

@@ -195,6 +195,9 @@ register("top_terms_per_doc", _tfidf.top_terms_per_doc, _tfidf.top_terms_per_doc
 register("bigram_pmi", _tfidf.bigram_pmi, _tfidf.bigram_pmi_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
+# round 8: the model-swap seam carrying a second, genuinely different tag
+# inventory (Penn-style) end-to-end, with its own CASE-SQL oracle
+register("pos_counts_penn", _pos.pos_counts_penn, _pos.pos_counts_penn_oracle())
 register("q1_pricing_summary", _rel.q1_pricing_summary, _rel.Q1_ORACLE)
 register("q3_shipping_priority", _rel.q3_shipping_priority, _rel.Q3_ORACLE)
 register("train_eval_contamination", _cur.train_eval_contamination, _cur.CONTAMINATION_ORACLE)
