@@ -244,29 +244,31 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 7: dup-id self-pair fix — bucket member lists dedup ids before
-    # pair expansion (expression changed; oracles unchanged)
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    # round 7: _shingles lineage cut before the explode (same values,
-    # ~3x faster expression)
-    "dedup_ngram_jaccard",
-    # round 7: exact-integer-units revenue sum (the 10x sweep caught three
-    # groups one cent apart at sf0.1 — .005-midpoint sum-order trap)
-    "q9_product_profit",
-    # round 7: sum(n²) now widens BEFORE the multiply on both engines
+    # round 8: NULL-safe LEFT JOIN replaces NOT IN in the survivor filter
+    # (oracle changed; Spark side unchanged)
+    "dedup_apply_quality",
+    # round 8: dot/norm reductions in exact 1e-9-grid integer units
     # (expression + oracle changed)
-    "events_hourly_anomalies",
-    # round 7: named mass computed from PRESENT named sources in exact
-    # integer hundredths (expression + oracle changed)
-    "mixture_plan",
-    # round 7: MLlib fit lineage checkpointed (same values, fewer passes)
-    "tfidf_mllib",
-    "tfidf_mllib_topk_overlap",
-    # round 7: registry entries now guard the pinned shard floor explicitly
-    "corpus_shuffle",
-    "length_bucket_batches",
-    "pretraining_manifest",
+    "embedding_centroid_shift",
+    # round 8: sign-LSH key width derived from count(*) on both engines;
+    # lineage cut before the probe fan-out (expression + oracle changed)
+    "knn_label_agreement_lsh",
+    # round 8: every grid-product revenue sum migrated to exact integer
+    # units (functions/money.py — the q9 .005-midpoint discipline):
+    # q1 base/disc/charge sums, plain revenue sums, and the q8/q14
+    # ratios (both legs exact ints). q9's oracle text moved to the
+    # shared constants (same semantics) — re-verified with the block.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
 })
 
 
