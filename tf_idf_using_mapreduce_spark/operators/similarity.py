@@ -232,6 +232,25 @@ WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP
 N_CENTROIDS = 16
 N_PROBE = 4
 
+# Derived cell count for the IVF DEDUP blocking (round-8 sf1.0 decade
+# sweep: fixed k=16 made within-cell pair mass n²/16 — 2.6 s → 87.6 s on
+# 10× data, the LSH-key-width disease with cells instead of bits). Target
+# mean occupancy ~IVF_TARGET_CELL keeps Σ cell² linear in n; the ceiling
+# bounds the anchor literal the tasks ship (4096 × 64 dims ≈ 2 MB —
+# beyond it a production system moves to a hierarchical/two-level
+# quantizer, the standard IVF answer). Fixture scales stay at the k=16
+# floor (500/125 → 4, 2000/125 → 16), so fixture behavior is unchanged;
+# the law is mirrored IN SQL in the oracle, so parity holds at any scale.
+IVF_TARGET_CELL = 125
+IVF_DEDUP_MAX_CELLS = 4096
+
+
+def _derive_ivf_cells(n_vecs: int) -> int:
+    import math
+
+    return max(N_CENTROIDS,
+               min(IVF_DEDUP_MAX_CELLS, math.ceil(n_vecs / IVF_TARGET_CELL)))
+
 # per-(sf_dir[, quantizer]) anchor memo (coordinator state, like a fitted
 # model). Bounded: entries are tiny (N_CENTROIDS rows), but a long-lived
 # session scanning many warehouse dirs shouldn't grow it without limit —
@@ -247,8 +266,8 @@ def _anchor_cache_put(key, value) -> None:
     _ANCHOR_CACHE[key] = value
 
 
-def _anchor_rows(spark: SparkSession, sf_dir: str) -> list:
-    """The IVF coarse quantizer: N_CENTROIDS anchor vectors chosen
+def _anchor_rows(spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS) -> list:
+    """The IVF coarse quantizer: ``k`` anchor vectors chosen
     DETERMINISTICALLY as the corpus vectors with the smallest
     md5(vec_id-as-string) — a uniform pseudo-random sample both engines can
     reproduce exactly (a trained k-means would need model shipping; anchors
@@ -257,19 +276,23 @@ def _anchor_rows(spark: SparkSession, sf_dir: str) -> list:
     Driver-side collect is metadata-scale BY DESIGN: IVF centroids are always
     driver/coordinator state (like a k-means model or a broadcast dim table) —
     16 × 64 doubles here, ~a few MB for real-world k=65536 × 1024-dim.
-    Memoized per sf_dir so repeated invocations (bench runs, multi-query
+    Memoized per (sf_dir, k) so repeated invocations (bench runs, multi-query
     sessions) don't re-scan the corpus; production would persist the
-    centroids as a model table."""
-    if sf_dir not in _ANCHOR_CACHE:
+    centroids as a model table.
+
+    ``k`` defaults to the fixed search quantizer size; the dedup blocking
+    passes its :func:`_derive_ivf_cells` width instead."""
+    key = (sf_dir, k)
+    if key not in _ANCHOR_CACHE:
         _anchor_cache_put(
-            sf_dir,
+            key,
             _vectors(spark, sf_dir)
             .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-            .limit(N_CENTROIDS)
+            .limit(k)
             .select("v", "nrm")
             .collect(),
         )
-    return _ANCHOR_CACHE[sf_dir]
+    return _ANCHOR_CACHE[key]
 
 
 def _affinity_col(anchors: list, v: str, nrm: str):
@@ -410,27 +433,68 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_embedding_cosine``'s label key stands in for. Cell assignment is
     the same anchors-as-data projection as the ANN search (no shuffle to
     block); pair generation is a self-equi-join on the cell id, so work is
-    Σ per-cell size² instead of n² — at 100 TB the cell count k is the
-    blocking-granularity lever (recall loss = near-dup pairs straddling a
-    cell boundary; standard mitigation is multi-assignment, same idea as
-    nprobe). Oracled end-to-end because the md5-anchor quantizer is
-    SQL-expressible."""
-    anchors = _anchor_rows(spark, sf_dir)
+    Σ per-cell size² instead of n² — and the cell count is NOT fixed: it
+    follows the :func:`_derive_ivf_cells` law over ``count(*)`` (mean
+    occupancy ~125), computed identically in the oracle's SQL, so the
+    blocked pair mass stays LINEAR in n (the round-8 sf1.0 sweep measured
+    fixed k=16 at 33.7× on 10× data; derived cells restore ~linear).
+    Recall loss = near-dup pairs straddling a cell boundary; standard
+    mitigation is multi-assignment, same idea as nprobe. Oracled
+    end-to-end because the md5-anchor quantizer is SQL-expressible."""
+    n_cells = _derive_ivf_cells(load_table(spark, sf_dir, "embeddings").count())
+    anchors = _anchor_rows(spark, sf_dir, n_cells)
     vecs = _vectors(spark, sf_dir)
-    aff = _affinity_col(anchors, "v", "nrm")
-    corpus = vecs.select(
-        "vec_id", "v", "nrm", (-F.array_max(aff).getField("ncid")).alias("cid")
+
+    # BOTH dense stages run as Arrow-batched numpy (the operators/
+    # allpairs.py convention), because Spark's higher-order array exprs
+    # (transform/aggregate/zip_with) never enter codegen — they evaluate
+    # INTERPRETED, and at the derived cell count that O(k·dim) per row
+    # assignment was 17 s of the 22 s sf1.0 wall-clock (and the join-form
+    # pair stage re-evaluated its interpreted dot per candidate pair,
+    # 22 s more). As V @ A.T / per-cell V @ V.T tiles the same math is
+    # ~1 s. Assignment parity with the oracle: affinity rounded at
+    # COS_ROUND BEFORE the argmax, ties to the lowest cid (np.argmax
+    # returns the first maximum; anchor columns are cid-ordered).
+    import numpy as np
+    import pandas as pd
+
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            C = np.round((V @ A.T) / np.outer(nrm, an), COS_ROUND)
+            pdf = pdf.assign(cid=C.argmax(axis=1).astype("int32"))
+            yield pdf[["vec_id", "v", "nrm", "cid"]]
+
+    corpus = vecs.mapInPandas(
+        assign, "vec_id long, v array<double>, nrm double, cid int"
     )
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("cid"),
-                      F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("cid"),
-                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = F.round(F.expr(spark_dot("va", "vb")) / (F.col("na") * F.col("nb")), COS_ROUND)
-    return (
-        a.join(b, "cid")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= NEARDUP_COS_THRESHOLD)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(len(ids), 1)
+        cos = np.round(S[iu], COS_ROUND)
+        keep = cos >= NEARDUP_COS_THRESHOLD
+        return pd.DataFrame({"vec_a": ids[iu[0]][keep],
+                             "vec_b": ids[iu[1]][keep],
+                             "cos_sim": cos[keep]})
+
+    return corpus.groupBy("cid").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long, cos_sim double"
     )
 
 
@@ -438,10 +502,16 @@ EMBEDDING_IVF_DEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
            FROM embeddings WHERE nrm > 0),
+params AS (SELECT greatest({N_CENTROIDS}, least({IVF_DEDUP_MAX_CELLS},
+                  CAST(ceil(CAST(count(*) AS DOUBLE) / {IVF_TARGET_CELL}) AS INT))) AS nc
+           FROM embeddings),
 anchors AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-         v AS av, nrm AS an
-  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}
+  SELECT cid, av, an FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           v AS av, nrm AS an
+    FROM e
+  ) ranked, params p
+  WHERE ranked.cid < p.nc
 ),
 affinity AS (
   SELECT e.vec_id, e.v, e.nrm, a.cid,
