@@ -100,36 +100,51 @@ def cosine_topk_pairs(
         B = A if bi == bj else np.stack(rf["v"].to_numpy())
         an = lf["nrm"].to_numpy()
         bn = an if bi == bj else rf["nrm"].to_numpy()
-        S = (A @ B.T) / np.outer(an, bn)
-        if bi == bj:
-            # same row set on both sides: keep each unordered pair once
-            mask = (a_ids[:, None] < b_ids[None, :]) & (S != 0.0)
-        else:
-            # disjoint blocks: every unordered pair appears in exactly this
-            # tile; order is normalized below
-            mask = S != 0.0
-        if not mask.any():
+        # Tile-local top-k in ROW CHUNKS, never materializing the full
+        # (n/P)² similarity matrix: the sf1.0 sweep measured the
+        # full-matrix form at 7.4 s/tile (a 6250² tile is 312 MB — the
+        # np.outer division, round, mask and partition each re-stream it
+        # from DRAM, and 32 concurrent tasks saturate memory bandwidth)
+        # vs 0.8 s chunked, where each 1024×(n/P) slab stays cache-warm.
+        # Per-element math is UNCHANGED — dot/(na·nb), round at round_dp,
+        # raw-S zero test — chunking only splits the GEMM's row dimension
+        # (the summed k-dimension is intact), so parity is untouched.
+        # Each chunk keeps its own >=threshold candidates (ties at the
+        # cut included); any pair in the tile top-k is in its chunk's
+        # top-k, so merging chunk candidates preserves exactness.
+        parts = []
+        chunk = 1024
+        for i0 in range(0, len(a_ids), chunk):
+            Sc = (A[i0:i0 + chunk] @ B.T) / np.outer(an[i0:i0 + chunk], bn)
+            if bi == bj:
+                # same row set on both sides: keep each unordered pair once
+                mask = (a_ids[i0:i0 + chunk, None] < b_ids[None, :]) & (Sc != 0.0)
+            else:
+                # disjoint blocks: every unordered pair appears in exactly
+                # this tile; order is normalized below
+                mask = Sc != 0.0
+            if not mask.any():
+                continue
+            C = np.round(Sc, round_dp)
+            C[~mask] = -np.inf
+            flat = C.ravel()
+            k = min(top_pairs, flat.size)
+            thr = np.partition(flat, flat.size - k)[flat.size - k]
+            if thr == -np.inf:
+                cand = mask  # fewer than k real pairs: take them all
+            else:
+                cand = C >= thr
+            ia, ib = np.nonzero(cand)
+            if ia.size == 0:
+                continue
+            parts.append((a_ids[i0:i0 + chunk][ia], b_ids[ib], C[ia, ib]))
+        if not parts:
             return empty
-        # Tile-local top-k WITHOUT sorting all pairs: O(pairs) threshold via
-        # np.partition, then materialize + lexsort only the >= threshold
-        # candidates (ties at the cut included, so the exact deterministic
-        # order survives). A dense tile holds (n/P)² pairs — full lexsort of
-        # those measured 6 min at 50k vectors; thresholding took it to ~20 s.
-        C = np.round(S, round_dp)
-        C[~mask] = -np.inf
-        flat = C.ravel()
-        k = min(top_pairs, flat.size)
-        thr = np.partition(flat, flat.size - k)[flat.size - k]
-        if thr == -np.inf:
-            cand = mask  # fewer than k real pairs: take them all
-        else:
-            cand = C >= thr
-        ia, ib = np.nonzero(cand)
-        if ia.size == 0:
-            return empty
-        cos = C[ia, ib]
-        id_a = np.minimum(a_ids[ia], b_ids[ib])
-        id_b = np.maximum(a_ids[ia], b_ids[ib])
+        ga = np.concatenate([p[0] for p in parts])
+        gb = np.concatenate([p[1] for p in parts])
+        cos = np.concatenate([p[2] for p in parts])
+        id_a = np.minimum(ga, gb)
+        id_b = np.maximum(ga, gb)
         order = np.lexsort((id_b, id_a, -cos))[:top_pairs]
         return pd.DataFrame(
             {"id_a": id_a[order], "id_b": id_b[order], "cos_sim": cos[order]}
@@ -197,10 +212,6 @@ def cosine_nn1(
         B = A if bi == bj else np.stack(rf["v"].to_numpy())
         an = lf["nrm"].to_numpy()
         bn = an if bi == bj else rf["nrm"].to_numpy()
-        S = (A @ B.T) / np.outer(an, bn)
-        valid = (S != 0.0) & (a_ids[:, None] != b_ids[None, :])
-        C = np.round(S, round_dp)
-        C[~valid] = -np.inf
 
         def best_per_row(row_ids, M, col_ids):
             # vectorized argmax with (cos desc, id asc) tie-break: among
@@ -213,12 +224,37 @@ def cosine_nn1(
             nb = np.where(tie, col_ids[None, :], np.iinfo(np.int64).max).min(axis=1)
             return row_ids[ok].tolist(), nb.tolist(), mx[ok].tolist()
 
-        ids, nns, coss = best_per_row(a_ids, C, b_ids)
-        if bi != bj:
-            i2, n2, c2 = best_per_row(b_ids, C.T, a_ids)
-            ids += i2; nns += n2; coss += c2
+        # Row-chunked like cosine_topk_pairs' tile (see the comment there:
+        # cache-resident slabs instead of a full 312 MB tile matrix; the
+        # per-element math is unchanged). A row's tile-local best is the
+        # (cos desc, id asc)-max over its chunk results, folded below; for
+        # off-diagonal tiles the right side's per-row best needs the
+        # column view, so each chunk also scans M.T.
+        ids, nns, coss = [], [], []
+        chunk = 1024
+        for i0 in range(0, len(a_ids), chunk):
+            Sc = (A[i0:i0 + chunk] @ B.T) / np.outer(an[i0:i0 + chunk], bn)
+            valid = (Sc != 0.0) & (a_ids[i0:i0 + chunk, None] != b_ids[None, :])
+            C = np.round(Sc, round_dp)
+            C[~valid] = -np.inf
+            i1, n1, c1 = best_per_row(a_ids[i0:i0 + chunk], C, b_ids)
+            ids += i1; nns += n1; coss += c1
+            if bi != bj:
+                i2, n2, c2 = best_per_row(b_ids, C.T, a_ids[i0:i0 + chunk])
+                ids += i2; nns += n2; coss += c2
         if not ids:
             return empty
+        if bi != bj and len(a_ids) > chunk:
+            # fold the per-chunk bests of the right side's rows (left-side
+            # rows appear in exactly one chunk, right-side rows in all)
+            df = pd.DataFrame({"id": np.array(ids, dtype="int64"),
+                               "nn_id": np.array(nns, dtype="int64"),
+                               "cos_sim": np.array(coss, dtype="float64")})
+            df = (df.sort_values(["id", "cos_sim", "nn_id"],
+                                 ascending=[True, False, True])
+                  .drop_duplicates("id", keep="first"))
+            ids = df["id"].tolist(); nns = df["nn_id"].tolist()
+            coss = df["cos_sim"].tolist()
         return pd.DataFrame({"id": np.array(ids, dtype="int64"),
                              "nn_id": np.array(nns, dtype="int64"),
                              "cos_sim": np.array(coss, dtype="float64")})

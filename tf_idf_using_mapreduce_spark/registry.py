@@ -253,6 +253,9 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # round 8: sign-LSH key width derived from count(*) on both engines;
     # lineage cut before the probe fan-out (expression + oracle changed)
     "knn_label_agreement_lsh",
+    # round 8: IVF cell count derived from count(*)/125 on both engines;
+    # dense stages moved to Arrow-batched numpy (expression + oracle changed)
+    "dedup_embedding_ivf",
     # round 8: every grid-product revenue sum migrated to exact integer
     # units (functions/money.py — the q9 .005-midpoint discipline):
     # q1 base/disc/charge sums, plain revenue sums, and the q8/q14
