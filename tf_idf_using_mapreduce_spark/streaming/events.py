@@ -109,11 +109,26 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
 
     ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
     stream's lifetime (state partitioning is fixed at first start); the
-    session value is restored after termination."""
+    session value is restored after termination.
+
+    Complete-mode runs skip the trailing no-data microbatch
+    (``noDataMicroBatches.enabled=false`` for the query's lifetime): that
+    batch exists to advance the watermark so APPEND-mode sinks can emit
+    rows that became final — complete mode re-emits the whole state every
+    batch, so the extra batch is a pure state-store/WAL commit round
+    (~0.3 s of the ~1 s fixture-scale wall, measured on the hourly twin).
+    Append/update runs keep it: dropping it would silently hold back
+    final-emission rows. (A RAM-backed checkpoint dir was also A/B'd for
+    the WAL cost and measured a wash — the default temp checkpoint is
+    page-cache-bound on this box — so the default location stands.)"""
     spark = stream_df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if output_mode == "complete":
+        spark.conf.set(nodata_key, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -134,6 +149,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120,
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(nodata_key, prev_nodata)
 
 
 def events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
