@@ -177,7 +177,7 @@ def rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _cents_sum_2dp("c_acctbal").alias("total_acctbal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
@@ -188,11 +188,11 @@ def rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ROLLUP_ORACLE = """
+ROLLUP_ORACLE = f"""
 SELECT coalesce(r_name, 'ALL') AS r_name,
        coalesce(n_name, 'ALL') AS n_name,
        count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS total_acctbal
+       {_cents_sum_2dp_sql('c_acctbal')} AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -488,20 +488,22 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     §3.4 entry point 2): revenue by (status), by (priority), and overall —
     sets rollup/cube can't express."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql("""
+    # the exact-cents sum text is dialect-portable (CAST/BIGINT/DOUBLE parse
+    # identically in Spark SQL and DuckDB), so both engines share it verbatim
+    return spark.sql(f"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
-               round(sum(o_totalprice), 2) AS revenue,
+               {_cents_sum_2dp_sql('o_totalprice')} AS revenue,
                count(*) AS n
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
 
 
-GROUPING_SETS_ORACLE = """
+GROUPING_SETS_ORACLE = f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
-       round(sum(o_totalprice), 2) AS revenue,
+       {_cents_sum_2dp_sql('o_totalprice')} AS revenue,
        count(*) AS n
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -517,15 +519,15 @@ def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _cents_sum_2dp("o_totalprice").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
-MONTHLY_REVENUE_ORACLE = """
+MONTHLY_REVENUE_ORACLE = f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       round(sum(o_totalprice), 2) AS revenue,
+       {_cents_sum_2dp_sql('o_totalprice')} AS revenue,
        count(*) AS n_orders
 FROM orders GROUP BY 1
 """

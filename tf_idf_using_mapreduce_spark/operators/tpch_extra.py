@@ -66,6 +66,8 @@ from tf_idf_using_mapreduce_spark.functions.money import (  # noqa: E402
     REV_SUM_2DP_SQL as _REV_SUM_2DP_SQL,
     REV_UNITS_DUCK as _REV_UNITS_DUCK,
     REV_UNITS_SPARK as _REV_UNITS_EXPR,
+    cents_sum_2dp as _cents_sum_2dp,
+    cents_sum_2dp_sql as _cents_sum_2dp_sql,
     rev_sum_2dp as _rev_sum_2dp,
     sum_units_2dp as _sum_units_2dp,
 )
@@ -425,12 +427,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(F.broadcast(avg_qty), "p_partkey")
         .where(F.col("l_quantity") < F.col("qty_cutoff"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(
+            # round(Σprice/7, 2) in exact integer cents: C = Σ round(price·100)
+            # is exact (2-dp grid), and half-up(C/7) = (2C+7) div 14 for
+            # positive C — no float sum, no .005-midpoint sum-order hazard
+            F.expr(
+                "cast((2 * sum(cast(round(l_extendedprice * 100) as bigint))"
+                " + 7) div 14 as double) / cast(100 as double)"
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + 7) // 14
+            AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_yearly
 FROM lineitem l JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -551,16 +562,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _cents_sum_2dp("c_acctbal").alias("totacctbal"),
         )
     )
 
 
-Q22_ORACLE = """
+Q22_ORACLE = f"""
 WITH counts AS (
   SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
 )
-SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT n_name, count(*) AS numcust, {_cents_sum_2dp_sql('c_acctbal')} AS totacctbal
 FROM customer
 LEFT JOIN counts ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey

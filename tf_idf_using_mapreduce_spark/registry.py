@@ -272,6 +272,19 @@ FORCE_FRESH: frozenset[str] = frozenset({
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
+    # round 8 (late): remaining plain 2-dp money-COLUMN sums migrated to
+    # exact integer cents (cents_sum_2dp) — same latent class, no product
+    # grid; q17's /7 division done half-up on integer cents
+    "monthly_order_revenue",
+    "rollup_customer_geo",
+    "grouping_sets_revenue",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    # round 8: all-pairs tile kernels rewritten row-chunked (identical
+    # per-element math; values re-verified, expression changed)
+    "tfidf_doc_similarity",
+    "embedding_topk_pairs",
+    "knn_label_agreement",
 })
 
 
