@@ -831,14 +831,48 @@ def _lsh_nn1(vecs: DataFrame, bits: int = LSH_SIGN_DIMS) -> DataFrame:
     )
     # probes are pairwise-distinct keys and each candidate holds ONE key,
     # so a (qid, nid) pair arises at most once — no dedup pass needed
-    pairs = cand.join(q, "bucket").where(F.col("nid") != F.col("qid"))
-    scored = (
-        pairs.withColumn("dot", F.expr(spark_dot("v", "qv")))
-        .where(F.col("dot") != 0)
-        .select(
-            "qid", "own", "nid", "nbr",
-            F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), COS_ROUND).alias("cos_sim"),
-        )
+    pairs = (
+        cand.join(q, "bucket")
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "own", "nid", "nbr", "v", "qv", "nrm", "qn")
+    )
+
+    # Arrow-batched numpy scoring instead of the interpreted
+    # aggregate(zip_with(...)) fold: higher-order array expressions never
+    # enter codegen, so at sf1.0 the ~9M candidate dots dominated wall
+    # (the dedup_embedding_ivf disease, same fix). Per-element math is the
+    # file's established numpy convention (allpairs.py): row-wise dot,
+    # structural-zero filter, round at COS_ROUND after the division —
+    # parity holds through the rounding grid exactly as the oracled
+    # allpairs/IVF routes prove at every SF and under fuzz.
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy())
+            B = np.stack(pdf["qv"].to_numpy())
+            dot = np.einsum("ij,ij->i", A, B)
+            keep = dot != 0.0
+            if not keep.any():
+                continue
+            cos = np.round(
+                dot[keep]
+                / (pdf["nrm"].to_numpy()[keep] * pdf["qn"].to_numpy()[keep]),
+                COS_ROUND,
+            )
+            yield pd.DataFrame({
+                "qid": pdf["qid"].to_numpy()[keep],
+                "own": pdf["own"].to_numpy()[keep],
+                "nid": pdf["nid"].to_numpy()[keep],
+                "nbr": pdf["nbr"].to_numpy()[keep],
+                "cos_sim": cos,
+            })
+
+    scored = pairs.mapInPandas(
+        _score, "qid bigint, own int, nid bigint, nbr int, cos_sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
