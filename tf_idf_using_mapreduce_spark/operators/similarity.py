@@ -622,10 +622,13 @@ def ann_topk_mllib(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # checkpointed: fit, the join's two hash explodes, and the dist pass
+    # each re-run the parquet scan + normalize + array_to_vector lineage
+    # otherwise (the tfidf_mllib recompute disease, same fix)
     vecs = _vectors(spark, sf_dir).select(
         "vec_id",
         array_to_vector(F.expr("transform(v, x -> x / nrm)")).alias("features"),
-    )
+    ).localCheckpoint(eager=False)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )
