@@ -311,6 +311,31 @@ def test_derive_sign_bits_law_and_sql_mirror():
         assert got == sim._derive_sign_bits(n), (n, got)
 
 
+def test_derive_ivf_cells_law_and_sql_mirror():
+    """The IVF dedup cell-count law (round-8 sf1.0 decade sweep): floor at
+    N_CENTROIDS for fixture scales (pinned results unchanged), ~n/125 mean
+    occupancy beyond, ceiling 4096 — and the oracle's in-SQL mirror must
+    derive the identical count for any n, else the engines block into
+    different cells and every downstream pair diverges."""
+    import duckdb
+
+    floor = sim.N_CENTROIDS
+    assert sim._derive_ivf_cells(0) == floor
+    assert sim._derive_ivf_cells(500) == floor
+    assert sim._derive_ivf_cells(125 * floor) == floor
+    assert sim._derive_ivf_cells(125 * floor + 1) == floor + 1
+    assert sim._derive_ivf_cells(20000) == 160
+    assert sim._derive_ivf_cells(10**9) == sim.IVF_DEDUP_MAX_CELLS
+    law = (f"greatest({sim.N_CENTROIDS}, least({sim.IVF_DEDUP_MAX_CELLS}, "
+           f"CAST(ceil(CAST(n AS DOUBLE) / {sim.IVF_TARGET_CELL}) AS INT)))")
+    # the oracle carries the same law over count(*)
+    assert (f"CAST(ceil(CAST(count(*) AS DOUBLE) / {sim.IVF_TARGET_CELL}) AS INT)"
+            in sim.EMBEDDING_IVF_DEDUP_ORACLE)
+    for n in [1, 2, 500, 2000, 2001, 20000, 500000, 10**9]:
+        got = duckdb.sql(f"SELECT {law.replace('n AS DOUBLE', str(n) + ' AS DOUBLE')}").fetchone()[0]
+        assert got == sim._derive_ivf_cells(n), (n, got)
+
+
 def test_knn_lsh_derived_bits_widen_with_corpus(spark):
     """At sf0.1 (2000 vecs) the operator runs at 10 bits: the oracle's
     dynamic probes must reproduce it exactly (hash parity at a width the
