@@ -814,68 +814,113 @@ def _lsh_nn1(vecs: DataFrame, bits: int = LSH_SIGN_DIMS) -> DataFrame:
     compares this frame's nid against ``allpairs.cosine_nn1``)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import _drop_hot_buckets
 
-    # lineage cut before the probe fan-out: the Generate's 1+B+C(B,2)-expr
-    # probe array would otherwise inline the bucket concat (and the parquet
-    # array decode) into every probe expression — the dedup._shingles
-    # Generate-over-inlined-expression pathology — and the frame is read
-    # TWICE (candidate side + query side)
-    vb = (vecs.withColumn("bucket", F.expr(_sign_bucket_spark("v", bits)))
+    # lineage cut before the probe fan-out (the frame is read TWICE:
+    # candidate side + query side). The bucket key is the INTEGER value of
+    # the sign-bit string: probe generation then becomes `bucket XOR mask`
+    # against a ≤ 1+B+C(B,2)-row broadcast mask table — a fully-codegen
+    # constant-side crossJoin — instead of a Generate over B²/2 string-
+    # surgery expressions (measured 5.3 s of the sf1.0 wall by itself),
+    # and the bucket join/shuffle compares longs, not strings. The probe
+    # SET is identical (XOR with a weight-≤2 mask ⟺ flipping ≤2 sign
+    # bits), so the oracle's string-keyed blocking groups exactly the
+    # same vectors.
+    vb = (vecs.withColumn(
+            "bucket",
+            F.expr(f"cast(conv({_sign_bucket_spark('v', bits)}, 2, 10) as bigint)"))
           .localCheckpoint(eager=False))
     cand = _drop_hot_buckets(
         vb.select("bucket", F.col("vec_id").alias("nid"),
                   F.col("label").alias("nbr"), "v", "nrm"),
         ["bucket"], KNN_LSH_BUCKET_CAP,
     )
-    probes = ", ".join(_probe_exprs("bucket", bits))
-    q = vb.select(
+    masks = ([0] + [1 << i for i in range(bits)]
+             + [(1 << i) | (1 << j)
+                for i in range(bits) for j in range(i + 1, bits)])
+    mdf = vecs.sparkSession.createDataFrame([(m,) for m in masks], "mask bigint")
+    q = vb.crossJoin(F.broadcast(mdf)).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("own"),
         F.col("v").alias("qv"), F.col("nrm").alias("qn"),
-        F.explode(F.expr(f"array({probes})")).alias("bucket"),
+        F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
     )
-    # probes are pairwise-distinct keys and each candidate holds ONE key,
-    # so a (qid, nid) pair arises at most once — no dedup pass needed
-    pairs = (
-        cand.join(q, "bucket")
-        .where(F.col("nid") != F.col("qid"))
-        .select("qid", "own", "nid", "nbr", "v", "qv", "nrm", "qn")
-    )
-
-    # Arrow-batched numpy scoring instead of the interpreted
+    # Per-BUCKET numpy GEMM instead of a per-pair join + interpreted
     # aggregate(zip_with(...)) fold: higher-order array expressions never
-    # enter codegen, so at sf1.0 the ~9M candidate dots dominated wall
-    # (the dedup_embedding_ivf disease, same fix). Per-element math is the
-    # file's established numpy convention (allpairs.py): row-wise dot,
-    # structural-zero filter, round at COS_ROUND after the division —
-    # parity holds through the rounding grid exactly as the oracled
-    # allpairs/IVF routes prove at every SF and under fuzz.
-    def _score(batches):
+    # enter codegen (the dedup_embedding_ivf disease), and a per-pair form
+    # ships BOTH 64-dim vectors across Arrow once per candidate pair
+    # (~2.6M × 1 KB at sf1.0 — measured to dominate wall). Here each
+    # vector crosses the shuffle/Arrow boundary once per bucket it appears
+    # in (candidates once, queries once per probe), the Q×C dots are one
+    # tiny matmul per bucket (Q ≲ probes×occupancy, C ≤ cap), and only the
+    # bucket-local best per query leaves Python. Probes are pairwise-
+    # distinct keys and each candidate holds ONE key, so a (qid, nid) pair
+    # arises at most once globally — bucket-local bests are over disjoint
+    # candidate sets and the global window below reduces them exactly.
+    # Per-element math is the file's established numpy convention
+    # (allpairs.py): dot/(nq·nc), structural-zero filter, round at
+    # COS_ROUND before ranking, ties to the smallest nid.
+    both = cand.select(
+        "bucket", F.col("nid").alias("id"), F.col("nbr").alias("lab"),
+        "v", "nrm", F.lit(False).alias("is_q"),
+    ).unionByName(q.select(
+        "bucket", F.col("qid").alias("id"), F.col("own").alias("lab"),
+        F.col("qv").alias("v"), F.col("qn").alias("nrm"),
+        F.lit(True).alias("is_q"),
+    ))
+
+    # partition-level grouping (repartition by bucket + manual contiguous
+    # slicing) instead of applyInPandas: 2^bits tiny groups would pay a
+    # per-group pandas-frame cost; here each task concatenates its ~40 MB
+    # of Arrow batches once and slices buckets with numpy boundaries
+    def _part_best(batches):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        order = np.argsort(pdf["bucket"].to_numpy(), kind="stable")
+        bk = pdf["bucket"].to_numpy()[order]
+        ids = pdf["id"].to_numpy()[order]
+        labs = pdf["lab"].to_numpy()[order]
+        isq = pdf["is_q"].to_numpy()[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order])
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        bounds = np.r_[starts, len(bk)]
+        o_q, o_o, o_n, o_b, o_c = [], [], [], [], []
+        imax = np.iinfo(np.int64).max
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            qm = isq[s:t]
+            if qm.all() or not qm.any():
                 continue
-            A = np.stack(pdf["v"].to_numpy())
-            B = np.stack(pdf["qv"].to_numpy())
-            dot = np.einsum("ij,ij->i", A, B)
-            keep = dot != 0.0
-            if not keep.any():
+            cm = ~qm
+            qid, nid = ids[s:t][qm], ids[s:t][cm]
+            co = np.argsort(nid)
+            nid = nid[co]
+            nlab = labs[s:t][cm][co]
+            Sc = ((V[s:t][qm] @ V[s:t][cm][co].T)
+                  / np.outer(nrm[s:t][qm], nrm[s:t][cm][co]))
+            valid = (Sc != 0.0) & (qid[:, None] != nid[None, :])
+            M = np.round(Sc, COS_ROUND)
+            M[~valid] = -np.inf
+            mx = M.max(axis=1)
+            ok = mx != -np.inf
+            if not ok.any():
                 continue
-            cos = np.round(
-                dot[keep]
-                / (pdf["nrm"].to_numpy()[keep] * pdf["qn"].to_numpy()[keep]),
-                COS_ROUND,
-            )
+            tie = M[ok] == mx[ok][:, None]
+            nb = np.where(tie, nid[None, :], imax).min(axis=1)
+            ci = np.searchsorted(nid, nb)
+            o_q.append(qid[ok]); o_o.append(labs[s:t][qm][ok])
+            o_n.append(nb); o_b.append(nlab[ci]); o_c.append(mx[ok])
+        if o_q:
             yield pd.DataFrame({
-                "qid": pdf["qid"].to_numpy()[keep],
-                "own": pdf["own"].to_numpy()[keep],
-                "nid": pdf["nid"].to_numpy()[keep],
-                "nbr": pdf["nbr"].to_numpy()[keep],
-                "cos_sim": cos,
+                "qid": np.concatenate(o_q), "own": np.concatenate(o_o),
+                "nid": np.concatenate(o_n), "nbr": np.concatenate(o_b),
+                "cos_sim": np.concatenate(o_c),
             })
 
-    scored = pairs.mapInPandas(
-        _score, "qid bigint, own int, nid bigint, nbr int, cos_sim double"
+    scored = both.repartition("bucket").mapInPandas(
+        _part_best, "qid bigint, own int, nid bigint, nbr int, cos_sim double"
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
