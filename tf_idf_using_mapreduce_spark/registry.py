@@ -285,6 +285,11 @@ FORCE_FRESH: frozenset[str] = frozenset({
     "tfidf_doc_similarity",
     "embedding_topk_pairs",
     "knn_label_agreement",
+    # round 8 (late): MLlib LSH input lineage checkpointed before
+    # fit/join (values unchanged, expression changed) — refresh the
+    # rows-only twin and its oracled recall gate together
+    "ann_topk_mllib",
+    "ann_topk_mllib_recall",
 })
 
 
