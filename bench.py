@@ -133,14 +133,12 @@ BENCH_QUERIES = [
 # a wall-clock row (closing "no query scales worse than data" over the whole
 # surface, not a curated subset). The curated list above keeps its order for
 # cross-round comparison; the remainder is appended alphabetically.
-BENCH_EXCLUDE = {
-    # the DECLARED exact all-pairs baseline (oracle-verification role only;
-    # docstring hands production traffic to dedup_minhash_lsh): its
-    # shared-shingle pair mass is inherently quadratic in duplicate density,
-    # so a wall-clock row would report the baseline's O(n²) as if it were a
-    # production path. 22 s at sf0.1 — measured, excluded by design.
-    "dedup_ngram_jaccard",
-}
+BENCH_EXCLUDE: set[str] = set()
+# round 8: nothing excluded — dedup_ngram_jaccard (the declared exact
+# all-pairs baseline whose shared-shingle pair mass is quadratic in
+# duplicate density; production traffic goes to dedup_minhash_lsh) gets a
+# wall-clock row too, so every registered query has a cross-scale series.
+# Its row is read as the baseline's cost, not a production path.
 
 
 def bench_names(all_queries) -> list[str]:

@@ -82,5 +82,12 @@ def test_bench_names_guard_rejects_unknown_names():
     # a typo'd curated or excluded name must raise
     with pytest.raises(KeyError):
         bench.bench_names(names - {bench.BENCH_QUERIES[0]})
-    with pytest.raises(KeyError):
-        bench.bench_names(names - set(bench.BENCH_EXCLUDE))
+    # an excluded name absent from the registry must also raise (exercised
+    # via a synthetic exclusion so the guard stays tested when the real
+    # exclude set is empty)
+    try:
+        bench.BENCH_EXCLUDE.add("not_a_registered_query")
+        with pytest.raises(KeyError):
+            bench.bench_names(names)
+    finally:
+        bench.BENCH_EXCLUDE.discard("not_a_registered_query")
