@@ -23,8 +23,11 @@ def main() -> int:
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, timeout=1800,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[sf] = json.loads(line)
+        # bench.py prints TWO JSON lines (full result, then a short
+        # tail-window summary without the per-query map) — take the last
+        # line that actually carries the "queries" map.
+        parsed = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+        results[sf] = [p for p in parsed if "queries" in p][-1]
 
     queries = list(results[SFS[0]]["queries"])
     print("# SCALING — bench suite across scale factors\n")
