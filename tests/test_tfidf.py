@@ -147,3 +147,53 @@ def test_tfidf_mllib_overlap_tighter_pin(spark):
 
     row = tfidf_mllib_topk_overlap(spark, SF_SMOKE, floor=0.9).collect()[0]
     assert row["overlap_ok"] == 1 and row["n_exact"] > 0
+
+
+def test_bm25_topk_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "bm25_topk")
+
+
+def test_bm25_topk_ranking_sane(spark):
+    """Scores sorted desc, ≤|Q| hits per doc, and an independent pure-Python
+    BM25 agrees on every returned (doc, score) at 6 dp."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import BM25_QUERY, bm25_topk
+
+    rows = bm25_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_hits"] <= len(BM25_QUERY) for r in rows)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    toks = {d: re.findall(r"[a-z]+", t.lower()) for d, t in docs}
+    n, sumdl = len(toks), sum(len(t) for t in toks.values())
+    tf = {(d, w): ts.count(w) for d, ts in toks.items() for w in BM25_QUERY if w in ts}
+    df = Counter(w for (_, w) in tf)
+    k1, b = 1.2, 0.75
+    expected = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for w in BM25_QUERY:  # fixed order, matching the engine's pivot sum
+            if (d, w) not in tf:
+                continue
+            idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            dl_over_avg = (len(ts) * n) / sumdl
+            s += idf * (tf[d, w] * (k1 + 1)) / (tf[d, w] + k1 * (1 - b + b * dl_over_avg))
+        if s:
+            expected[d] = s
+    for r in rows:
+        assert r["score"] == pytest.approx(expected[r["doc_id"]], abs=2e-6)
+
+
+def test_bm25_topk_plan_shape(spark):
+    """Top-k must be TakeOrderedAndProject (no global sort); the query-term
+    prune must reach below the tf aggregation (no full-vocab shuffle)."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import bm25_topk
+
+    plan = bm25_topk(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -309,6 +309,134 @@ LIMIT {top_n}
 """
 
 
+# --------------------------------------------------------------------------- #
+# BM25 ranking — the canonical successor to the reference's TF-IDF score
+# --------------------------------------------------------------------------- #
+
+# Pinned ad-hoc query: one rare discriminative term (df ≈ 5% of docs in the
+# fixtures) + three common ones, so the idf spread actually orders the
+# result. FIXED TUPLE ORDER — the per-term scores are summed in this textual
+# order on both engines (see the determinism note in bm25_topk).
+BM25_QUERY = ("dup", "join", "scan", "spark")
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+
+
+def _bm25_score_expr(tf: str, df: str, dl: str, n: str, sumdl: str) -> str:
+    """One (doc, term) BM25 contribution — IDENTICAL text on both engines so
+    every IEEE operation matches bit-for-bit given equal integer inputs:
+    Lucene's non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` and the
+    classic saturation term, with ``dl/avgdl`` computed as the exact-integer
+    cross-product ``dl·N / sumdl`` (one correctly-rounded double division;
+    never avg() first). The only last-ulp liberty either engine has is ln()
+    itself (libm vs java.lang.Math) — the same accepted hazard as
+    doc_lm_score/bigram_pmi, absorbed by the final round at SCORE_ROUND."""
+    # CASTs keep the division double/double on BOTH engines — a bigint±0.5
+    # intermediate is DECIMAL in Spark (decimal÷decimal yields a half-up
+    # decimal quotient) but double in DuckDB's always-float division.
+    idf = f"ln(1 + (CAST({n} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    dl_over_avg = f"(CAST({dl} * {n} AS DOUBLE) / CAST({sumdl} AS DOUBLE))"
+    denom = f"({tf} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * {dl_over_avg}))"
+    return f"{idf} * ({tf} * ({BM25_K1} + 1)) / {denom}"
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """(doc_id, n_hits, score): top-k documents by BM25 (k1=1.2, b=0.75,
+    Lucene non-negative idf) for the pinned query terms — ad-hoc retrieval
+    over the corpus, the modern form of the reference's TF-IDF ranking
+    (IDF.java:164 hand-rolls ``tf · ln(10000/(df+1))``; BM25 adds tf
+    saturation and length normalization, the public Robertson/Lucene
+    formulation).
+
+    Float parity: cross-term float summation is ORDER-SENSITIVE, so the
+    per-term scores are pivoted into one fixed-order expression
+    (s_dup + s_join + s_scan + s_spark, left-to-right on both engines)
+    instead of SUM() over rows — the same discipline that fixed
+    embedding_centroid_shift. Each pivot cell is max(CASE…) over exactly
+    one row.
+
+    Scale shape: the token stream is filtered to the |Q| query terms
+    BEFORE any shuffle (map-side prune — at 100 TB this is the inverted-
+    index probe, reading ~|Q|/|V| of the postings mass); tf is a
+    partial+final hash agg on (doc_id, term); per-doc length joins on the
+    doc_id equi-key; the ≤|Q|-row df table and the single-row (N, Σdl)
+    scalars broadcast; top-k is TakeOrderedAndProject (per-partition
+    heads, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    scalars = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .where(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(df_tab), "w")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id", "w",
+            F.expr(_bm25_score_expr("tf", "df", "dl", "n_docs", "sumdl")).alias("s"),
+        )
+    )
+    cells = [
+        F.coalesce(F.max(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0)).alias(f"s_{t}")
+        for t in BM25_QUERY
+    ]
+    per_doc = scored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"), *cells)
+    total = None
+    for t in BM25_QUERY:
+        total = F.col(f"s_{t}") if total is None else total + F.col(f"s_{t}")
+    return (
+        per_doc.select("doc_id", "n_hits", F.round(total, SCORE_ROUND).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(k: int = 20) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    cells = ",\n".join(
+        f"       coalesce(max(CASE WHEN w = '{t}' THEN s END), CAST(0 AS DOUBLE)) AS s_{t}"
+        for t in BM25_QUERY
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_QUERY)
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+scalars AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM dl),
+postings AS (
+  SELECT doc_id, w, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS w FROM toksarr
+  ) x WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+),
+df_tab AS (SELECT w, count(*) AS df FROM postings GROUP BY w),
+scored AS (
+  SELECT p.doc_id, p.w,
+         {_bm25_score_expr('tf', 'df', 'dl', 'n_docs', 'sumdl')} AS s
+  FROM postings p JOIN dl USING (doc_id) JOIN df_tab USING (w), scalars
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+{cells}
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_hits, round({total}, {SCORE_ROUND}) AS score
+FROM per_doc
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
                     rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ variant of the DF aggregation (``approx_count_distinct``)

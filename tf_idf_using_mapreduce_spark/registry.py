@@ -193,6 +193,9 @@ register("tfidf", _tfidf.tfidf, _tfidf.tfidf_oracle())
 register("tfidf_doc_similarity", _tfidf.tfidf_doc_similarity, _tfidf.tfidf_doc_similarity_oracle())
 register("top_terms_per_doc", _tfidf.top_terms_per_doc, _tfidf.top_terms_per_doc_oracle())
 register("bigram_pmi", _tfidf.bigram_pmi, _tfidf.bigram_pmi_oracle())
+# round 8 (late): BM25 ad-hoc retrieval — the modern form of the reference's
+# TF-IDF ranking; fixed-order pivot sum for cross-engine float determinism
+register("bm25_topk", _tfidf.bm25_topk, _tfidf.bm25_topk_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
 # round 8: the model-swap seam carrying a second, genuinely different tag
