@@ -77,6 +77,9 @@ FUZZ_QUERIES = [
     "script_mix",
     # round-6 composed curate→dedup→split census
     "release_manifest",
+    # round-8 BM25 retrieval — its pinned query terms are in the fuzz vocab
+    # and one edge text, so postings are non-empty AND some docs miss terms
+    "bm25_topk",
 ]
 
 _EDGE_TEXTS = [
@@ -102,13 +105,21 @@ _EDGE_TEXTS = [
     "not-an-email @ example. com but v1.2.3.4000 looks like an ip",
     "server 10.0.255.1 and 192.168.1.1, phone 5551234567, short 123456",
     "card 4111111111111111 ip.in.text 8.8.8.8end no-space",
+    # BM25 query-term shapes: heavy tf saturation on one term, all four
+    # terms once, and case/punctuation variants of the pinned terms
+    "dup dup dup dup dup dup dup dup dup dup",
+    "dup join scan spark",
+    "DUP Join. scan,spark-dup JOIN!",
 ]
 
 
 def _fuzz_rows(n: int = 120, seed: int = 20260813):
     rng = random.Random(seed)
     vocab = ["alpha", "beta", "gamma", "delta", "the", "of", "zz", "qx",
-             "lorem", "ipsum", "dolor", "sit", "amet", "kappa", "omega"]
+             "lorem", "ipsum", "dolor", "sit", "amet", "kappa", "omega",
+             # the pinned BM25 query terms, so retrieval postings are
+             # non-empty on the fuzz corpus (df spread emerges from rng)
+             "dup", "join", "scan", "spark"]
     rows = []
     for i, t in enumerate(_EDGE_TEXTS):
         rows.append((i, t, "en", f"src{i % 20}", len(t)))
