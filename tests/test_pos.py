@@ -32,6 +32,45 @@ def test_tag_rules_sql_matches_python(duck):
     assert not bad, bad
 
 
+# Non-ASCII single chars — exactly what the SimpleTokenizer-style regex emits
+# for them ([^A-Za-z0-9 ] matches one char at a time). These are the round-8
+# advisor's parity break (case-changing letters 'É'/'Ж'), the Unicode-digit
+# latent twin ('٣', '²'), and the engine-lower() hazard ('İ' U+0130: DuckDB
+# lowers with the simple mapping → 'i', Python/Java with the full mapping →
+# 'i'+U+0307) — all must tag PUNCT/SYM identically in Python, Spark SQL, and
+# DuckDB SQL now that the punctuation gate never calls lower().
+UNICODE_TOKENS = [
+    "É", "Ж", "é", "ж", "ß", "ẞ", "٣", "²", "½", "İ", "ı", "Σ", "σ",
+    "Ç", "ç", "Ø", "ø", "Ⅷ", "〇", "一", "ア", "한", "🙂", "…", "—",
+    "«", "»", "Ｅ", "ｅ", "Ⓐ",
+]
+MIXED_TOKENS = list(CASES) + ["THE", "Is", "OF", "Tables", "GLASS", "To", "WILL"]
+
+
+def test_tag_rules_unicode_parity(spark, duck):
+    from tf_idf_using_mapreduce_spark.functions.postag import penn_tag_py, penn_tag_sql
+
+    toks = UNICODE_TOKENS + MIXED_TOKENS
+    for t in UNICODE_TOKENS:
+        assert pos_tag_py(t) == "PUNCT", t
+        assert penn_tag_py(t) == "SYM", t
+    vals = ", ".join(f"('{t}')" for t in toks)
+    duck_rows = duck.execute(
+        f"SELECT token, {pos_tag_sql('token')}, {penn_tag_sql('token')} "
+        f"FROM (VALUES {vals}) v(token)"
+    ).fetchall()
+    bad = [(t, ud, pn, pos_tag_py(t), penn_tag_py(t)) for t, ud, pn in duck_rows
+           if (ud, pn) != (pos_tag_py(t), penn_tag_py(t))]
+    assert not bad, bad
+    sdf = spark.createDataFrame([(t,) for t in toks], "token string")
+    spark_rows = sdf.selectExpr(
+        "token", f"{pos_tag_sql('token')} AS ud", f"{penn_tag_sql('token')} AS pn"
+    ).collect()
+    bad = [(r["token"], r["ud"], r["pn"]) for r in spark_rows
+           if (r["ud"], r["pn"]) != (pos_tag_py(r["token"]), penn_tag_py(r["token"]))]
+    assert not bad, bad
+
+
 def test_pairs_equals_stripes(spark):
     pairs = {(r["tag"], r["cnt"]) for r in pos_counts(spark, SF_SMOKE).collect()}
     stripes = {(r["tag"], r["cnt"]) for r in pos_counts_stripes(spark, SF_SMOKE).collect()}

@@ -143,6 +143,29 @@ def test_embedding_ivf_dedup_pairs_are_genuine(spark):
         assert key in truth and truth[key] == r["cos_sim"], (r, truth.get(key))
 
 
+def test_embedding_ivf_dedup_skewed_cell_chunked_kernel(spark):
+    """Round-8 advisor item: a SKEWED cell (near-identical vectors collapsing
+    into one quantizer slot) must stream through the row-chunked per-cell
+    kernel, not a full c×c matrix. 1300 copies of one direction (> the 1024
+    chunk) plus orthogonal noise vectors land in one cell and must emit
+    exactly C(1300,2) pairs at cos 1.0 — crossing the chunk boundary, so a
+    chunking bug (lost strict-upper-triangle mask across the seam, dropped
+    tail slab) changes the count."""
+    import tempfile
+
+    n = 1300
+    rows = [(i, [1.0, 2.0] + [0.0] * 6, 0) for i in range(n)]
+    rows += [(n + i, [0.0] * 7 + [1.0], 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+        got = sim.dedup_embedding_ivf(spark, d)
+        same = got.where(f"cos_sim = 1.0 AND vec_a < {n} AND vec_b < {n}")
+        assert same.count() == n * (n - 1) // 2
+        # both pair orientations respect vec_a < vec_b across chunk seams
+        assert got.where("vec_a >= vec_b").count() == 0
+
+
 @pytest.mark.parametrize("name", ["ann_topk_ivf_kmeans_recall", "ann_topk_mllib_recall"])
 def test_recall_twin_oracle_parity(spark, name):
     """The round-5 value checks for the two trained-state ANN variants:
@@ -289,6 +312,27 @@ def test_embedding_centroid_shift_detects_flip(spark):
     assert out[0]["n_a"] + out[0]["n_b"] == 8
 
 
+def test_knn_lsh_empty_corpus_engine_oracle_parity(spark):
+    """Round-8 advisor item: on an EMPTY embeddings table the Spark route
+    returns an empty frame and the oracle must too — not raise (the unguarded
+    in-SQL width law hit DuckDB's 'cannot take logarithm of zero'). Both
+    engines through their real entry points, zero rows, no exception."""
+    import tempfile
+
+    import duckdb
+
+    schema = "vec_id long, embedding array<float>, label int"
+    df = spark.createDataFrame([], schema)
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        assert sim.knn_label_agreement_lsh(spark, d).count() == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        assert con.execute(sim.KNN_LABEL_AGREEMENT_LSH_ORACLE).fetchall() == []
+
+
 def test_derive_sign_bits_law_and_sql_mirror():
     """The sign-LSH width law (round-8 verdict item): floor 8 at fixture
     scales (500 vecs — fixture behavior unchanged), 10 at sf0.1's 2000,
@@ -302,12 +346,17 @@ def test_derive_sign_bits_law_and_sql_mirror():
     assert sim._derive_sign_bits(2000) == 10
     assert sim._derive_sign_bits(0) == 8
     assert sim._derive_sign_bits(10**9) == 24
+    # the SQL mirror carries the Python law's max(n, 2) guard (round-8
+    # advisor: log2(0) raises in DuckDB on an empty embeddings table, while
+    # _derive_sign_bits(0) == 8 — the guard keeps engine and oracle aligned
+    # even on an empty corpus)
     law = (f"greatest({sim.LSH_SIGN_DIMS}, least({sim.LSH_SIGN_DIMS_MAX}, "
-           "CAST(ceil(log2(CAST(n AS DOUBLE) / 2.0)) AS INT)))")
+           "CAST(ceil(log2(CAST(greatest(n, 2) AS DOUBLE) / 2.0)) AS INT)))")
     # the oracle carries the same law over count(*)
-    assert "log2(CAST(count(*) AS DOUBLE) / 2.0)" in sim.KNN_LABEL_AGREEMENT_LSH_ORACLE
-    for n in [2, 3, 500, 512, 513, 1024, 2000, 65536, 10**6, 10**9]:
-        got = duckdb.sql(f"SELECT {law}".replace("n AS DOUBLE", f"{n} AS DOUBLE")).fetchone()[0]
+    assert ("log2(CAST(greatest(count(*), 2) AS DOUBLE) / 2.0)"
+            in sim.KNN_LABEL_AGREEMENT_LSH_ORACLE)
+    for n in [0, 1, 2, 3, 500, 512, 513, 1024, 2000, 65536, 10**6, 10**9]:
+        got = duckdb.sql(f"SELECT {law}".replace("greatest(n, 2)", f"greatest({n}, 2)")).fetchone()[0]
         assert got == sim._derive_sign_bits(n), (n, got)
 
 

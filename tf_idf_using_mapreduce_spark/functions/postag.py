@@ -69,10 +69,22 @@ def pos_tag_sql(token_col: str = "token") -> str:
     whens: list[str] = []
     # NUM: all digits (translate deletes digits; empty remainder = numeric)
     whens.append(f"WHEN translate({token_col}, '0123456789', '') = '' THEN 'NUM'")
-    # PUNCT: no letters and no digits
+    # PUNCT: no ASCII letters and no digits — tested on the ORIGINAL token
+    # with both-case letters, never on lower(). Two parity breaks hide in a
+    # lower()-based test: (a) the round-8 advisor's case — comparing
+    # translate(lower(tok)) to the original token sends case-changing
+    # non-ASCII letters ('É', 'Ж') to NOUN in SQL but PUNCT in Python; (b)
+    # engines disagree on lower() itself for full-case-mapping chars ('İ'
+    # U+0130: DuckDB → 'i' ⇒ PRON, Java/Python → 'i'+U+0307 ⇒ NOUN).
+    # Gating on the raw token removes lower() from the decision, and every
+    # token that survives the gate contains an ASCII alnum — the tokenizer's
+    # letter runs are pure [A-Za-z]+, so such tokens cannot also carry a
+    # case-unstable char, making the later lower()ed lexicon tests safe.
     whens.append(
-        f"WHEN translate({t}, 'abcdefghijklmnopqrstuvwxyz0123456789', '') = {token_col} "
-        "THEN 'PUNCT'"
+        "WHEN translate("
+        f"{token_col}, "
+        "'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', '') "
+        f"= {token_col} THEN 'PUNCT'"
     )
     for tag, words in LEXICONS.items():
         whens.append(f"WHEN {_in_list(t, words)} THEN '{tag}'")
@@ -87,11 +99,16 @@ def pos_tag_sql(token_col: str = "token") -> str:
 
 def pos_tag_py(token: str) -> str:
     """Same rules in Python (used by the mapInPandas stripes variant and tests)."""
-    if token and all(c.isdigit() for c in token):
+    # ASCII-explicit like the SQL translate test: str.isdigit() accepts
+    # Unicode digits ('٣', '²') the SQL rule sends to PUNCT, not NUM
+    if token and all(c in "0123456789" for c in token):
         return "NUM"
-    t = token.lower()
-    if not any(c.isalnum() and c.isascii() for c in t):
+    # ORIGINAL token, mirroring the SQL gate (lower() differs across engines
+    # on full-case-mapping chars like 'İ'; ASCII alnum is case-closed, so
+    # checking token vs t is equivalent for ASCII and engine-stable beyond)
+    if not any(c.isalnum() and c.isascii() for c in token):
         return "PUNCT"
+    t = token.lower()
     for tag, words in LEXICONS.items():
         if t in words:
             return tag
@@ -154,8 +171,15 @@ def penn_tag_sql(token_col: str = "token") -> str:
     t = f"lower({token_col})"
     whens: list[str] = []
     whens.append(f"WHEN translate({token_col}, '0123456789', '') = '' THEN 'CD'")
+    # tested on the ORIGINAL token with both-case letters — same
+    # lower()-free parity rule as pos_tag_sql (see the comment there); the
+    # inner CASE's ','/'.'/':' literals are pure ASCII, so testing them
+    # against the original token is case-stable
     whens.append(
-        f"WHEN translate({t}, 'abcdefghijklmnopqrstuvwxyz0123456789', '') = {token_col} THEN "
+        "WHEN translate("
+        f"{token_col}, "
+        "'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789', '') "
+        f"= {token_col} THEN "
         f"CASE WHEN {token_col} = ',' THEN ',' "
         f"WHEN {token_col} IN ('.', '!', '?') THEN '.' "
         f"WHEN {token_col} IN (':', ';') THEN ':' "
@@ -192,8 +216,8 @@ def penn_tag_py(token: str) -> str:
     ``tagger_factory`` loads on the executor (tests pin SQL≡Python)."""
     if token and all(c in "0123456789" for c in token):
         return "CD"
-    t = token.lower()
-    if not any(c.isalnum() and c.isascii() for c in t):
+    # ORIGINAL token, lower()-free like the SQL gate (see pos_tag_py)
+    if not any(c.isalnum() and c.isascii() for c in token):
         if token == ",":
             return ","
         if token in (".", "!", "?"):
@@ -201,6 +225,7 @@ def penn_tag_py(token: str) -> str:
         if token in (":", ";"):
             return ":"
         return "SYM"
+    t = token.lower()
     if t == "to":
         return "TO"
     if t in PENN_MODALS:

@@ -485,13 +485,30 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        S = (V @ V.T) / np.outer(nrm, nrm)
-        iu = np.triu_indices(len(ids), 1)
-        cos = np.round(S[iu], COS_ROUND)
-        keep = cos >= NEARDUP_COS_THRESHOLD
-        return pd.DataFrame({"vec_a": ids[iu[0]][keep],
-                             "vec_b": ids[iu[1]][keep],
-                             "cos_sim": cos[keep]})
+        # Row-chunked like the allpairs.py tile kernels (round-8 advisor):
+        # the derived cell law targets ~125 mean occupancy, but a SKEWED
+        # cell (near-identical vectors collapsing into one quantizer slot)
+        # is unbounded, and a full c×c matrix (plus its triu copies) in one
+        # task is the exact O(cell²)-memory hazard the hot-bucket caps
+        # exist for elsewhere. Each 1024×c slab bounds intermediates to
+        # O(slab·c); ids are sorted, so the strict upper triangle is the
+        # mask ids_chunk < ids — per-element math (dot/(na·nb), round at
+        # COS_ROUND, >= threshold) is unchanged, so oracle parity holds.
+        parts = []
+        chunk = 1024
+        for i0 in range(0, len(ids), chunk):
+            Sc = (V[i0:i0 + chunk] @ V.T) / np.outer(nrm[i0:i0 + chunk], nrm)
+            cos = np.round(Sc, COS_ROUND)
+            keep = (ids[i0:i0 + chunk, None] < ids[None, :]) & (
+                cos >= NEARDUP_COS_THRESHOLD)
+            ia, ib = np.nonzero(keep)
+            if ia.size:
+                parts.append((ids[i0:i0 + chunk][ia], ids[ib], cos[ia, ib]))
+        if not parts:
+            return empty
+        return pd.DataFrame({"vec_a": np.concatenate([p[0] for p in parts]),
+                             "vec_b": np.concatenate([p[1] for p in parts]),
+                             "cos_sim": np.concatenate([p[2] for p in parts])})
 
     return corpus.groupBy("cid").applyInPandas(
         cell_pairs, "vec_a long, vec_b long, cos_sim double"
@@ -943,7 +960,7 @@ WITH e AS (SELECT vec_id, label, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
            FROM embeddings WHERE nrm > 0),
 params AS (SELECT greatest({LSH_SIGN_DIMS}, least({LSH_SIGN_DIMS_MAX},
-                  CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 2.0)) AS INT))) AS nb
+                  CAST(ceil(log2(CAST(greatest(count(*), 2) AS DOUBLE) / 2.0)) AS INT))) AS nb
            FROM embeddings),
 b AS (SELECT e.*,
              array_to_string(list_transform(e.v[1:p.nb],

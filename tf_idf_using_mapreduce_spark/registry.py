@@ -247,52 +247,20 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 8: NULL-safe LEFT JOIN replaces NOT IN in the survivor filter
-    # (oracle changed; Spark side unchanged)
-    "dedup_apply_quality",
-    # round 8: dot/norm reductions in exact 1e-9-grid integer units
-    # (expression + oracle changed)
-    "embedding_centroid_shift",
-    # round 8: sign-LSH key width derived from count(*) on both engines;
-    # lineage cut before the probe fan-out (expression + oracle changed)
+    # round 9: punctuation gate in both rule taggers rewritten lower()-free
+    # on the ORIGINAL token (round-8 advisor: non-ASCII case-changing
+    # letters diverged py vs SQL; also kills the 'İ' engine-lower() hazard
+    # and the Unicode-digit NUM divergence in pos_tag_py). pos_counts runs
+    # the SQL on both engines, the stripes/penn twins run py-vs-SQL.
+    "pos_counts",
+    "pos_counts_stripes",
+    "pos_counts_penn",
+    # round 9: empty-corpus guard mirrored into the oracle's in-SQL width
+    # law (greatest(count(*), 2) — oracle text changed)
     "knn_label_agreement_lsh",
-    # round 8: IVF cell count derived from count(*)/125 on both engines;
-    # dense stages moved to Arrow-batched numpy (expression + oracle changed)
+    # round 9: per-cell pair kernel row-chunked like the allpairs tiles
+    # (identical per-element math; expression changed)
     "dedup_embedding_ivf",
-    # round 8: every grid-product revenue sum migrated to exact integer
-    # units (functions/money.py — the q9 .005-midpoint discipline):
-    # q1 base/disc/charge sums, plain revenue sums, and the q8/q14
-    # ratios (both legs exact ints). q9's oracle text moved to the
-    # shared constants (same semantics) — re-verified with the block.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    # round 8 (late): remaining plain 2-dp money-COLUMN sums migrated to
-    # exact integer cents (cents_sum_2dp) — same latent class, no product
-    # grid; q17's /7 division done half-up on integer cents
-    "monthly_order_revenue",
-    "rollup_customer_geo",
-    "grouping_sets_revenue",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    # round 8: all-pairs tile kernels rewritten row-chunked (identical
-    # per-element math; values re-verified, expression changed)
-    "tfidf_doc_similarity",
-    "embedding_topk_pairs",
-    "knn_label_agreement",
-    # round 8 (late): MLlib LSH input lineage checkpointed before
-    # fit/join (values unchanged, expression changed) — refresh the
-    # rows-only twin and its oracled recall gate together
-    "ann_topk_mllib",
-    "ann_topk_mllib_recall",
 })
 
 
