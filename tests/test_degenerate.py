@@ -1,0 +1,70 @@
+"""Empty-corpus engine/oracle parity (round-9, generalizing the round-8
+advisor's finding): every operator must agree with its oracle on ZERO-row
+inputs — partition-pruned scans, filters matching nothing, and fresh daily
+drops all hand operators empty tables at 100 TB. ``tools/degenerate_check.py``
+sweeps the full registry; this test pins the queries that USED to diverge
+(one per failure class) so regressions are caught in CI, not by the sweep.
+
+Classes fixed in round 9:
+- SQL-standard grand-total row: Spark's rollup/cube/GROUPING SETS return zero
+  rows on empty input, DuckDB emits the () grouping set's row — fixed with a
+  driver-side limit-1 probe that preserves the single-Expand plan.
+- MLlib ``.fit`` raising on empty input (CountVectorizer/KMeans/LSH).
+- Anchor/quantizer collection yielding an untypable empty literal
+  (``F.lit([])`` / ``np.stack([])``).
+- NULL aggregate over zero groups vs the oracle's literal 0
+  (``sum(cast)`` → ``count(when)``).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tools.degenerate_check import TABLES, build_empty_corpus, run_one
+
+# one representative per fixed failure class + the remaining grand-total kin
+ORACLED = [
+    "rollup_customer_geo",
+    "cube_lineitem_flags",
+    "grouping_sets_revenue",
+    "events_time_rollup",
+    "doc_freq_approx_err",
+    "tfidf_mllib_topk_overlap",
+    "ann_topk_ivf",
+    "dedup_embedding_ivf",
+    "knn_label_agreement_lsh",
+]
+ROWS_ONLY = ["ann_topk_ivf_kmeans"]
+
+
+@pytest.fixture(scope="module")
+def empty_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    build_empty_corpus(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    return d, con
+
+
+@pytest.mark.parametrize("name", ORACLED + ROWS_ONLY)
+def test_empty_corpus_matches_oracle(spark, empty_corpus, name):
+    import __spark_entry__ as e
+
+    d, con = empty_corpus
+    verdict = run_one(name, spark, con, d, e.queries()[name], e.oracle_sql().get(name))
+    assert verdict in ("ok", "rows-only"), verdict
+
+
+def test_empty_corpus_grand_total_values(spark, empty_corpus):
+    """The standard-conformance fix, value-level: the grand-total row on an
+    empty corpus is (ALL, ALL, 0, NULL) — count 0, sum NULL."""
+    from tf_idf_using_mapreduce_spark.operators.relational import rollup_customer_geo
+
+    d, _ = empty_corpus
+    [row] = rollup_customer_geo(spark, d).collect()
+    assert (row["r_name"], row["n_name"], row["n_customers"]) == ("ALL", "ALL", 0)
+    assert row["total_acctbal"] is None

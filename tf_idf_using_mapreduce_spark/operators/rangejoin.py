@@ -80,19 +80,27 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans rollup as a single Expand + aggregate: each input row fans to its
     grouping sets map-side, still one shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.select(
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            F.date_format("ts", "HH").alias("hour"),
-            "event_type",
-            "value",
-        )
-        .rollup("day", "hour", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
+    src = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "HH").alias("hour"),
+        "event_type",
+        "value",
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ]
+    # empty-input grand-total row (NULL keys, n=0, NULL sum) per the SQL
+    # standard — same limit-1 probe as relational.rollup_customer_geo; the
+    # non-empty single-Expand plan is untouched
+    if src.isEmpty():
+        return src.agg(*aggs).select(
+            F.lit(None).cast("string").alias("day"),
+            F.lit(None).cast("string").alias("hour"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n", "sum_value",
+        )
+    return src.rollup("day", "hour", "event_type").agg(*aggs)
 
 
 TIME_ROLLUP_ORACLE = """

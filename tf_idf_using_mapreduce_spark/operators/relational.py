@@ -173,12 +173,24 @@ def rollup_customer_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n_customers"),
+        _cents_sum_2dp("c_acctbal").alias("total_acctbal"),
+    ]
+    # SQL standard: the rollup's () grouping set yields the grand-total row
+    # even over EMPTY input (DuckDB conforms; Spark's rollup returns zero
+    # rows — found by tools/degenerate_check.py). The driver-side probe is a
+    # limit-1 scan (first row group at any scale); the non-empty plan — one
+    # Expand + one shuffle — is untouched, which a union-with-global-agg
+    # form (a second full scan) would not be.
+    if joined.isEmpty():
+        return joined.agg(*aggs).select(
+            F.lit("ALL").alias("r_name"), F.lit("ALL").alias("n_name"),
+            "n_customers", "total_acctbal",
+        )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            _cents_sum_2dp("c_acctbal").alias("total_acctbal"),
-        )
+        .agg(*aggs)
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
             F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
@@ -202,9 +214,18 @@ GROUP BY ROLLUP (r_name, n_name)
 
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n")]
+    # empty-input grand-total row, same standard-conformance probe as
+    # rollup_customer_geo (see the comment there)
+    if li.isEmpty():
+        return li.agg(*aggs).select(
+            F.lit("ALL").alias("l_returnflag"), F.lit("ALL").alias("l_linestatus"),
+            "sum_qty", "n",
+        )
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .agg(*aggs)
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
@@ -487,9 +508,19 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the engine's ``spark.sql`` surface (SURVEY.md
     §3.4 entry point 2): revenue by (status), by (priority), and overall —
     sets rollup/cube can't express."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
     # the exact-cents sum text is dialect-portable (CAST/BIGINT/DOUBLE parse
-    # identically in Spark SQL and DuckDB), so both engines share it verbatim
+    # identically in Spark SQL and DuckDB), so both engines share it verbatim.
+    # Empty-input probe: the () grouping set's grand-total row survives an
+    # empty table per the SQL standard (see rollup_customer_geo).
+    if orders.isEmpty():
+        return spark.sql(f"""
+            SELECT 'ALL' AS status, 'ALL' AS priority,
+                   {_cents_sum_2dp_sql('o_totalprice')} AS revenue,
+                   count(*) AS n
+            FROM orders_v
+        """)
     return spark.sql(f"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,

@@ -343,6 +343,12 @@ def _ivf_search(vecs: DataFrame, anchors: list, k: int) -> DataFrame:
     """The IVF plan shape shared by every quantizer (md5-sampled anchors,
     trained k-means centroids, …): anchors → affinity projection → cell
     equi-join → windowed exact ranking. ``anchors`` rows need ``v``/``nrm``."""
+    if not anchors:
+        # empty corpus ⇒ no quantizer cells (F.lit([]) cannot type an empty
+        # anchor literal); empty-in → empty-out like the oracle
+        return vecs.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rk int"
+        )
     aff = _affinity_col(anchors, "v", "nrm")
     corpus = vecs.select(
         "vec_id", "v", "nrm",
@@ -419,11 +425,16 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     key = (sf_dir, "kmeans")
     if key not in _ANCHOR_CACHE:
         feats = _vectors(spark, sf_dir).select(array_to_vector("v").alias("features"))
-        model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
-        _anchor_cache_put(key, [
-            {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
-            for c in model.clusterCenters()
-        ])
+        # KMeans.fit raises on an empty corpus; cache the no-quantizer state
+        # so _ivf_search short-circuits (empty-in → empty-out)
+        if feats.isEmpty():
+            _anchor_cache_put(key, [])
+        else:
+            model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
+            _anchor_cache_put(key, [
+                {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
+                for c in model.clusterCenters()
+            ])
     return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
 
 
@@ -444,6 +455,10 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = _derive_ivf_cells(load_table(spark, sf_dir, "embeddings").count())
     anchors = _anchor_rows(spark, sf_dir, n_cells)
     vecs = _vectors(spark, sf_dir)
+    if not anchors:
+        # empty corpus ⇒ no cells to block into (np.stack([]) cannot build
+        # the anchor matrix); empty-in → empty-out like the oracle
+        return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
 
     # BOTH dense stages run as Arrow-batched numpy (the operators/
     # allpairs.py convention), because Spark's higher-order array exprs
@@ -646,6 +661,12 @@ def ann_topk_mllib(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
         "vec_id",
         array_to_vector(F.expr("transform(v, x -> x / nrm)")).alias("features"),
     ).localCheckpoint(eager=False)
+    # LSH.fit raises on an empty corpus (found by tools/degenerate_check.py);
+    # the probe also materializes the checkpoint the fit then reuses
+    if vecs.isEmpty():
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist double, rk int"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )

@@ -473,10 +473,13 @@ def doc_freq_approx_err(spark: SparkSession, sf_dir: str, rsd: float = 0.05,
     )
     viol = (
         F.abs(F.col("df_approx") - F.col("df")) / F.col("df") > F.lit(rel_err_max)
-    ).cast("long")
+    )
+    # count(when(...)) not sum(cast): sum over ZERO terms (empty corpus) is
+    # NULL on Spark while the oracle pins literal 0 — the conditional-count
+    # discipline from the round-7 q12 fix (found by tools/degenerate_check.py)
     return per_term.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.sum(viol).alias("n_violations"),
+        F.count(F.when(viol, True)).alias("n_violations"),
     )
 
 
@@ -508,6 +511,19 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
         .agg(F.collect_list("stem").alias("terms"))
         .localCheckpoint(eager=True)
     )
+    # CountVectorizer.fit raises on an empty corpus (found by
+    # tools/degenerate_check.py); a model fit on nothing has no vocabulary,
+    # and the query contract is empty-in → empty-out. The probe is free:
+    # the frame is already eagerly checkpointed.
+    if doc_tokens.isEmpty():
+        from pyspark.ml.linalg import VectorUDT
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        empty_schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("features", VectorUDT()),
+        ])
+        return [], spark.createDataFrame([], empty_schema)
     cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
     cv_model = cv.fit(doc_tokens)
     tf = cv_model.transform(doc_tokens).localCheckpoint(eager=True)
@@ -570,13 +586,20 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
-    vocab_arr = F.array(*[F.lit(t) for t in vocab])
-    mllib = (
-        feats.select("doc_id", vector_to_array("features").alias("vals"))
-        .select("doc_id", F.posexplode("vals").alias("term_idx", "mllib_score"))
-        .where(F.col("mllib_score") > 0)
-        .withColumn("term", F.element_at(vocab_arr, F.col("term_idx") + 1))
-    )
+    if not vocab:
+        # empty corpus: no fitted vocabulary to name vector slots (see the
+        # _tfidf_mllib_fit guard) — an empty top-k set keeps the agg tail
+        # below well-typed and yields (n_exact=0, overlap_ok=1), matching
+        # the oracle's empty-input row
+        mllib = spark.createDataFrame([], "doc_id long, term string, mllib_score double")
+    else:
+        vocab_arr = F.array(*[F.lit(t) for t in vocab])
+        mllib = (
+            feats.select("doc_id", vector_to_array("features").alias("vals"))
+            .select("doc_id", F.posexplode("vals").alias("term_idx", "mllib_score"))
+            .where(F.col("mllib_score") > 0)
+            .withColumn("term", F.element_at(vocab_arr, F.col("term_idx") + 1))
+        )
     w_m = Window.partitionBy("doc_id").orderBy(F.desc("mllib_score"), F.asc("term"))
     mtop = (
         mllib.withColumn("rn", F.row_number().over(w_m))

@@ -261,6 +261,24 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # round 9: per-cell pair kernel row-chunked like the allpairs tiles
     # (identical per-element math; expression changed)
     "dedup_embedding_ivf",
+    # round 9: empty-corpus parity sweep (tools/degenerate_check.py) —
+    # SQL-standard grand-total row on empty input via a driver-side
+    # limit-1 probe (non-empty plan untouched)
+    "rollup_customer_geo",
+    "cube_lineitem_flags",
+    "grouping_sets_revenue",
+    "events_time_rollup",
+    # round 9: sum(cast) → count(when) so zero terms yields 0, not NULL
+    "doc_freq_approx_err",
+    # round 9: MLlib fit / quantizer guards for empty input (values at
+    # driver SFs unchanged; expression changed)
+    "tfidf_mllib",
+    "tfidf_mllib_topk_overlap",
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_kmeans_recall",
+    "ann_topk_mllib",
+    "ann_topk_mllib_recall",
 })
 
 

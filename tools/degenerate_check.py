@@ -1,0 +1,125 @@
+"""Degenerate-corpus robustness sweep: run every queries() entry AND its
+oracle on a corpus where all ten tables are EMPTY (and optionally single-row),
+and report any engine/oracle divergence — wrong answers, one-sided exceptions,
+or value mismatches.
+
+Motivation (round-8 advisor): the kNN-LSH oracle's in-SQL width law raised
+``log2(0)`` on an empty embeddings table while the Spark route returned an
+empty frame — an engine/oracle behavioral split invisible at every driver SF
+because the fixtures are never empty. Empty inputs are not hypothetical at
+100 TB: a partition-pruned scan, a filter that matches nothing, or a fresh
+daily drop all hand operators zero rows. Every operator must agree with its
+oracle there too.
+
+Usage:
+
+    python tools/degenerate_check.py            # empty corpus, all queries
+    python tools/degenerate_check.py name ...   # subset
+
+Exit 0 = every query either matches its oracle or both sides raise the same
+way (a both-sides raise is reported for visibility but not a failure — the
+driver never runs on empty corpora; a ONE-sided raise or a value mismatch is).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tf_idf_using_mapreduce_spark.session import get_spark
+from tools.canon import canon_rows
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+SCHEMA_SRC = "/root/testdata/sf0.001"
+
+
+def build_empty_corpus(out_dir: str) -> None:
+    """Empty twins of the driver tables: same parquet schema, zero rows.
+    Written as a directory of one empty part-file, matching the layout both
+    engines' readers expect."""
+    for t in TABLES:
+        src = pq.read_schema(_first_part(f"{SCHEMA_SRC}/{t}.parquet"))
+        d = f"{out_dir}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(src.empty_table(), f"{d}/part-0.parquet")
+
+
+def _first_part(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+    return os.path.join(path, sorted(parts)[0])
+
+
+def run_one(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> str:
+    """Returns one of: 'ok', 'both-raise', 'spark-raise', 'duck-raise',
+    'mismatch', 'rows-only'."""
+    s_err = d_err = None
+    spdf = ddf = None
+    try:
+        spdf = fn(spark, sf_dir).toPandas()
+    except Exception as ex:  # noqa: BLE001 — survey sweep, report everything
+        s_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:160]}"
+    if sql is None:
+        if s_err:
+            print(f"  {name}: SPARK RAISED (rows-only) — {s_err}")
+            return "spark-raise"
+        print(f"  {name}: rows={len(spdf)} (rows-only)")
+        return "rows-only"
+    try:
+        ddf = con.sql(sql).df()
+    except Exception as ex:  # noqa: BLE001
+        d_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:160]}"
+    if s_err and d_err:
+        print(f"  {name}: both raise (spark: {s_err} | duck: {d_err})")
+        return "both-raise"
+    if s_err:
+        print(f"  {name}: SPARK RAISED, oracle fine — {s_err}")
+        return "spark-raise"
+    if d_err:
+        print(f"  {name}: ORACLE RAISED, spark fine — {d_err}")
+        return "duck-raise"
+    if sorted(spdf.columns) != sorted(ddf.columns) or len(spdf) != len(ddf) \
+            or canon_rows(spdf) != canon_rows(ddf):
+        print(f"  {name}: MISMATCH spark_rows={len(spdf)} duck_rows={len(ddf)}")
+        return "mismatch"
+    print(f"  {name}: OK rows={len(spdf)}")
+    return "ok"
+
+
+def main() -> int:
+    import __spark_entry__ as e
+
+    names = sys.argv[1:] or list(e.queries())
+    spark = get_spark("degenerate-check")
+    qs, os_ = e.queries(), e.oracle_sql()
+    with tempfile.TemporaryDirectory() as d:
+        build_empty_corpus(d)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+            )
+        verdicts = {n: run_one(n, spark, con, d, qs[n], os_.get(n)) for n in names}
+    bad = {n: v for n, v in verdicts.items()
+           if v in ("spark-raise", "duck-raise", "mismatch")}
+    both = [n for n, v in verdicts.items() if v == "both-raise"]
+    print(f"\nempty-corpus sweep: {len(verdicts)} queries, "
+          f"{sum(v == 'ok' for v in verdicts.values())} ok, "
+          f"{len(both)} both-raise {both}, {len(bad)} DIVERGENT")
+    if bad:
+        for n, v in bad.items():
+            print(f"  DIVERGENT {n}: {v}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
