@@ -34,6 +34,7 @@ ORACLED = [
     "ann_topk_ivf",
     "dedup_embedding_ivf",
     "knn_label_agreement_lsh",
+    "rrf_fusion_topk",
 ]
 ROWS_ONLY = ["ann_topk_ivf_kmeans"]
 

@@ -189,6 +189,53 @@ def test_bm25_topk_ranking_sane(spark):
         assert r["score"] == pytest.approx(expected[r["doc_id"]], abs=2e-6)
 
 
+def test_rrf_fusion_topk_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "rrf_fusion_topk")
+
+
+def test_rrf_fusion_semantics(spark):
+    """Fusion is pure rank arithmetic: every returned rrf_score must equal
+    1/(60+rank_bm25) + 1/(60+rank_vsm) with absent legs contributing 0; the
+    per-leg ranks must agree with the standalone BM25 ranking; and the two
+    legs must genuinely DISAGREE somewhere (else the fusion is degenerate —
+    the VSM leg has no length normalization, so long/short docs reorder)."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import RRF_K, bm25_topk, rrf_fusion_topk
+
+    rows = rrf_fusion_topk(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        want = sum(1.0 / (RRF_K + rk) for rk in (r["rank_bm25"], r["rank_vsm"])
+                   if rk is not None)
+        assert r["rrf_score"] == pytest.approx(want, abs=1e-12)
+    # leg consistency: the fused frame's bm25 ranks = the standalone top-k order
+    bm25_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm25_topk(spark, SF_SMOKE).collect())}
+    for r in rows:
+        if r["rank_bm25"] is not None and r["rank_bm25"] <= 20:
+            assert bm25_rank[r["doc_id"]] == r["rank_bm25"], r
+    assert any(r["rank_bm25"] != r["rank_vsm"] for r in rows)
+
+
+def test_rrf_fusion_single_corpus_pass(spark):
+    """Both ranking legs must read the SAME checkpointed per-doc pivot (one
+    tokenize pass), and every post-scan stage is pool-bounded: two
+    TakeOrderedAndProject legs + the final one, no global Sort→Exchange of
+    the corpus."""
+    from tf_idf_using_mapreduce_spark.operators.tfidf import rrf_fusion_topk
+
+    df = rrf_fusion_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the RDD identity only prints in formatted mode
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    rdd_ids = set(_re.findall(r"MapPartitionsRDD\[(\d+)\]", fmt))
+    assert len(rdd_ids) == 1, f"legs read different lineages: {rdd_ids}"
+
+
 def test_bm25_topk_plan_shape(spark):
     """Top-k must be TakeOrderedAndProject (no global sort); the query-term
     prune must reach below the tf aggregation (no full-vocab shuffle)."""

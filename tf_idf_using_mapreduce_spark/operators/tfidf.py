@@ -437,6 +437,156 @@ LIMIT {k}
 """
 
 
+# --------------------------------------------------------------------------- #
+# Reciprocal-rank fusion — hybrid retrieval over two rankers (r9)
+# --------------------------------------------------------------------------- #
+
+RRF_K = 60       # Cormack et al.'s constant; dampens the head rank's weight
+RRF_POOL = 100   # per-ranker candidate list depth fused (standard truncation)
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """(doc_id, rank_bm25, rank_vsm, rrf_score): top-k documents for the
+    pinned query by RECIPROCAL-RANK FUSION of two lexical rankers — BM25
+    (saturated, length-normalized) and classic TF-IDF VSM
+    (``tf · ln(N/(df+1))``, the reference's scoring family, IDF.java:164) —
+    ``rrf = Σ_legs 1/(RRF_K + rank)`` over each leg's top-``RRF_POOL``.
+    This is the standard hybrid-search primitive (fuse lexical + semantic
+    or any heterogeneous rankers WITHOUT score calibration: only ranks
+    cross the fusion boundary, so the legs' score scales never meet).
+
+    Float parity: each leg's score is the bm25_topk fixed-order pivot sum
+    (never SUM() over per-term rows), rounded at SCORE_ROUND BEFORE
+    ranking; the fusion itself is a two-term fixed-order sum of exact
+    reciprocals (CAST(1 AS DOUBLE)/(K + rank)), identical IEEE ops on both
+    engines. Ranks are integers — order-proof.
+
+    Scale shape: ONE tokenize pass feeds both legs (the shared per-doc
+    pivot frame is lineage-cut, so the two ranking reads don't re-scan the
+    corpus); each leg's top-``RRF_POOL`` is a TakeOrderedAndProject
+    (per-partition heads, no global sort), the rank window then runs on a
+    ≤ RRF_POOL-row frame (the engine's post-limit window convention), and
+    the fusion is a full outer join of two ≤ RRF_POOL-row frames — every
+    post-scan stage is O(RRF_POOL), independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = spread(docs).select(
+        "doc_id", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t")
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    scalars = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sumdl")
+    )
+    postings = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .where(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(df_tab), "w")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id", "w",
+            F.expr(_bm25_score_expr("tf", "df", "dl", "n_docs", "sumdl")).alias("sb"),
+            F.expr(_vsm_score_expr("tf", "df", "n_docs")).alias("sv"),
+        )
+    )
+    cells = [
+        F.coalesce(F.max(F.when(F.col("w") == t, F.col(c))), F.lit(0.0)).alias(f"{c}_{t}")
+        for c in ("sb", "sv") for t in BM25_QUERY
+    ]
+    # one corpus pass computes BOTH legs' pivots; the cut lets the two
+    # ranking reads below reuse it instead of re-tokenizing
+    per_doc = scored.groupBy("doc_id").agg(*cells).localCheckpoint(eager=False)
+
+    def leg(col_prefix: str) -> DataFrame:
+        total = None
+        for t in BM25_QUERY:
+            c = F.col(f"{col_prefix}_{t}")
+            total = c if total is None else total + c
+        top = (
+            per_doc.select("doc_id", F.round(total, SCORE_ROUND).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(RRF_POOL)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+
+    from pyspark.sql import Window
+
+    rb = leg("sb").withColumnRenamed("rank", "rank_bm25")
+    rv = leg("sv").withColumnRenamed("rank", "rank_vsm")
+    contrib = "coalesce(CAST(1 AS DOUBLE) / ({K} + {r}), CAST(0 AS DOUBLE))"
+    fused = rb.join(rv, "doc_id", "full_outer").select(
+        "doc_id", "rank_bm25", "rank_vsm",
+        F.expr(
+            contrib.format(K=RRF_K, r="rank_bm25")
+            + " + " + contrib.format(K=RRF_K, r="rank_vsm")
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+
+
+def _vsm_score_expr(tf: str, df: str, n: str) -> str:
+    """One (doc, term) classic VSM contribution, ``tf · ln(N/(df+1))`` with
+    the ACTUAL corpus size (the reference pins N=10000, a documented quirk
+    the ``tfidf`` query preserves; retrieval fusion wants the adaptive
+    form). CASTs keep the division double/double on both engines."""
+    return f"{tf} * ln(CAST({n} AS DOUBLE) / (CAST({df} AS DOUBLE) + 1))"
+
+
+def rrf_fusion_topk_oracle(k: int = 20) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    cells = ",\n".join(
+        f"       coalesce(max(CASE WHEN w = '{t}' THEN {c} END), CAST(0 AS DOUBLE)) AS {c}_{t}"
+        for c in ("sb", "sv") for t in BM25_QUERY
+    )
+    tb = " + ".join(f"sb_{t}" for t in BM25_QUERY)
+    tv = " + ".join(f"sv_{t}" for t in BM25_QUERY)
+    contrib = f"coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + {{r}}), CAST(0 AS DOUBLE))"
+    return f"""
+WITH toksarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toksarr),
+scalars AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM dl),
+postings AS (
+  SELECT doc_id, w, count(*) AS tf FROM (
+    SELECT doc_id, unnest(t) AS w FROM toksarr
+  ) x WHERE w IN ({terms_sql}) GROUP BY doc_id, w
+),
+df_tab AS (SELECT w, count(*) AS df FROM postings GROUP BY w),
+scored AS (
+  SELECT p.doc_id, p.w,
+         {_bm25_score_expr('tf', 'df', 'dl', 'n_docs', 'sumdl')} AS sb,
+         {_vsm_score_expr('tf', 'df', 'n_docs')} AS sv
+  FROM postings p JOIN dl USING (doc_id) JOIN df_tab USING (w), scalars
+),
+per_doc AS (
+  SELECT doc_id,
+{cells}
+  FROM scored GROUP BY doc_id
+),
+topb AS (SELECT doc_id, round({tb}, {SCORE_ROUND}) AS score FROM per_doc
+         ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}),
+topv AS (SELECT doc_id, round({tv}, {SCORE_ROUND}) AS score FROM per_doc
+         ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}),
+rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+              AS rank_bm25 FROM topb),
+rv AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+              AS rank_vsm FROM topv)
+SELECT coalesce(rb.doc_id, rv.doc_id) AS doc_id, rank_bm25, rank_vsm,
+       {contrib.format(r='rank_bm25')} + {contrib.format(r='rank_vsm')} AS rrf_score
+FROM rb FULL OUTER JOIN rv ON rb.doc_id = rv.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def doc_freq_approx(spark: SparkSession, sf_dir: str, top_n: int = 100,
                     rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ variant of the DF aggregation (``approx_count_distinct``)
