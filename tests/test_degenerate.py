@@ -21,7 +21,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from tools.degenerate_check import TABLES, build_empty_corpus, run_one
+from tools.degenerate_check import TABLES, build_empty_corpus, build_tiny_corpus, run_one
 
 # one representative per fixed failure class + the remaining grand-total kin
 ORACLED = [
@@ -46,7 +46,7 @@ def empty_corpus(tmp_path_factory):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
         )
     return d, con
 
@@ -56,6 +56,35 @@ def test_empty_corpus_matches_oracle(spark, empty_corpus, name):
     import __spark_entry__ as e
 
     d, con = empty_corpus
+    verdict = run_one(name, spark, con, d, e.queries()[name], e.oracle_sql().get(name))
+    assert verdict in ("ok", "rows-only"), verdict
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tiny_sf"))
+    build_tiny_corpus(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d, con
+
+
+# the single-row corpus's own failure classes (tools/degenerate_check.py
+# --tiny): KMeans k > n points, and the MLlib overlap gate degenerating when
+# every term has df = N (1-doc corpus ⇒ all MLlib idfs are 0 ⇒ the gate is
+# declared vacuous below 2 docs, mirrored in the oracle's `>= 2` predicate)
+@pytest.mark.parametrize("name", [
+    "tfidf_mllib_topk_overlap",
+    "ann_topk_ivf_kmeans_recall",
+    "ann_topk_ivf_kmeans",
+])
+def test_tiny_corpus_matches_oracle(spark, tiny_corpus, name):
+    import __spark_entry__ as e
+
+    d, con = tiny_corpus
     verdict = run_one(name, spark, con, d, e.queries()[name], e.oracle_sql().get(name))
     assert verdict in ("ok", "rows-only"), verdict
 

@@ -425,12 +425,18 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     key = (sf_dir, "kmeans")
     if key not in _ANCHOR_CACHE:
         feats = _vectors(spark, sf_dir).select(array_to_vector("v").alias("features"))
-        # KMeans.fit raises on an empty corpus; cache the no-quantizer state
-        # so _ivf_search short-circuits (empty-in → empty-out)
-        if feats.isEmpty():
-            _anchor_cache_put(key, [])
+        # MLlib KMeans requires k >= 2 and raises on an empty corpus (found
+        # by tools/degenerate_check.py --tiny/--empty). Below 2 vectors
+        # there is nothing to train: the corpus itself is the quantizer —
+        # fall back to the md5-sampled anchors (which return all <= 1 rows,
+        # and [] on empty, short-circuiting _ivf_search). Otherwise clamp k
+        # to the corpus size so a tiny corpus trains a small quantizer.
+        n = feats.count()
+        if n < 2:
+            _anchor_cache_put(key, _anchor_rows(spark, sf_dir, N_CENTROIDS))
         else:
-            model = KMeans(k=N_CENTROIDS, seed=42, featuresCol="features").fit(feats)
+            model = KMeans(k=min(N_CENTROIDS, n), seed=42,
+                           featuresCol="features").fit(feats)
             _anchor_cache_put(key, [
                 {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
                 for c in model.clusterCenters()

@@ -642,8 +642,10 @@ def doc_freq_approx_err_oracle() -> str:
 
 def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
     """Fit the MLlib CountVectorizer + IDF pipeline; returns
-    ``(vocabulary, features_df)`` — the vocabulary (≤ ``vocab_size`` strings,
-    driver-side model state) is what lets the rank-overlap twin name terms."""
+    ``(vocabulary, features_df, n_docs)`` — the vocabulary (≤ ``vocab_size``
+    strings, driver-side model state) is what lets the rank-overlap twin name
+    terms; ``n_docs`` is counted over the eagerly-checkpointed token frame
+    (cheap — no lineage re-run) for the overlap twin's vacuous-gate rule."""
     from pyspark.ml.feature import IDF, CountVectorizer
 
     toks = stemmed_tokens(spark, sf_dir)
@@ -665,7 +667,8 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
     # tools/degenerate_check.py); a model fit on nothing has no vocabulary,
     # and the query contract is empty-in → empty-out. The probe is free:
     # the frame is already eagerly checkpointed.
-    if doc_tokens.isEmpty():
+    n_docs = doc_tokens.count()
+    if n_docs == 0:
         from pyspark.ml.linalg import VectorUDT
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -673,13 +676,13 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
             StructField("doc_id", LongType()),
             StructField("features", VectorUDT()),
         ])
-        return [], spark.createDataFrame([], empty_schema)
+        return [], spark.createDataFrame([], empty_schema), 0
     cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
     cv_model = cv.fit(doc_tokens)
     tf = cv_model.transform(doc_tokens).localCheckpoint(eager=True)
     idf = IDF(inputCol="tf_vec", outputCol="features")
     feats = idf.fit(tf).transform(tf).select("doc_id", "features")
-    return cv_model.vocabulary, feats
+    return cv_model.vocabulary, feats, n_docs
 
 
 def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
@@ -732,15 +735,18 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
     exploded vector slots; ranking is two bounded per-doc windows (≤100
     terms per doc by construction); the oracle reproduces ``n_exact``
     from the fully-oracled exact pipeline and pins ``overlap_ok = 1``."""
-    vocab, feats = _tfidf_mllib_fit(spark, sf_dir)
+    vocab, feats, n_docs = _tfidf_mllib_fit(spark, sf_dir)
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
-    if not vocab:
-        # empty corpus: no fitted vocabulary to name vector slots (see the
-        # _tfidf_mllib_fit guard) — an empty top-k set keeps the agg tail
-        # below well-typed and yields (n_exact=0, overlap_ok=1), matching
-        # the oracle's empty-input row
+    # the gate is declared VACUOUS below 2 documents, mirrored in the
+    # oracle: a 1-doc corpus gives every term df = N, so MLlib's idf
+    # log((N+1)/(df+1)) is 0 for the whole vocabulary — there is no nonzero
+    # MLlib ranking to overlap with (found by the single-row corpus sweep,
+    # tools/degenerate_check.py --tiny). The empty-corpus case (no vocab)
+    # rides the same branch.
+    vacuous = (not vocab) or n_docs < 2
+    if vacuous:
         mllib = spark.createDataFrame([], "doc_id long, term string, mllib_score double")
     else:
         vocab_arr = F.array(*[F.lit(t) for t in vocab])
@@ -755,12 +761,15 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
         mllib.withColumn("rn", F.row_number().over(w_m))
         .where(F.col("rn") <= k).select("doc_id", "term")
     )
-    w_e = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    etop = (
-        tfidf(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w_e))
-        .where(F.col("rn") <= k).select("doc_id", "term")
-    )
+    if vacuous:
+        etop = spark.createDataFrame([], "doc_id long, term string")
+    else:
+        w_e = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+        etop = (
+            tfidf(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w_e))
+            .where(F.col("rn") <= k).select("doc_id", "term")
+        )
     hits = etop.join(mtop, ["doc_id", "term"], "left_semi").agg(
         F.count(F.lit(1)).alias("hits")
     )
@@ -772,6 +781,9 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
 
 
 def tfidf_mllib_topk_overlap_oracle(k: int = MLLIB_TWIN_K) -> str:
+    # the `>= 2` predicate mirrors the engine's vacuous-gate rule: below 2
+    # documents every term has df = N, MLlib's idf is identically 0, and
+    # there is no nonzero ranking to overlap — both engines emit (0, 1)
     return f"""
 WITH tfidf_full AS ({tfidf_oracle()}),
 ranked AS (
@@ -780,7 +792,7 @@ ranked AS (
   FROM tfidf_full
 )
 SELECT CAST(count(*) AS BIGINT) AS n_exact, 1 AS overlap_ok
-FROM ranked WHERE rn <= {k}
+FROM ranked WHERE rn <= {k} AND (SELECT count(*) FROM documents) >= 2
 """
 
 

@@ -43,13 +43,24 @@ SCHEMA_SRC = "/root/testdata/sf0.001"
 
 def build_empty_corpus(out_dir: str) -> None:
     """Empty twins of the driver tables: same parquet schema, zero rows.
-    Written as a directory of one empty part-file, matching the layout both
-    engines' readers expect."""
+    Written as single FILES named ``{table}.parquet`` — the driver fixture
+    layout the streaming readers' ``pathGlobFilter`` expects (a
+    part-file-in-directory layout silently gives every stream source ZERO
+    input files, which made the first sweep's stream rows vacuous)."""
     for t in TABLES:
         src = pq.read_schema(_first_part(f"{SCHEMA_SRC}/{t}.parquet"))
-        d = f"{out_dir}/{t}.parquet"
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(src.empty_table(), f"{d}/part-0.parquet")
+        pq.write_table(src.empty_table(), f"{out_dir}/{t}.parquet")
+
+
+def build_tiny_corpus(out_dir: str, n_rows: int = 1) -> None:
+    """``n_rows``-row twins (first rows of the sf0.001 fixtures) — the
+    single-row corpus exercises a different failure class than the empty
+    one: n-1 denominators, one-point variance, single-member windows, and
+    joins whose first rows don't satisfy the FK they'd need (the OUTPUT may
+    be trivially empty; the point is that both engines agree on it)."""
+    for t in TABLES:
+        tab = pq.read_table(_first_part(f"{SCHEMA_SRC}/{t}.parquet"))
+        pq.write_table(tab.slice(0, n_rows), f"{out_dir}/{t}.parquet")
 
 
 def _first_part(path: str) -> str:
@@ -98,21 +109,25 @@ def run_one(name: str, spark, con, sf_dir: str, fn, sql: str | None) -> str:
 def main() -> int:
     import __spark_entry__ as e
 
-    names = sys.argv[1:] or list(e.queries())
+    args = sys.argv[1:]
+    mode = "empty"
+    if args and args[0] in ("--empty", "--tiny"):
+        mode = args.pop(0).lstrip("-")
+    names = args or list(e.queries())
     spark = get_spark("degenerate-check")
     qs, os_ = e.queries(), e.oracle_sql()
     with tempfile.TemporaryDirectory() as d:
-        build_empty_corpus(d)
+        (build_empty_corpus if mode == "empty" else build_tiny_corpus)(d)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
             )
         verdicts = {n: run_one(n, spark, con, d, qs[n], os_.get(n)) for n in names}
     bad = {n: v for n, v in verdicts.items()
            if v in ("spark-raise", "duck-raise", "mismatch")}
     both = [n for n, v in verdicts.items() if v == "both-raise"]
-    print(f"\nempty-corpus sweep: {len(verdicts)} queries, "
+    print(f"\n{mode}-corpus sweep: {len(verdicts)} queries, "
           f"{sum(v == 'ok' for v in verdicts.values())} ok, "
           f"{len(both)} both-raise {both}, {len(bad)} DIVERGENT")
     if bad:

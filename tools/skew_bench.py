@@ -91,9 +91,52 @@ def generate_zipf_corpus(out_dir: str) -> str:
     return out_dir
 
 
+N_VECS_TARGET = 5000          # ~2.5× sf0.1 embedding count
+EMB_DIM = 64
+EMB_NOISE = 0.02              # intra-cluster noise (cos ≈ 0.999 ≫ threshold)
+
+
+def generate_zipf_embeddings(out_dir: str) -> str:
+    """Write embeddings.parquet with Zipf-distributed NEAR-IDENTICAL vector
+    clusters — the embedding-space analogue of template boilerplate: a
+    ~HEAD_CLUSTER-member cluster collapses into ONE IVF quantizer cell and
+    ONE sign-LSH bucket, the skew the chunked cell kernel and the kNN
+    bucket cap exist for (the organic fixture's near-orthogonal vectors
+    never exceed ~cap/4 per bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    vecs: list[np.ndarray] = []
+    labels: list[int] = []
+    i = 1
+    while len(vecs) < N_VECS_TARGET:
+        size = max(1, int(HEAD_CLUSTER / i ** ZIPF_S))
+        center = rng.standard_normal(EMB_DIM)
+        center /= np.linalg.norm(center)
+        for _ in range(min(size, N_VECS_TARGET - len(vecs))):
+            v = center + EMB_NOISE * rng.standard_normal(EMB_DIM)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            labels.append(i % 10)
+        i += 1
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    return out_dir
+
+
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_zipf"
     sf_dir = generate_zipf_corpus(out_dir)
+    generate_zipf_embeddings(out_dir)
 
     from pyspark.sql import functions as F
 
@@ -166,6 +209,39 @@ def main() -> int:
         "n_components": agg["n_components"],
         "max_component": agg["max_component"],
     }
+
+    # embedding skew (r9): the head cluster is ONE hot IVF cell / sign
+    # bucket. dedup_embedding_ivf has no cap — its output is genuinely
+    # quadratic in the cluster (the near-dup pairs ARE the answer) — so the
+    # measurement pins the chunked cell kernel's throughput on a >chunk-size
+    # cell (1500 > 1024: the slab path actually runs). The kNN-LSH route is
+    # capped: uncapped, every head-cluster query scores the full 1500-member
+    # bucket (~2.2M candidate dots through the per-bucket GEMM).
+    from tf_idf_using_mapreduce_spark.operators import similarity as sim
+
+    best, n_pairs = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = sim.dedup_embedding_ivf(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    results["dedup_embedding_ivf"] = {
+        "hot_cell": {"sec": round(best, 3), "pairs": n_pairs}
+    }
+
+    knn_cap = sim.KNN_LSH_BUCKET_CAP
+    for label, cap, reps in (("capped", knn_cap, 2), ("uncapped", 1 << 60, 1)):
+        sim.KNN_LSH_BUCKET_CAP = cap
+        try:
+            best, n_rows = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.time()
+                n_rows = sim.knn_label_agreement_lsh(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            results.setdefault("knn_label_agreement_lsh", {})[label] = {
+                "sec": round(best, 3), "rows": n_rows,
+            }
+        finally:
+            sim.KNN_LSH_BUCKET_CAP = knn_cap
 
     print(json.dumps({
         "metric": "skew_bench",
