@@ -89,6 +89,45 @@ def test_tiny_corpus_matches_oracle(spark, tiny_corpus, name):
     assert verdict in ("ok", "rows-only"), verdict
 
 
+@pytest.fixture(scope="module")
+def null_corpus(tmp_path_factory):
+    from tools.degenerate_check import build_null_corpus
+
+    d = str(tmp_path_factory.mktemp("null_sf"))
+    build_null_corpus(d)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    return d, con
+
+
+# the NULL-payload corpus's failure classes (tools/degenerate_check.py
+# --nulls): the shared event-time rule (window()/session_window() define no
+# window for NULL ts — oracles filter to match), NULL pivot columns, the
+# oracle's missing default-rate coalesce, pandas .sum() turning all-NULL
+# into 0.0 where SQL sums to NULL, NULL-key equi-joins dropping a
+# legitimate NULL group, and a decode UDF raising on NULL payloads
+@pytest.mark.parametrize("name", [
+    "events_hourly_tumbling",
+    "events_sliding_windows",
+    "events_session_stream",
+    "events_user_running_totals",
+    "user_event_unpivot",
+    "mixture_sample",
+    "dataset_card",
+    "multimodal_features",
+    "lineitem_price_stats_approx_err",
+])
+def test_null_corpus_matches_oracle(spark, null_corpus, name):
+    import __spark_entry__ as e
+
+    d, con = null_corpus
+    verdict = run_one(name, spark, con, d, e.queries()[name], e.oracle_sql().get(name))
+    assert verdict in ("ok", "rows-only"), verdict
+
+
 def test_empty_corpus_grand_total_values(spark, empty_corpus):
     """The standard-conformance fix, value-level: the grand-total row on an
     empty corpus is (ALL, ALL, 0, NULL) — count 0, sum NULL."""

@@ -526,11 +526,16 @@ def mixture_sample(spark: SparkSession, sf_dir: str,
     return mixture_sample_df(docs, rates=rates, default_rate=default_rate)
 
 
+# the coalesce mirrors the engine's explicit default-rate rule: a NULL or
+# non-`srcN` source keeps rate 1.0 instead of NULL-dropping (the round-4
+# advisor's typo'd-source rule — the oracle previously dropped such rows,
+# found by the NULL-payload corpus sweep)
 MIXTURE_SAMPLE_ORACLE = f"""
 SELECT doc_id, source
 FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {MIX_BUCKETS}
-      < ((CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0 * {MIX_BUCKETS}
+      < coalesce(((TRY_CAST(substr(source, 4) AS INT) % 4) + 1) / 4.0,
+                 CAST(1.0 AS DOUBLE)) * {MIX_BUCKETS}
 """
 
 

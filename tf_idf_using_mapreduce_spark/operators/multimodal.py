@@ -87,13 +87,16 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+            # a NULL payload (e.g. NULL source text) cannot be decoded:
+            # emit NULL features, keep the row — both engines' rule
+            decoded = [None if p is None else _decode_payload(bytes(p))
+                       for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "features": [d[2] for d in decoded],
+                    "width": [None if d is None else d[0] for d in decoded],
+                    "height": [None if d is None else d[1] for d in decoded],
+                    "features": [None if d is None else d[2] for d in decoded],
                 }
             )
 
@@ -115,13 +118,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_payload(bytes(p)) for p in pdf["payload"]]
+            # NULL payload → NULL features, row kept (see
+            # multimodal_feature_vectors; the oracle's CASE mirrors this)
+            decoded = [None if p is None else _decode_payload(bytes(p))
+                       for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "feat_sig": [",".join(str(u) for u in d[3]) for d in decoded],
+                    "width": [None if d is None else d[0] for d in decoded],
+                    "height": [None if d is None else d[1] for d in decoded],
+                    "feat_sig": [None if d is None
+                                 else ",".join(str(u) for u in d[3])
+                                 for d in decoded],
                 }
             )
 
@@ -133,15 +141,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB recomputes the stub decode from md5(text)'s hex digits:
 # byte i of the digest is CAST('0x' || substr(hex, 2i+1, 2) AS INTEGER), and
 # each big-endian uint32 word is an 8-hex-digit slice.
+# the CASE mirrors the engine's NULL-payload rule (NULL text → NULL
+# features, row kept): without it, concat_ws over four NULL words yields ''
+# while the arithmetic columns yield NULL — a mixed row no engine produces
 MULTIMODAL_FEATURES_ORACLE = """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
 SELECT doc_id,
        32 + CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) % 224 AS width,
        32 + CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) % 224 AS height,
-       concat_ws(',',
-                 CAST(('0x' || substr(hx, 1, 8)) AS BIGINT),
-                 CAST(('0x' || substr(hx, 9, 8)) AS BIGINT),
-                 CAST(('0x' || substr(hx, 17, 8)) AS BIGINT),
-                 CAST(('0x' || substr(hx, 25, 8)) AS BIGINT)) AS feat_sig
+       CASE WHEN hx IS NULL THEN NULL ELSE
+         concat_ws(',',
+                   CAST(('0x' || substr(hx, 1, 8)) AS BIGINT),
+                   CAST(('0x' || substr(hx, 9, 8)) AS BIGINT),
+                   CAST(('0x' || substr(hx, 17, 8)) AS BIGINT),
+                   CAST(('0x' || substr(hx, 25, 8)) AS BIGINT)) END AS feat_sig
 FROM h
 """

@@ -623,25 +623,40 @@ def lineitem_price_stats_approx_err(spark: SparkSession, sf_dir: str,
     ``n_violations = 0``."""
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     apx = lineitem_price_stats_approx(spark, sf_dir)
-    j = li.join(F.broadcast(apx), "l_returnflag")
+    # null-safe equality: a NULL l_returnflag is a legitimate GROUP on both
+    # engines (DuckDB's GROUP BY keeps it); a plain equi-join would drop it
+    # and the gate would silently skip the group (found by the --nulls sweep)
+    j = li.join(
+        F.broadcast(apx),
+        li["l_returnflag"].eqNullSafe(apx["l_returnflag"]),
+    ).drop(apx["l_returnflag"])
 
     def ranks(col: str):
-        lt = F.sum((F.col("l_extendedprice") < F.col(col)).cast("long"))
-        le = F.sum((F.col("l_extendedprice") <= F.col(col)).cast("long"))
+        # count(when): NULL prices (and a NULL sketch value) compare to
+        # NULL and must count in NEITHER side, not poison the sum
+        lt = F.count(F.when(F.col("l_extendedprice") < F.col(col), True))
+        le = F.count(F.when(F.col("l_extendedprice") <= F.col(col), True))
         return lt, le
 
     aggs = [F.count(F.lit(1)).alias("n")]
     for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
         lt, le = ranks(col)
-        aggs += [lt.alias(f"lt_{col}"), le.alias(f"le_{col}")]
+        aggs += [lt.alias(f"lt_{col}"), le.alias(f"le_{col}"),
+                 F.max(F.col(col).isNotNull()).alias(f"def_{col}")]
     stats = j.groupBy("l_returnflag").agg(*aggs)
     viol_terms = []
     for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
         too_high = F.col(f"lt_{col}") / F.col("n") > F.lit(p + rank_err_max)
         too_low = F.col(f"le_{col}") / F.col("n") < F.lit(p - rank_err_max)
-        viol_terms.append((too_high | too_low).cast("long"))
+        # a group whose values are all NULL has no percentiles (the sketch
+        # returns NULL) — no contract to violate
+        viol_terms.append(
+            F.when(F.col(f"def_{col}") & (too_high | too_low), 1).otherwise(0)
+        )
     n_viol = viol_terms[0] + viol_terms[1] + viol_terms[2]
-    return stats.select("l_returnflag", "n", n_viol.alias("n_violations"))
+    return stats.select(
+        "l_returnflag", "n", n_viol.cast("long").alias("n_violations")
+    )
 
 
 LINEITEM_PRICE_STATS_APPROX_ERR_ORACLE = """
@@ -719,7 +734,11 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the STACK/(UNPIVOT) half of the reshape pair. Zero-count cells are
     dropped so the roundtrip equals the original long-form aggregate."""
     wide = user_event_pivot(spark, sf_dir)
-    types = [c for c in wide.columns if c != "user_id"]
+    # a NULL event type cannot name a pivot column (Spark materializes it
+    # as a column literally called "null"), so the reshape pair is defined
+    # over non-NULL types on both engines (oracle: WHERE event_type IS NOT
+    # NULL) — found by the NULL-payload corpus sweep
+    types = [c for c in wide.columns if c not in ("user_id", "null")]
     stack = ", ".join(f"'{t}', {t}" for t in types)
     return (
         wide.select(
@@ -732,7 +751,7 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNPIVOT_ORACLE = """
 SELECT user_id, event_type, count(*) AS n
-FROM events GROUP BY 1, 2
+FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -782,8 +801,12 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# `ts IS NOT NULL` pins the engines' shared event-time rule: a NULL event
+# time has no window — Spark's window()/session_window()/watermark all drop
+# such rows (batch and streaming alike), so the oracle must too (found by
+# the NULL-payload corpus sweep, tools/degenerate_check.py --nulls)
 EVENTS_HOURLY_ORACLE = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """

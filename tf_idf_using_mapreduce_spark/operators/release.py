@@ -521,7 +521,11 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
             F.sum("is_dup").alias("dup_docs"),
-            F.sum((F.col("quality_label") == "keep").cast("long")).alias("quality_keep"),
+            # count(when), not sum(cast): a NULL quality_label (NULL text)
+            # must count as 0, matching the oracle's CASE…ELSE 0 — and an
+            # all-NULL group must yield 0, not a NULL sum (the round-7
+            # conditional-count discipline; found by the --nulls sweep)
+            F.count(F.when(F.col("quality_label") == "keep", True)).alias("quality_keep"),
             F.sum(F.coalesce(F.col("has_pii"), F.lit(0))).alias("pii_docs"),
             F.count_distinct("lang").alias("n_langs"),
         )

@@ -282,6 +282,23 @@ FORCE_FRESH: frozenset[str] = frozenset({
     "ann_topk_ivf_kmeans_recall",
     "ann_topk_mllib",
     "ann_topk_mllib_recall",
+    # round 9: NULL-payload corpus sweep — event-time oracles filter NULL
+    # ts (the shared rule at relational.EVENTS_HOURLY_ORACLE), the unpivot
+    # pair excludes NULL event types, mixture_sample's oracle gains the
+    # engine's default-rate coalesce, dataset_card counts quality keeps
+    # with count(when), the percentile err gate null-safe-joins its NULL
+    # group, the stateful running totals carry SQL sum semantics, and the
+    # multimodal decode keeps NULL payloads as NULL rows
+    "events_hourly_tumbling",
+    "events_hourly_streaming",
+    "events_sliding_windows",
+    "events_session_stream",
+    "events_user_running_totals",
+    "user_event_unpivot",
+    "mixture_sample",
+    "dataset_card",
+    "lineitem_price_stats_approx_err",
+    "multimodal_features",
 })
 
 

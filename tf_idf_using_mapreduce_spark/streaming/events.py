@@ -205,17 +205,28 @@ def user_running_counts_stateful(stream: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        # SQL sum semantics, tracked in state: NULL values are skipped, and
+        # a user whose every value is NULL totals NULL, not 0.0 (pandas
+        # .sum() over all-NaN is 0.0 — found by the --nulls corpus sweep);
+        # n_events stays count(*), counting NULL-value rows
+        n, total, has_val = state.get if state.exists else (0, 0.0, False)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]})
+            vals = pdf["value"].dropna()
+            if len(vals):
+                total += float(vals.sum())
+                has_val = True
+        state.update((n, total, has_val))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 6) if has_val else None],
+        })
 
     return stream.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total double, has_val boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -255,7 +266,9 @@ WITH o AS (
               WHEN CAST(ts AS TIMESTAMP)
                    > lag(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE THEN 1
               ELSE 0 END AS brk
-  FROM events
+  -- ts IS NOT NULL: session_window defines no session for a NULL event
+  -- time (the shared event-time rule, relational.EVENTS_HOURLY_ORACLE)
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (
@@ -295,6 +308,8 @@ def events_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# no ts filter: this stream runs WITHOUT a watermark (arbitrary keyed
+# state), so NULL event times flow through it — unlike the windowed twins
 USER_RUNNING_TOTALS_ORACLE = """
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY user_id
@@ -356,16 +371,18 @@ def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(ev, "1 hour", "30 minutes")
 
 
+# ts IS NOT NULL on both legs: sliding window() assigns no windows to a
+# NULL event time (the shared event-time rule, relational.EVENTS_HOURLY_ORACLE)
 EVENTS_SLIDING_ORACLE = """
 WITH both_starts AS (
   SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
          event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP),
                               TIMESTAMP '2000-01-01 00:30:00'), '%Y-%m-%d %H:%M') AS window_start,
          event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM both_starts GROUP BY 1, 2

@@ -63,6 +63,35 @@ def build_tiny_corpus(out_dir: str, n_rows: int = 1) -> None:
         pq.write_table(tab.slice(0, n_rows), f"{out_dir}/{t}.parquet")
 
 
+# heuristic: integer id/key columns stay, every payload column goes NULL
+_KEY_SUFFIXES = ("_id", "key", "_idx")
+
+
+def build_null_corpus(out_dir: str, n_rows: int = 8) -> None:
+    """``n_rows``-row twins with every NON-KEY column nulled — the third
+    failure class: NULL payloads reaching tokenizers, date formatting,
+    arithmetic, and aggregation, where the two engines' NULL-propagation
+    rules must agree row for row (e.g. Spark and DuckDB both tokenize NULL
+    text to NULL, but a downstream ``size()``/``len()`` disagreement or a
+    NULL-group split would silently diverge). Ids keep their fixture values
+    so joins and groupings still fire."""
+    for t in TABLES:
+        tab = pq.read_table(_first_part(f"{SCHEMA_SRC}/{t}.parquet")).slice(0, n_rows)
+        arrays, fields = [], []
+        for field in tab.schema:
+            col = tab.column(field.name)
+            keep = field.name.endswith(_KEY_SUFFIXES)
+            if keep:
+                arrays.append(col)
+                fields.append(field)
+            else:
+                nullable = pa.field(field.name, field.type, nullable=True)
+                arrays.append(pa.nulls(len(tab), field.type))
+                fields.append(nullable)
+        pq.write_table(pa.table(arrays, schema=pa.schema(fields)),
+                       f"{out_dir}/{t}.parquet")
+
+
 def _first_part(path: str) -> str:
     if os.path.isfile(path):
         return path
@@ -111,13 +140,15 @@ def main() -> int:
 
     args = sys.argv[1:]
     mode = "empty"
-    if args and args[0] in ("--empty", "--tiny"):
+    if args and args[0] in ("--empty", "--tiny", "--nulls"):
         mode = args.pop(0).lstrip("-")
     names = args or list(e.queries())
     spark = get_spark("degenerate-check")
     qs, os_ = e.queries(), e.oracle_sql()
+    builders = {"empty": build_empty_corpus, "tiny": build_tiny_corpus,
+                "nulls": build_null_corpus}
     with tempfile.TemporaryDirectory() as d:
-        (build_empty_corpus if mode == "empty" else build_tiny_corpus)(d)
+        builders[mode](d)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(
