@@ -195,16 +195,18 @@ def test_rrf_fusion_topk_oracle_parity(spark):
 
 def test_rrf_fusion_semantics(spark):
     """Fusion is pure rank arithmetic: every returned rrf_score must equal
-    1/(60+rank_bm25) + 1/(60+rank_vsm) with absent legs contributing 0; the
-    per-leg ranks must agree with the standalone BM25 ranking; and the two
-    legs must genuinely DISAGREE somewhere (else the fusion is degenerate —
-    the VSM leg has no length normalization, so long/short docs reorder)."""
+    Σ 1/(60+rank) over the three legs with absent legs contributing 0; the
+    bm25 leg's ranks must agree with the standalone BM25 ranking; the
+    semantic leg must rank the pinned query vector's own document first
+    (cos=1 with itself); and the legs must genuinely DISAGREE somewhere
+    (else the fusion is degenerate)."""
     from tf_idf_using_mapreduce_spark.operators.tfidf import RRF_K, bm25_topk, rrf_fusion_topk
 
     rows = rrf_fusion_topk(spark, SF_SMOKE).collect()
     assert len(rows) == 20
     for r in rows:
-        want = sum(1.0 / (RRF_K + rk) for rk in (r["rank_bm25"], r["rank_vsm"])
+        want = sum(1.0 / (RRF_K + rk)
+                   for rk in (r["rank_bm25"], r["rank_vsm"], r["rank_sem"])
                    if rk is not None)
         assert r["rrf_score"] == pytest.approx(want, abs=1e-12)
     # leg consistency: the fused frame's bm25 ranks = the standalone top-k order
@@ -212,7 +214,11 @@ def test_rrf_fusion_semantics(spark):
     for r in rows:
         if r["rank_bm25"] is not None and r["rank_bm25"] <= 20:
             assert bm25_rank[r["doc_id"]] == r["rank_bm25"], r
+    sem = {r["doc_id"]: r["rank_sem"] for r in rows if r["rank_sem"] is not None}
+    if 0 in sem:  # vec 0 IS the query: cosine 1.0 ranks it first
+        assert sem[0] == 1
     assert any(r["rank_bm25"] != r["rank_vsm"] for r in rows)
+    assert any(r["rank_sem"] != r["rank_bm25"] for r in rows)
 
 
 def test_rrf_fusion_single_corpus_pass(spark):
@@ -224,7 +230,8 @@ def test_rrf_fusion_single_corpus_pass(spark):
 
     df = rrf_fusion_topk(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("TakeOrderedAndProject") == 3, plan[:2000]
+    # two lexical legs + the semantic leg + the final fusion top-k
+    assert plan.count("TakeOrderedAndProject") == 4, plan[:2000]
     assert "CartesianProduct" not in plan
     # the RDD identity only prints in formatted mode
     fmt = spark._jvm.PythonSQLUtils.explainString(

@@ -443,31 +443,45 @@ LIMIT {k}
 
 RRF_K = 60       # Cormack et al.'s constant; dampens the head rank's weight
 RRF_POOL = 100   # per-ranker candidate list depth fused (standard truncation)
+RRF_SEM_QUERY_VEC = 0  # the pinned semantic query: vec 0's embedding
+RRF_COS_ROUND = 4      # the engine-wide cosine rounding (similarity.py)
 
 
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """(doc_id, rank_bm25, rank_vsm, rrf_score): top-k documents for the
-    pinned query by RECIPROCAL-RANK FUSION of two lexical rankers — BM25
-    (saturated, length-normalized) and classic TF-IDF VSM
-    (``tf · ln(N/(df+1))``, the reference's scoring family, IDF.java:164) —
-    ``rrf = Σ_legs 1/(RRF_K + rank)`` over each leg's top-``RRF_POOL``.
-    This is the standard hybrid-search primitive (fuse lexical + semantic
-    or any heterogeneous rankers WITHOUT score calibration: only ranks
-    cross the fusion boundary, so the legs' score scales never meet).
+    """(doc_id, rank_bm25, rank_vsm, rank_sem, rrf_score): top-k documents
+    for the pinned query by RECIPROCAL-RANK FUSION of three heterogeneous
+    rankers — BM25 (saturated, length-normalized lexical), classic TF-IDF
+    VSM (``tf · ln(N/(df+1))``, the reference's scoring family,
+    IDF.java:164), and a SEMANTIC leg (cosine of each document's embedding,
+    joined on ``vec_id = doc_id``, to the pinned query vector
+    ``RRF_SEM_QUERY_VEC``) — ``rrf = Σ_legs 1/(RRF_K + rank)`` over each
+    leg's top-``RRF_POOL``. This is the standard hybrid-search primitive:
+    only integer RANKS cross the fusion boundary, so BM25's unbounded
+    scores and the cosine's [-1, 1] never meet and no score calibration is
+    needed — which is also why cross-engine float hashing is structurally
+    safe here. Documents without an embedding (partial coverage is the
+    norm) simply have no semantic rank; they can still fuse in through the
+    lexical legs.
 
-    Float parity: each leg's score is the bm25_topk fixed-order pivot sum
-    (never SUM() over per-term rows), rounded at SCORE_ROUND BEFORE
-    ranking; the fusion itself is a two-term fixed-order sum of exact
-    reciprocals (CAST(1 AS DOUBLE)/(K + rank)), identical IEEE ops on both
-    engines. Ranks are integers — order-proof.
+    Float parity: each lexical leg's score is the bm25_topk fixed-order
+    pivot sum (never SUM() over per-term rows), rounded at SCORE_ROUND
+    BEFORE ranking; the semantic leg rounds its cosine at RRF_COS_ROUND
+    before ranking (the engine-wide convention); the fusion itself is a
+    fixed-order sum of exact reciprocals (CAST(1 AS DOUBLE)/(K + rank)),
+    identical IEEE ops on both engines. Ranks are integers — order-proof.
 
-    Scale shape: ONE tokenize pass feeds both legs (the shared per-doc
-    pivot frame is lineage-cut, so the two ranking reads don't re-scan the
-    corpus); each leg's top-``RRF_POOL`` is a TakeOrderedAndProject
-    (per-partition heads, no global sort), the rank window then runs on a
-    ≤ RRF_POOL-row frame (the engine's post-limit window convention), and
-    the fusion is a full outer join of two ≤ RRF_POOL-row frames — every
-    post-scan stage is O(RRF_POOL), independent of corpus size."""
+    Scale shape: ONE tokenize pass feeds both lexical legs (the shared
+    per-doc pivot frame is lineage-cut, so the two ranking reads don't
+    re-scan the corpus); the semantic leg is one embeddings scan against a
+    broadcast 64-float literal (driver-side collect of ONE row — the same
+    metadata-scale coordinator state as the IVF anchors); each leg's
+    top-``RRF_POOL`` is a TakeOrderedAndProject (per-partition heads, no
+    global sort), the rank window then runs on a ≤ RRF_POOL-row frame (the
+    engine's post-limit window convention), and the fusion is full outer
+    joins of ≤ RRF_POOL-row frames — every post-scan stage is O(RRF_POOL),
+    independent of corpus size. At 100 TB the semantic leg's exact scan
+    hands off to the ANN routes (``similarity.py``) with this as their
+    oracle, like every exact twin in this engine."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = spread(docs).select(
         "doc_id", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)").alias("t")
@@ -520,15 +534,55 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
 
     rb = leg("sb").withColumnRenamed("rank", "rank_bm25")
     rv = leg("sv").withColumnRenamed("rank", "rank_vsm")
+    rs = _rrf_semantic_leg(spark, sf_dir).withColumnRenamed("rank", "rank_sem")
     contrib = "coalesce(CAST(1 AS DOUBLE) / ({K} + {r}), CAST(0 AS DOUBLE))"
-    fused = rb.join(rv, "doc_id", "full_outer").select(
-        "doc_id", "rank_bm25", "rank_vsm",
-        F.expr(
-            contrib.format(K=RRF_K, r="rank_bm25")
-            + " + " + contrib.format(K=RRF_K, r="rank_vsm")
-        ).alias("rrf_score"),
+    fused = (
+        rb.join(rv, "doc_id", "full_outer")
+        .join(rs, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rank_bm25", "rank_vsm", "rank_sem",
+            F.expr(
+                contrib.format(K=RRF_K, r="rank_bm25")
+                + " + " + contrib.format(K=RRF_K, r="rank_vsm")
+                + " + " + contrib.format(K=RRF_K, r="rank_sem")
+            ).alias("rrf_score"),
+        )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+
+
+def _rrf_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank): embedding-cosine ranking against the pinned query
+    vector — the semantic third of :func:`rrf_fusion_topk`. The query
+    vector collects driver-side (ONE row, coordinator state like the IVF
+    anchors) and rides the scan as a literal; zero-norm vectors are
+    excluded per the engine-wide cosine convention."""
+    from pyspark.sql import Window
+
+    from tf_idf_using_mapreduce_spark.functions.vectors import (
+        CAST_DOUBLE,
+        spark_dot,
+        spark_norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(CAST_DOUBLE.format(v="embedding")).alias("v")
+    ).withColumn("nrm", F.expr(spark_norm("v"))).where(F.col("nrm") > 0)
+    q = e.where(F.col("vec_id") == RRF_SEM_QUERY_VEC).select("v", "nrm").collect()
+    if not q:
+        # no query vector (empty corpus / NULL payloads): no semantic leg
+        return spark.createDataFrame([], "doc_id long, rank bigint")
+    qv = F.lit([float(x) for x in q[0]["v"]])
+    qn = F.lit(float(q[0]["nrm"]))
+    cos = F.round(
+        F.expr(spark_dot("v", "_qv")) / (F.col("nrm") * F.col("_qn")), RRF_COS_ROUND
+    )
+    scored = e.withColumn("_qv", qv).withColumn("_qn", qn).select(
+        F.col("vec_id").alias("doc_id"), cos.alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(RRF_POOL)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", F.row_number().over(w).cast("bigint").alias("rank"))
 
 
 def _vsm_score_expr(tf: str, df: str, n: str) -> str:
@@ -540,6 +594,12 @@ def _vsm_score_expr(tf: str, df: str, n: str) -> str:
 
 
 def rrf_fusion_topk_oracle(k: int = 20) -> str:
+    from tf_idf_using_mapreduce_spark.functions.vectors import (
+        duck_cast_double,
+        duck_dot,
+        duck_norm,
+    )
+
     terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
     cells = ",\n".join(
         f"       coalesce(max(CASE WHEN w = '{t}' THEN {c} END), CAST(0 AS DOUBLE)) AS {c}_{t}"
@@ -571,17 +631,31 @@ per_doc AS (
 {cells}
   FROM scored GROUP BY doc_id
 ),
+e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+             {duck_norm(duck_cast_double('embedding'))} AS nrm
+      FROM embeddings WHERE nrm > 0),
+qvec AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = {RRF_SEM_QUERY_VEC}),
 topb AS (SELECT doc_id, round({tb}, {SCORE_ROUND}) AS score FROM per_doc
          ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}),
 topv AS (SELECT doc_id, round({tv}, {SCORE_ROUND}) AS score FROM per_doc
          ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}),
+tops AS (SELECT e.vec_id AS doc_id,
+                round({duck_dot('e.v', 'q.qv')} / (e.nrm * q.qn), {RRF_COS_ROUND}) AS score
+         FROM e, qvec q
+         ORDER BY score DESC, doc_id ASC LIMIT {RRF_POOL}),
 rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
               AS rank_bm25 FROM topb),
 rv AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
-              AS rank_vsm FROM topv)
-SELECT coalesce(rb.doc_id, rv.doc_id) AS doc_id, rank_bm25, rank_vsm,
-       {contrib.format(r='rank_bm25')} + {contrib.format(r='rank_vsm')} AS rrf_score
-FROM rb FULL OUTER JOIN rv ON rb.doc_id = rv.doc_id
+              AS rank_vsm FROM topv),
+rs AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+              AS rank_sem FROM tops)
+SELECT coalesce(rb.doc_id, rv.doc_id, rs.doc_id) AS doc_id,
+       rank_bm25, rank_vsm, rank_sem,
+       {contrib.format(r='rank_bm25')} + {contrib.format(r='rank_vsm')}
+         + {contrib.format(r='rank_sem')} AS rrf_score
+FROM rb
+FULL OUTER JOIN rv ON rb.doc_id = rv.doc_id
+FULL OUTER JOIN rs ON coalesce(rb.doc_id, rv.doc_id) = rs.doc_id
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {k}
 """

@@ -196,8 +196,9 @@ register("bigram_pmi", _tfidf.bigram_pmi, _tfidf.bigram_pmi_oracle())
 # round 8 (late): BM25 ad-hoc retrieval — the modern form of the reference's
 # TF-IDF ranking; fixed-order pivot sum for cross-engine float determinism
 register("bm25_topk", _tfidf.bm25_topk, _tfidf.bm25_topk_oracle())
-# round 9: hybrid retrieval — reciprocal-rank fusion of the BM25 and classic
-# VSM rankers (only ranks cross the fusion boundary, no score calibration)
+# round 9: hybrid retrieval — reciprocal-rank fusion of BM25, classic VSM,
+# and an embedding-cosine semantic leg (only ranks cross the fusion
+# boundary, no score calibration)
 register("rrf_fusion_topk", _tfidf.rrf_fusion_topk, _tfidf.rrf_fusion_topk_oracle())
 register("pos_counts", _pos.pos_counts, _pos.pos_counts_oracle())
 register("pos_counts_stripes", _pos.pos_counts_stripes, _pos.pos_counts_oracle())
