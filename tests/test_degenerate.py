@@ -89,6 +89,20 @@ def test_tiny_corpus_matches_oracle(spark, tiny_corpus, name):
     assert verdict in ("ok", "rows-only"), verdict
 
 
+def test_kmeans_degenerate_quantizer_not_cached(spark, tiny_corpus):
+    """The n < 2 fallback in ann_topk_ivf_kmeans must NOT populate the
+    (sf_dir, 'kmeans') anchor cache: the key carries no row count, so a
+    cached degenerate quantizer would survive the empty-then-populated dir
+    transition for the whole session (ADVICE r9)."""
+    from tf_idf_using_mapreduce_spark.operators import similarity as sim
+
+    d, _ = tiny_corpus
+    key = (d, "kmeans")
+    sim._ANCHOR_CACHE.pop(key, None)
+    sim.ann_topk_ivf_kmeans(spark, d).collect()
+    assert key not in sim._ANCHOR_CACHE
+
+
 @pytest.fixture(scope="module")
 def null_corpus(tmp_path_factory):
     from tools.degenerate_check import build_null_corpus

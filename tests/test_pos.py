@@ -43,6 +43,10 @@ UNICODE_TOKENS = [
     "É", "Ж", "é", "ж", "ß", "ẞ", "٣", "²", "½", "İ", "ı", "Σ", "σ",
     "Ç", "ç", "Ø", "ø", "Ⅷ", "〇", "一", "ア", "한", "🙂", "…", "—",
     "«", "»", "Ｅ", "ｅ", "Ⓐ",
+    # the EMPTY token: SQL's translate('', digits, '') = '' would claim
+    # NUM/CD without the length > 0 guard while the Python twins fall
+    # through to PUNCT/SYM (ADVICE r9) — pinned here across all 3 engines
+    "",
 ]
 MIXED_TOKENS = list(CASES) + ["THE", "Is", "OF", "Tables", "GLASS", "To", "WILL"]
 

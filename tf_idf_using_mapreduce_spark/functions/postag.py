@@ -67,8 +67,14 @@ def pos_tag_sql(token_col: str = "token") -> str:
     """Portable SQL CASE mapping a token to its UD tag."""
     t = f"lower({token_col})"
     whens: list[str] = []
-    # NUM: all digits (translate deletes digits; empty remainder = numeric)
-    whens.append(f"WHEN translate({token_col}, '0123456789', '') = '' THEN 'NUM'")
+    # NUM: all digits (translate deletes digits; empty remainder = numeric).
+    # length > 0 guard: translate('') = '' would tag the EMPTY token NUM
+    # while the Python twin's `token and all(...)` falls through to PUNCT —
+    # the tokenizer never emits '' but the twins must agree on it (ADVICE r9)
+    whens.append(
+        f"WHEN length({token_col}) > 0 AND "
+        f"translate({token_col}, '0123456789', '') = '' THEN 'NUM'"
+    )
     # PUNCT: no ASCII letters and no digits — tested on the ORIGINAL token
     # with both-case letters, never on lower(). Two parity breaks hide in a
     # lower()-based test: (a) the round-8 advisor's case — comparing
@@ -170,7 +176,11 @@ def penn_tag_sql(token_col: str = "token") -> str:
     """Portable SQL CASE mapping a token to its Penn-style tag."""
     t = f"lower({token_col})"
     whens: list[str] = []
-    whens.append(f"WHEN translate({token_col}, '0123456789', '') = '' THEN 'CD'")
+    # length > 0: same empty-token guard as pos_tag_sql's NUM rule
+    whens.append(
+        f"WHEN length({token_col}) > 0 AND "
+        f"translate({token_col}, '0123456789', '') = '' THEN 'CD'"
+    )
     # tested on the ORIGINAL token with both-case letters — same
     # lower()-free parity rule as pos_tag_sql (see the comment there); the
     # inner CASE's ','/'.'/':' literals are pure ASCII, so testing them

@@ -638,7 +638,14 @@ def lineitem_price_stats_approx_err(spark: SparkSession, sf_dir: str,
         le = F.count(F.when(F.col("l_extendedprice") <= F.col(col), True))
         return lt, le
 
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # rank-ratio denominator: the GK sketch's rank contract is over NON-NULL
+    # values only, so the ratios must divide by count(l_extendedprice) — with
+    # mixed NULL density (>~1% NULLs in a group) a count(*) denominator
+    # deflates le/n below p − ε and reports phantom violations the oracle's
+    # pinned 0 would flag (ADVICE r9). The OUTPUT column ``n`` stays
+    # count(*) to match the oracle's group sizes.
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.count("l_extendedprice").alias("n_vals")]
     for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
         lt, le = ranks(col)
         aggs += [lt.alias(f"lt_{col}"), le.alias(f"le_{col}"),
@@ -646,8 +653,8 @@ def lineitem_price_stats_approx_err(spark: SparkSession, sf_dir: str,
     stats = j.groupBy("l_returnflag").agg(*aggs)
     viol_terms = []
     for col, p in (("p25", 0.25), ("median", 0.5), ("p95", 0.95)):
-        too_high = F.col(f"lt_{col}") / F.col("n") > F.lit(p + rank_err_max)
-        too_low = F.col(f"le_{col}") / F.col("n") < F.lit(p - rank_err_max)
+        too_high = F.col(f"lt_{col}") / F.col("n_vals") > F.lit(p + rank_err_max)
+        too_low = F.col(f"le_{col}") / F.col("n_vals") < F.lit(p - rank_err_max)
         # a group whose values are all NULL has no percentiles (the sketch
         # returns NULL) — no contract to violate
         viol_terms.append(
@@ -734,11 +741,12 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the STACK/(UNPIVOT) half of the reshape pair. Zero-count cells are
     dropped so the roundtrip equals the original long-form aggregate."""
     wide = user_event_pivot(spark, sf_dir)
-    # a NULL event type cannot name a pivot column (Spark materializes it
-    # as a column literally called "null"), so the reshape pair is defined
-    # over non-NULL types on both engines (oracle: WHERE event_type IS NOT
-    # NULL) — found by the NULL-payload corpus sweep
-    types = [c for c in wide.columns if c not in ("user_id", "null")]
+    # the pivot uses an explicit value list (_EVENT_TYPES), so NULL event
+    # types never materialize a column — select by membership in that list
+    # rather than excluding names, so a future genuine type would round-trip
+    # instead of being silently dropped (ADVICE r9); the oracle's
+    # WHERE event_type IS NOT NULL gives parity for NULL types
+    types = [c for c in wide.columns if c in _EVENT_TYPES]
     stack = ", ".join(f"'{t}', {t}" for t in types)
     return (
         wide.select(

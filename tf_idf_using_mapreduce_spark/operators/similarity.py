@@ -433,7 +433,14 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
         # to the corpus size so a tiny corpus trains a small quantizer.
         n = feats.count()
         if n < 2:
-            _anchor_cache_put(key, _anchor_rows(spark, sf_dir, N_CENTROIDS))
+            # do NOT cache the degenerate fallback: the cache key is only
+            # (sf_dir, 'kmeans'), so caching here would pin the md5 anchors
+            # for the whole session even after an empty/1-row dir gains
+            # data — exactly the empty-then-populated transition the guard
+            # targets (ADVICE r9). Return uncached; re-probe next call.
+            return _ivf_search(
+                _vectors(spark, sf_dir), _anchor_rows(spark, sf_dir, N_CENTROIDS), k
+            )
         else:
             model = KMeans(k=min(N_CENTROIDS, n), seed=42,
                            featuresCol="features").fit(feats)
