@@ -382,3 +382,117 @@ def test_dedup_apply_quality_keeps_null_doc_id_rows_on_both_engines(spark):
     assert kept == {2}
     assert spdf["doc_id"].isna().sum() == 1
     assert canon_rows(spdf) == canon_rows(ddf)
+
+
+# --------------------------------------------------------------------------- #
+# cross-document repeated-substring dedup (ExactSubstr) — round 10
+# --------------------------------------------------------------------------- #
+
+def test_dedup_substring_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_substring")
+
+
+def _az(n: int) -> str:
+    """Deterministic 3-letter [a-z]+ encoding (tokenizer-safe: no digits)."""
+    return chr(97 + n // 676) + chr(97 + (n // 26) % 26) + chr(97 + n % 26)
+
+
+LICENSE = ("permission is hereby granted free of charge to any person "
+           "obtaining a copy of this software and associated documentation "
+           "files").split()  # 21 tokens — above SUBSTR_MIN_SPAN
+
+
+def test_dedup_substring_finds_injected_boilerplate(spark):
+    """The defining ExactSubstr scenario: the SAME license paragraph pasted
+    into 50 otherwise-unrelated documents. Every pair must surface a span of
+    exactly the paragraph's length at the exact injection offsets — while
+    doc-level trigram Jaccard stays far below the near-dup bar (the modality
+    doc-level dedup structurally misses). Also cross-checks the DuckDB
+    oracle on the injected corpus, not just the driver fixtures."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    n_docs, fill = 50, 120
+    rows, offsets = [], {}
+    for d in range(n_docs):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(fill)]
+        off = 5 + (d % 7)
+        offsets[d] = off
+        toks = filler[:off] + LICENSE + filler[off:]
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        spans = dedup.dedup_substring(spark, tmp).toPandas()
+        jac = dedup.dedup_ngram_jaccard(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_substring"]).df()
+        con.close()
+    # every pair found, one maximal span each, exactly the license length
+    assert len(spans) == n_docs * (n_docs - 1) // 2
+    assert set(spans["span_len"]) == {len(LICENSE)}
+    got = {(r.doc_a, r.doc_b): (r.pos_a, r.pos_b) for r in spans.itertuples()}
+    for (a, b), (pa_, pb_) in got.items():
+        assert (pa_, pb_) == (offsets[a], offsets[b])
+    # doc-level near-dup machinery does NOT see these pairs
+    assert len(jac) == 0
+    # engine == oracle on the injected corpus
+    assert canon_rows(spans) == canon_rows(ora)
+
+
+def test_dedup_substring_hot_fingerprint_cap_mirrored(spark):
+    """Boilerplate shared by MORE documents than SUBSTR_FP_CAP is amputated
+    before pair expansion — candidate mass Σ min(bucket, cap)², never
+    all-pairs — and the oracle mirrors the cap, so both engines agree on the
+    capped (here: empty) output."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    n_docs = dedup.SUBSTR_FP_CAP + 11
+    rows = []
+    for d in range(n_docs):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(40)]
+        rows.append((d, " ".join(filler[:4] + LICENSE + filler[4:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        spans = dedup.dedup_substring(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_substring"]).df()
+        con.close()
+    assert len(spans) == 0
+    assert canon_rows(spans) == canon_rows(ora)
+
+
+def test_dedup_substring_dup_doc_rows_no_self_pairs(spark):
+    """Duplicate doc_id ROWS (legal dirty data, pinned corpus-wide by the
+    fuzz suite) must not produce (x, x) self-pairs or double-counted spans:
+    the expansion array_distincts (doc_id, pos) entries and requires
+    doc_b > doc_a strictly."""
+    import tempfile
+
+    text = " ".join(LICENSE + [f"f{_az(99)}q{_az(i)}" for i in range(30)])
+    other = " ".join([f"f{_az(7)}q{_az(i)}" for i in range(10)] + LICENSE)
+    rows = [(1, text), (1, text), (2, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        spans = dedup.dedup_substring(spark, tmp).toPandas()
+    assert set(zip(spans["doc_a"], spans["doc_b"])) == {(1, 2)}
+    assert len(spans) == 1 and spans["span_len"].iloc[0] == len(LICENSE)

@@ -36,6 +36,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from tf_idf_using_mapreduce_spark.functions.hashing import (
     SIMHASH_BITS,
@@ -453,6 +454,162 @@ scored AS (
 SELECT doc_a, doc_b, round(common * 1.0 / mn, 6) AS containment
 FROM scored
 WHERE common * 1.0 / mn >= {CONTAIN_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# cross-document repeated-substring dedup (ExactSubstr modality)
+# --------------------------------------------------------------------------- #
+
+# width (tokens) of the positional shingle window: a shared span of L >= W
+# tokens produces L - W + 1 CONSECUTIVE matching positions on one diagonal,
+# which the gaps-and-islands merge below reassembles into the maximal span
+SUBSTR_W = 8
+# minimum reported span length in tokens — the ExactSubstr removal threshold
+# (Lee et al. 2022 use 50 BPE tokens at web scale; 16 keeps the fixture
+# corpus's planted near-dup runs observable at every driver SF)
+SUBSTR_MIN_SPAN = 16
+# positional-fingerprint bucket cap, same role (and value) as FP_DOC_CAP:
+# a window shared by more occurrences than this is degenerate content whose
+# O(size^2) pair expansion is amputated BEFORE it happens — mirrored in the
+# oracle so capped output stays hash-checked. Deliberately above the
+# 50-document boilerplate-injection fixture (tests/test_dedup.py) so the
+# license-paragraph case is FOUND, not dropped.
+SUBSTR_FP_CAP = 64
+
+
+def _positional_shingles(spark: SparkSession, sf_dir: str, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, pos, fp) — md5 fingerprint of the ``w``-token window starting
+    at 0-based token position ``pos``, one row per position (stride 1). The
+    POSITIONAL twin of :func:`_shingle_sets`: here position survives because
+    span reassembly needs it. Same two Catalyst disciplines as `_shingles`:
+    the window expression is TOTAL (CASE-guarded — subexpression elimination
+    can hoist it past the length filter), and the lineage is CUT before the
+    explode (Generate over the inlined tokenize→transform chain re-evaluates
+    the whole array per OUTPUT row, the measured ~40× pathology)."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    ps = (
+        f"CASE WHEN size(t) >= {w} THEN "
+        f"transform(sequence(0, size(t) - {w}), "
+        f"i -> named_struct('pos', i, 'fp', md5(concat_ws(' ', slice(t, i + 1, {w}))))) "
+        f"ELSE array() END"
+    )
+    return (
+        toks.where(F.size("t") >= w)
+        .select("doc_id", F.expr(ps).alias("ps"))
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("ps").alias("p"))
+        .select("doc_id", "p.pos", "p.fp")
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, pos_a, pos_b, span_len): maximal token spans of length
+    ≥ ``SUBSTR_MIN_SPAN`` repeated VERBATIM across two documents — the
+    ExactSubstr dedup modality (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): licenses, boilerplate, and quoted
+    passages BELOW document granularity, which doc-level Jaccard/containment
+    structurally miss (a 20-token license in two 1000-token docs is ~2%
+    Jaccard). The reference implementation builds a distributed suffix
+    array; that is a sequential-scan design — the Spark-first shape is
+    fingerprint bucketing plus a window-function span merge:
+
+    1. positional ``SUBSTR_W``-token shingle fingerprints (map-only,
+       :func:`_positional_shingles`);
+    2. hot-fingerprint amputation (> ``SUBSTR_FP_CAP`` occurrences) BEFORE
+       any bucket materializes (:func:`_drop_hot_buckets` — broadcast
+       anti-join, no second shuffle of the entry rows);
+    3. per-fingerprint pair expansion as a pure array expression (the LSH
+       bucket convention: array_distinct ⇒ no self-pairs under duplicate
+       doc rows, sorted ⇒ doc_a < doc_b by construction, candidate mass
+       Σ min(bucket, cap)² — never all-pairs, never a driver-side suffix
+       array);
+    4. gaps-and-islands span merge: matched positions sharing a diagonal
+       (pos_a − pos_b) with consecutive pos_a collapse via the classic
+       ``pos_a − row_number()`` run id; a shared L-token span is exactly
+       L − W + 1 consecutive matches, so ``span_len = max(pos_a) −
+       min(pos_a) + W``. The window partition key (doc_a, doc_b, diag) is
+       fine-grained — per-partition size is bounded by document length,
+       not corpus size.
+
+    Spans a hot fingerprint interrupts split into sub-spans (the documented
+    cap trade-off, identical in the oracle so output stays hash-checked).
+    """
+    ex = _positional_shingles(spark, sf_dir)
+    ex = _drop_hot_buckets(ex, ["fp"], SUBSTR_FP_CAP)
+    pairs_expr = (
+        "flatten(transform(es, (x, i) -> "
+        "transform(filter(slice(es, i + 2, size(es)), y -> y.doc_id > x.doc_id), "
+        "y -> named_struct('doc_a', x.doc_id, 'pos_a', x.pos, "
+        "'doc_b', y.doc_id, 'pos_b', y.pos))))"
+    )
+    m = (
+        ex.groupBy("fp")
+        .agg(F.expr("array_sort(array_distinct(collect_list(struct(doc_id, pos))))").alias("es"))
+        .where(F.size("es") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.pos_a", "p.doc_b", "p.pos_b")
+    )
+    w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        m.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("run", F.col("pos_a") - F.row_number().over(w_run))
+        .groupBy("doc_a", "doc_b", "diag", "run")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(SUBSTR_W)).alias("span_len"),
+        )
+    )
+    return (
+        spans.where(F.col("span_len") >= SUBSTR_MIN_SPAN)
+        .select(
+            "doc_a", "doc_b",
+            F.col("pos_a").cast("int").alias("pos_a"),
+            F.col("pos_b").cast("int").alias("pos_b"),
+            F.col("span_len").cast("int").alias("span_len"),
+        )
+    )
+
+
+# DuckDB twin: zipped unnests give the positional entries; the cap counts
+# RAW entries (duplicate doc rows included) exactly like _drop_hot_buckets,
+# the match set is DISTINCT pairs exactly like the array_distinct expansion
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+  FROM documents
+),
+ex0 AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - {SUBSTR_W} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, len(t) - {SUBSTR_W} + 2),
+                i -> md5(array_to_string(t[i:i + {SUBSTR_W} - 1], ' ')))) AS fp
+  FROM toks WHERE len(t) >= {SUBSTR_W}
+),
+hot AS (SELECT fp FROM ex0 GROUP BY fp HAVING count(*) > {SUBSTR_FP_CAP}),
+ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = ex0.fp)),
+m AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS run
+  FROM m
+)
+SELECT doc_a, doc_b,
+       CAST(min(pos_a) AS INTEGER) AS pos_a,
+       CAST(min(pos_b) AS INTEGER) AS pos_b,
+       CAST(max(pos_a) - min(pos_a) + {SUBSTR_W} AS INTEGER) AS span_len
+FROM runs
+GROUP BY doc_a, doc_b, diag, run
+HAVING max(pos_a) - min(pos_a) + {SUBSTR_W} >= {SUBSTR_MIN_SPAN}
 """
 
 

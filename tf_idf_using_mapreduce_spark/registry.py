@@ -243,6 +243,9 @@ register("script_mix", _ts.script_mix, _ts.script_mix_oracle())
 register("dedup_containment", _dedup.dedup_containment, _dedup.dedup_containment_oracle())
 register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_oracle())
 
+# -- round 10: cross-document repeated-substring dedup (ExactSubstr) --------
+register("dedup_substring", _dedup.dedup_substring, _dedup.DEDUP_SUBSTRING_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
@@ -251,55 +254,21 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 9: punctuation gate in both rule taggers rewritten lower()-free
-    # on the ORIGINAL token (round-8 advisor: non-ASCII case-changing
-    # letters diverged py vs SQL; also kills the 'İ' engine-lower() hazard
-    # and the Unicode-digit NUM divergence in pos_tag_py). pos_counts runs
-    # the SQL on both engines, the stripes/penn twins run py-vs-SQL.
+    # round 10 (r9 ADVICE): GK rank-ratio denominator is now the non-NULL
+    # price count (count(*) deflated the ratios under mixed NULL density)
+    "lineitem_price_stats_approx_err",
+    # round 10 (r9 ADVICE): stack columns selected by _EVENT_TYPES
+    # membership instead of excluding a column named 'null'
+    "user_event_unpivot",
+    # round 10 (r9 ADVICE): NUM/CD digit rules gated with length > 0 so the
+    # empty token tags PUNCT/SYM like the Python twins (SQL text changed;
+    # pos_counts runs the SQL on both engines, stripes/penn run py-vs-SQL)
     "pos_counts",
     "pos_counts_stripes",
     "pos_counts_penn",
-    # round 9: empty-corpus guard mirrored into the oracle's in-SQL width
-    # law (greatest(count(*), 2) — oracle text changed)
-    "knn_label_agreement_lsh",
-    # round 9: per-cell pair kernel row-chunked like the allpairs tiles
-    # (identical per-element math; expression changed)
-    "dedup_embedding_ivf",
-    # round 9: empty-corpus parity sweep (tools/degenerate_check.py) —
-    # SQL-standard grand-total row on empty input via a driver-side
-    # limit-1 probe (non-empty plan untouched)
-    "rollup_customer_geo",
-    "cube_lineitem_flags",
-    "grouping_sets_revenue",
-    "events_time_rollup",
-    # round 9: sum(cast) → count(when) so zero terms yields 0, not NULL
-    "doc_freq_approx_err",
-    # round 9: MLlib fit / quantizer guards for empty input (values at
-    # driver SFs unchanged; expression changed)
-    "tfidf_mllib",
-    "tfidf_mllib_topk_overlap",
-    "ann_topk_ivf",
+    # round 10 (r9 ADVICE): the n < 2 quantizer fallback no longer poisons
+    # the per-dir anchor cache (code path changed)
     "ann_topk_ivf_kmeans",
-    "ann_topk_ivf_kmeans_recall",
-    "ann_topk_mllib",
-    "ann_topk_mllib_recall",
-    # round 9: NULL-payload corpus sweep — event-time oracles filter NULL
-    # ts (the shared rule at relational.EVENTS_HOURLY_ORACLE), the unpivot
-    # pair excludes NULL event types, mixture_sample's oracle gains the
-    # engine's default-rate coalesce, dataset_card counts quality keeps
-    # with count(when), the percentile err gate null-safe-joins its NULL
-    # group, the stateful running totals carry SQL sum semantics, and the
-    # multimodal decode keeps NULL payloads as NULL rows
-    "events_hourly_tumbling",
-    "events_hourly_streaming",
-    "events_sliding_windows",
-    "events_session_stream",
-    "events_user_running_totals",
-    "user_event_unpivot",
-    "mixture_sample",
-    "dataset_card",
-    "lineitem_price_stats_approx_err",
-    "multimodal_features",
 })
 
 

@@ -190,6 +190,30 @@ def main() -> int:
         finally:
             dd.FP_DOC_CAP = fp_cap
 
+    # ExactSubstr (r10): the head template cluster's members share nearly
+    # every W-token window, so each shared window fingerprint is a
+    # ~HEAD_CLUSTER-member hot bucket (~DOC_WORDS − W + 1 of them from the
+    # head template alone). Same Σ min(bucket, cap)² amputation as
+    # containment, but the uncapped blowup ALSO floods the gaps-and-islands
+    # window stage with ~cluster²/2 × positions match rows — the measured
+    # span mass is the honest cost: those 1500² near-dup spans are exactly
+    # what doc-level dedup (run FIRST in a real pipeline) should have
+    # collapsed before ExactSubstr runs.
+    sub_cap = dd.SUBSTR_FP_CAP
+    for label, cap, reps in (("capped", sub_cap, 2), ("uncapped", 1 << 60, 1)):
+        dd.SUBSTR_FP_CAP = cap
+        try:
+            best, n_spans = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.time()
+                n_spans = dd.dedup_substring(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            results.setdefault("dedup_substring", {})[label] = {
+                "sec": round(best, 3), "spans": n_spans,
+            }
+        finally:
+            dd.SUBSTR_FP_CAP = sub_cap
+
     # two-star CC over the capped LSH pair graph: the head cluster is a
     # near-clique component ~HEAD_CLUSTER wide; rounds must stay ~log2 of
     # the component size, nowhere near its diameter-free member count
