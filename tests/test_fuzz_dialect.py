@@ -577,3 +577,69 @@ def test_dialect_parity_on_adversarial_tpch(spark, fuzz_tpch_dir, name):
     assert s_norm == d_norm, f"{name}: first diff " + str(
         next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
     )
+
+
+# --------------------------------------------------------------------------- #
+# tri-modal fuzz (r10): rrf_fusion_topk consumes BOTH fuzz surfaces at once —
+# the adversarial documents feed its two lexical legs (BM25 + VSM share one
+# tokenize pass) and the adversarial embeddings feed the semantic leg (which
+# joins documents on vec_id = doc_id; partial coverage is in-contract).
+# Two corpora: one where the pinned query vector (vec 0) is the ZERO vector
+# (zero norm ⇒ the semantic leg is declared empty and fusion degrades to
+# bi-modal), one where vec 0 is a real direction with exact-duplicate and
+# negated companions (cos = 1 ties broken by doc_id, cos = −1 tail).
+# --------------------------------------------------------------------------- #
+
+def _write_trimodal_dir(tmp_path_factory, spark, name: str, query_vec_real: bool) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp(name))
+    spark.createDataFrame(
+        _fuzz_rows(),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = _fuzz_embeddings()
+    if query_vec_real:
+        # vec 0 becomes the duplicated gaussian direction: the semantic leg
+        # then sees cos=1 exact ties (rows 2,3), a cos=-1 negation (row 4),
+        # and the zero vector excluded by the norm guard (swapped to id 2)
+        rows[0], rows[2] = (0, rows[2][1], rows[2][2]), (2, rows[0][1], rows[0][2])
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(table, f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.mark.parametrize("query_vec_real", [False, True],
+                         ids=["zero_query_vec", "real_query_vec"])
+def test_rrf_fusion_dialect_parity_trimodal_fuzz(spark, tmp_path_factory, query_vec_real):
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    d = _write_trimodal_dir(tmp_path_factory, spark,
+                            f"fuzz_rrf_{int(query_vec_real)}", query_vec_real)
+    spdf = e.queries()["rrf_fusion_topk"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    ddf = con.sql(e.oracle_sql()["rrf_fusion_topk"]).df()
+    con.close()
+    assert len(spdf) > 0, "fusion must rank documents on the fuzz corpus"
+    if query_vec_real:
+        assert spdf["rank_sem"].notna().any(), "semantic leg must contribute"
+    else:
+        assert spdf["rank_sem"].isna().all(), "zero-norm query vec ⇒ no semantic leg"
+    assert sorted(spdf.columns) == sorted(ddf.columns)
+    assert len(spdf) == len(ddf), f"{len(spdf)} != {len(ddf)}"
+    s_norm, d_norm = canon_rows(spdf), canon_rows(ddf)
+    assert s_norm == d_norm, "first diff " + str(
+        next(((a, b) for a, b in zip(s_norm, d_norm) if a != b), None)
+    )
