@@ -496,3 +496,56 @@ def test_dedup_substring_dup_doc_rows_no_self_pairs(spark):
         spans = dedup.dedup_substring(spark, tmp).toPandas()
     assert set(zip(spans["doc_a"], spans["doc_b"])) == {(1, 2)}
     assert len(spans) == 1 and spans["span_len"].iloc[0] == len(LICENSE)
+
+
+def test_dedup_substring_apply_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_substring_apply")
+
+
+def test_dedup_substring_apply_keeps_one_occurrence(spark):
+    """Apply semantics on the 50-doc license corpus: doc 0 (the smallest id)
+    keeps the paragraph, every other doc loses exactly its |LICENSE| tokens
+    and nothing else — and a RE-RUN of dedup_substring on the cleaned corpus
+    finds nothing (the fixpoint property: one occurrence left ⇒ no
+    cross-document repeats)."""
+    import tempfile
+
+    n_docs, fill = 50, 120
+    rows = []
+    for d in range(n_docs):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(fill)]
+        off = 5 + (d % 7)
+        rows.append((d, " ".join(filler[:off] + LICENSE + filler[off:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        out = dedup.dedup_substring_apply(spark, tmp).toPandas()
+        out = out.set_index("doc_id").sort_index()
+        assert int(out.loc[0, "n_removed"]) == 0
+        assert (out.drop(index=0)["n_removed"] == len(LICENSE)).all()
+        assert (out["n_tokens"] == fill + len(LICENSE)).all()
+        # cleaned doc 0 still contains the license tokens; others don't
+        assert " ".join(LICENSE) in out.loc[0, "clean_text"]
+        assert not out.drop(index=0)["clean_text"].str.contains(LICENSE[0]).any()
+        # fixpoint: re-run span detection over the cleaned corpus
+        clean = spark.createDataFrame(
+            [(int(i), r.clean_text) for i, r in out.iterrows()],
+            "doc_id long, text string",
+        )
+        with tempfile.TemporaryDirectory() as tmp2:
+            clean.coalesce(1).write.parquet(f"{tmp2}/documents.parquet")
+            assert dedup.dedup_substring(spark, tmp2).count() == 0
+
+
+def test_dedup_substring_apply_conserves_tokens(spark):
+    """Cross-check on the driver fixture: n_tokens - n_removed equals the
+    cleaned stream's token count for every doc, and removal only ever
+    happens on docs that appear as doc_b in the span table."""
+    spans = dedup.dedup_substring(spark, SF_SMOKE).toPandas()
+    out = dedup.dedup_substring_apply(spark, SF_SMOKE).toPandas()
+    out = out[out["n_tokens"].notna()]
+    n_clean = out["clean_text"].map(lambda s: len(s.split()) if s else 0)
+    assert ((out["n_tokens"] - out["n_removed"]) == n_clean).all()
+    removed_docs = set(out.loc[out["n_removed"] > 0, "doc_id"])
+    assert removed_docs <= set(spans["doc_b"])
+    assert len(removed_docs) > 0, "driver fixture has spans to excise"

@@ -613,6 +613,96 @@ HAVING max(pos_a) - min(pos_a) + {SUBSTR_W} >= {SUBSTR_MIN_SPAN}
 """
 
 
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): the corpus with every
+    cross-document repeated span EXCISED from all but its lowest-doc_id
+    occurrence — the APPLY step of :func:`dedup_substring`, completing the
+    modality the way ``dedup_apply`` completes cluster dedup (ExactSubstr's
+    published treatment: keep one occurrence, cut the rest). Every span row
+    has ``doc_a < doc_b``, so removing the ``doc_b`` side of every span
+    leaves exactly the smallest-id occurrence of each repeated region
+    standing; a doc that is ``doc_b`` in one pair and ``doc_a`` in another
+    still loses its span (the pair with the smaller partner decides).
+
+    Shape: the span table (output-sized, tiny relative to the corpus)
+    aggregates to one (doc_id, spans array) row per AFFECTED doc, then
+    LEFT-joins the corpus; excision is a single higher-order ``filter``
+    over the token array (JVM-side, no explode, no per-token shuffle) —
+    per-row work bounded by doc length × spans-per-doc, and spans-per-doc
+    is bounded by the pair cap. ``clean_text`` is the cleaned TOKEN stream
+    (the dedup tier's lower-cased token space, same convention as the
+    shingle ops); NULL text stays NULL."""
+    spans = dedup_substring(spark, sf_dir)
+    rem = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.struct(F.col("pos_b").alias("start"), F.col("span_len").alias("len")).alias("s"),
+        )
+        # distinct: the same (start, len) region repeats once per partner
+        # doc (50-doc boilerplate ⇒ up to 49 identical structs) — the
+        # position union is unchanged, the array stays small
+        .groupBy("doc_id")
+        .agg(F.expr("array_distinct(collect_list(s))").alias("sp"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    # 0-based lambda index i matches the span positions; unaffected docs
+    # (sp IS NULL after the left join) keep their token stream whole
+    kept = (
+        "CASE WHEN text IS NULL THEN NULL "
+        "WHEN sp IS NULL THEN t "
+        "ELSE filter(t, (x, i) -> "
+        "size(filter(sp, s -> i >= s.start AND i < s.start + s.len)) = 0) END"
+    )
+    return (
+        toks.join(rem, "doc_id", "left")
+        .withColumn("kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN text IS NULL THEN NULL ELSE size(t) END")
+            .cast("int").alias("n_tokens"),
+            F.expr("CASE WHEN text IS NULL THEN NULL ELSE size(t) - size(kept) END")
+            .cast("int").alias("n_removed"),
+            F.expr("CASE WHEN text IS NULL THEN NULL ELSE concat_ws(' ', kept) END")
+            .alias("clean_text"),
+        )
+    )
+
+
+# DuckDB twin: same list-lambda excision (1-based lambda index, hence i − 1);
+# the spans CTE is the full dedup_substring oracle verbatim
+DEDUP_SUBSTRING_APPLY_ORACLE = f"""
+WITH spans AS ({DEDUP_SUBSTRING_ORACLE}),
+rem AS (
+  -- row-level DISTINCT, not list_distinct: DuckDB's list_distinct maps to
+  -- a histogram build that is unimplemented for STRUCT elements
+  SELECT doc_id, list({{'start': pos_b, 'len': span_len}}) AS sp
+  FROM (SELECT DISTINCT doc_b AS doc_id, pos_b, span_len FROM spans) dd
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+  FROM documents
+)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL ELSE CAST(len(t.t) AS INTEGER) END AS n_tokens,
+       CASE WHEN t.text IS NULL THEN NULL
+            WHEN r.sp IS NULL THEN 0
+            ELSE CAST(len(t.t) - len(list_filter(t.t, (x, i) ->
+                 len(list_filter(r.sp, s -> i - 1 >= s.start AND i - 1 < s.start + s.len)) = 0))
+                 AS INTEGER) END AS n_removed,
+       -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+       -- concat_ws on an empty array is '' (all-tokens-removed exact dups
+       -- and zero-token docs hit this)
+       CASE WHEN t.text IS NULL THEN NULL
+            WHEN r.sp IS NULL THEN coalesce(array_to_string(t.t, ' '), '')
+            ELSE coalesce(array_to_string(list_filter(t.t, (x, i) ->
+                 len(list_filter(r.sp, s -> i - 1 >= s.start AND i - 1 < s.start + s.len)) = 0), ' '), '')
+       END AS clean_text
+FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # incremental dedup (daily-ingest batch vs persisted index)
 # --------------------------------------------------------------------------- #

@@ -245,6 +245,8 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 
 # -- round 10: cross-document repeated-substring dedup (ExactSubstr) --------
 register("dedup_substring", _dedup.dedup_substring, _dedup.DEDUP_SUBSTRING_ORACLE)
+register("dedup_substring_apply", _dedup.dedup_substring_apply,
+         _dedup.DEDUP_SUBSTRING_APPLY_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
