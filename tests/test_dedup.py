@@ -549,3 +549,26 @@ def test_dedup_substring_apply_conserves_tokens(spark):
     removed_docs = set(out.loc[out["n_removed"] > 0, "doc_id"])
     assert removed_docs <= set(spans["doc_b"])
     assert len(removed_docs) > 0, "driver fixture has spans to excise"
+
+
+def test_boilerplate_census_surfaces_what_the_cap_drops(spark):
+    """The observability contract: windows hot enough for dedup_substring's
+    cap to amputate (> SUBSTR_FP_CAP occurrences) must surface IN the
+    census, ranked first, with their text — no silent caps."""
+    import tempfile
+
+    n_docs = dedup.SUBSTR_FP_CAP + 11
+    rows = []
+    for d in range(n_docs):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(40)]
+        rows.append((d, " ".join(filler[:4] + LICENSE + filler[4:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        # the span table is empty (cap) ...
+        assert dedup.dedup_substring(spark, tmp).count() == 0
+        # ... but the census reports the license windows at full strength
+        top = dedup.substring_boilerplate_census(spark, tmp).toPandas()
+    assert (top["n_docs"] == n_docs).all()
+    assert len(top) == len(LICENSE) - dedup.SUBSTR_W + 1
+    assert all(w in " ".join(LICENSE) for w in top["span_text"])

@@ -80,6 +80,12 @@ FUZZ_QUERIES = [
     # round-8 BM25 retrieval — its pinned query terms are in the fuzz vocab
     # and one edge text, so postings are non-empty AND some docs miss terms
     "bm25_topk",
+    # round-10 ExactSubstr family: positional shingles, span islands, the
+    # token-excision apply, and the boilerplate census over the same
+    # adversarial texts (empty/NULL/punct-only/repetition edge shapes)
+    "dedup_substring",
+    "dedup_substring_apply",
+    "substring_boilerplate_census",
 ]
 
 _EDGE_TEXTS = [

@@ -703,6 +703,72 @@ FROM toks t LEFT JOIN rem r ON r.doc_id = t.doc_id
 """
 
 
+BOILERPLATE_TOP_K = 50
+BOILERPLATE_MIN_DOCS = 2
+
+
+def substring_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(span_text, n_docs, n_occurrences): the top-``BOILERPLATE_TOP_K``
+    most-shared ``SUBSTR_W``-token windows by distinct-document count — the
+    "what IS our boilerplate" report a curation pipeline runs before tuning
+    removal thresholds, and the OBSERVABILITY twin of
+    :func:`dedup_substring`'s hot-fingerprint cap (the engine-wide "no
+    silent caps" rule): windows shared by more than ``SUBSTR_FP_CAP``
+    occurrences are exactly what the cap amputates from pair generation, and
+    they surface HERE, ranked, with their text. Deliberately uncapped —
+    a census is one two-level aggregate (map-side partials on
+    (window, doc) then (window)), never a pair expansion, so hot windows
+    cost O(occurrences), not O(occurrences²); the result is top-k bounded
+    (TakeOrderedAndProject). Ordering is total (ties broken by the window
+    text itself), so the k-th boundary is deterministic on both engines."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    toks = docs.withColumn("t", F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    ws = (
+        f"CASE WHEN size(t) >= {SUBSTR_W} THEN "
+        f"transform(sequence(0, size(t) - {SUBSTR_W}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {SUBSTR_W}))) "
+        f"ELSE array() END"
+    )
+    ex = (
+        toks.where(F.size("t") >= SUBSTR_W)
+        .select("doc_id", F.expr(ws).alias("ws"))
+        .localCheckpoint(eager=False)  # Generate-over-inlined-chain pathology
+        .select("doc_id", F.explode("ws").alias("span_text"))
+    )
+    return (
+        ex.groupBy("span_text")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_text"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
+SUBSTRING_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {SUBSTR_W} + 2),
+                i -> array_to_string(t[i:i + {SUBSTR_W} - 1], ' '))) AS span_text
+  FROM toks WHERE len(t) >= {SUBSTR_W}
+)
+SELECT span_text, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM ex GROUP BY span_text
+HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span_text ASC
+LIMIT {BOILERPLATE_TOP_K}
+"""
+
+
 # --------------------------------------------------------------------------- #
 # incremental dedup (daily-ingest batch vs persisted index)
 # --------------------------------------------------------------------------- #

@@ -247,6 +247,8 @@ register("release_manifest", _rel6.release_manifest, _rel6.release_manifest_orac
 register("dedup_substring", _dedup.dedup_substring, _dedup.DEDUP_SUBSTRING_ORACLE)
 register("dedup_substring_apply", _dedup.dedup_substring_apply,
          _dedup.DEDUP_SUBSTRING_APPLY_ORACLE)
+register("substring_boilerplate_census", _dedup.substring_boilerplate_census,
+         _dedup.SUBSTRING_BOILERPLATE_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
