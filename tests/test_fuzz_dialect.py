@@ -322,6 +322,9 @@ EMBED_FUZZ_QUERIES = [
     # round-7: per-label snapshot centroid drift (one-sided labels,
     # zero-norm exclusions, duplicate vectors)
     "embedding_centroid_shift",
+    # round-10 SemDeDup: exact-duplicate groups (cos=1 election ties),
+    # negated pairs, zero-norm exclusions through quantizer + CC + election
+    "semdedup_prune",
 ]
 
 

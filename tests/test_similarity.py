@@ -393,3 +393,73 @@ def test_knn_lsh_derived_bits_widen_with_corpus(spark):
 
     assert_query_matches_oracle(spark, "knn_label_agreement_lsh",
                                 sf_dir="/root/testdata/sf0.1")
+
+
+# --------------------------------------------------------------------------- #
+# SemDeDup (round 10)
+# --------------------------------------------------------------------------- #
+
+def test_semdedup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "semdedup_prune")
+
+
+def test_semdedup_election_contract(spark):
+    """Exactly one kept member per duplicate group; the survivor is the
+    group's minimum-affinity member (ties to min vec_id); singleton groups
+    keep themselves; the duplicate groups are exactly the connected
+    components of the IVF-blocked near-dup pair graph."""
+    from tf_idf_using_mapreduce_spark.operators import dedup as dd
+
+    rows = sim.semdedup_prune(spark, SF_SMOKE).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r["kept"]]
+        assert len(kept) == 1, (cid, members)
+        min_aff = min(r["aff"] for r in members)
+        winner = min(r["vec_id"] for r in members if r["aff"] == min_aff)
+        assert kept[0]["vec_id"] == winner
+        assert cid == min(r["vec_id"] for r in members)
+    # cross-check group structure against the registered edge operator
+    edges = sim.dedup_embedding_ivf(spark, SF_SMOKE)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components_twostar(
+            edges, src="vec_a", dst="vec_b").collect()
+    }
+    for r in rows:
+        assert r["cluster_id"] == labels.get(r["vec_id"], r["vec_id"])
+
+
+def test_semdedup_prunes_planted_duplicate_group(spark):
+    """Three near-identical vectors (one exact dup + one tiny perturbation)
+    plus orthogonal singletons: the trio forms ONE group with exactly one
+    survivor — the least-prototypical member by centroid affinity."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=32)
+    vecs = [base, base, base + 1e-4 * rng.normal(size=32)]
+    for a in range(5):
+        v = np.zeros(32)
+        v[a] = 1.0
+        vecs.append(v)
+    table = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(table, f"{d}/embeddings.parquet")
+        rows = sim.semdedup_prune(spark, d).collect()
+    trio = [r for r in rows if r["vec_id"] in (0, 1, 2)]
+    assert {r["cluster_id"] for r in trio} == {0}
+    assert sum(r["kept"] for r in trio) == 1
+    others = [r for r in rows if r["vec_id"] > 2]
+    assert all(r["kept"] for r in others)

@@ -451,6 +451,46 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """(vec_id, v, nrm, cid, aff) — every non-zero-norm vector with its
+    md5-anchor IVF cell and the (rounded) cosine affinity to that cell's
+    anchor; ``None`` on an empty corpus. Shared quantizer-projection stage
+    of :func:`dedup_embedding_ivf` and :func:`semdedup_prune`.
+
+    Arrow-batched numpy (the operators/allpairs.py convention), because
+    Spark's higher-order array exprs (transform/aggregate/zip_with) never
+    enter codegen — they evaluate INTERPRETED, and at the derived cell
+    count that O(k·dim) per-row assignment was 17 s of a 22 s sf1.0
+    wall-clock; as V @ A.T the same math is ~1 s. Assignment parity with
+    the oracles: affinity rounded at COS_ROUND BEFORE the argmax, ties to
+    the lowest cid (np.argmax returns the first maximum; anchor columns
+    are cid-ordered)."""
+    import numpy as np
+
+    n_cells = _derive_ivf_cells(load_table(spark, sf_dir, "embeddings").count())
+    anchors = _anchor_rows(spark, sf_dir, n_cells)
+    if not anchors:
+        return None
+    vecs = _vectors(spark, sf_dir)
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            C = np.round((V @ A.T) / np.outer(nrm, an), COS_ROUND)
+            pdf = pdf.assign(cid=C.argmax(axis=1).astype("int32"),
+                             aff=C.max(axis=1))
+            yield pdf[["vec_id", "v", "nrm", "cid", "aff"]]
+
+    return vecs.mapInPandas(
+        assign, "vec_id long, v array<double>, nrm double, cid int, aff double"
+    )
+
+
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_a, vec_b, cos_sim): embedding near-dup pairs ≥ the cosine
     threshold, blocked by IVF CELL — the real quantizer-slot blocking that
@@ -465,43 +505,20 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall loss = near-dup pairs straddling a cell boundary; standard
     mitigation is multi-assignment, same idea as nprobe. Oracled
     end-to-end because the md5-anchor quantizer is SQL-expressible."""
-    n_cells = _derive_ivf_cells(load_table(spark, sf_dir, "embeddings").count())
-    anchors = _anchor_rows(spark, sf_dir, n_cells)
-    vecs = _vectors(spark, sf_dir)
-    if not anchors:
+    corpus = _ivf_assign(spark, sf_dir)
+    if corpus is None:
         # empty corpus ⇒ no cells to block into (np.stack([]) cannot build
         # the anchor matrix); empty-in → empty-out like the oracle
         return spark.createDataFrame([], "vec_a long, vec_b long, cos_sim double")
+    return _ivf_cell_pairs(corpus)
 
-    # BOTH dense stages run as Arrow-batched numpy (the operators/
-    # allpairs.py convention), because Spark's higher-order array exprs
-    # (transform/aggregate/zip_with) never enter codegen — they evaluate
-    # INTERPRETED, and at the derived cell count that O(k·dim) per row
-    # assignment was 17 s of the 22 s sf1.0 wall-clock (and the join-form
-    # pair stage re-evaluated its interpreted dot per candidate pair,
-    # 22 s more). As V @ A.T / per-cell V @ V.T tiles the same math is
-    # ~1 s. Assignment parity with the oracle: affinity rounded at
-    # COS_ROUND BEFORE the argmax, ties to the lowest cid (np.argmax
-    # returns the first maximum; anchor columns are cid-ordered).
+
+def _ivf_cell_pairs(corpus: DataFrame) -> DataFrame:
+    """Per-IVF-cell near-dup pair generation over an :func:`_ivf_assign`
+    frame (shared by :func:`dedup_embedding_ivf` and
+    :func:`semdedup_prune`)."""
     import numpy as np
     import pandas as pd
-
-    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
-    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-            C = np.round((V @ A.T) / np.outer(nrm, an), COS_ROUND)
-            pdf = pdf.assign(cid=C.argmax(axis=1).astype("int32"))
-            yield pdf[["vec_id", "v", "nrm", "cid"]]
-
-    corpus = vecs.mapInPandas(
-        assign, "vec_id long, v array<double>, nrm double, cid int"
-    )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
@@ -571,6 +588,113 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) AS cos_sim
 FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
 WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, aff, kept): SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method) as a relational composition: cluster
+    the embedding space with the coarse quantizer, form semantic-duplicate
+    groups INSIDE each cluster from pairs above the cosine threshold, and
+    per group keep exactly ONE example — the member with the LOWEST
+    affinity to its cluster centroid (the paper's low-similarity-to-
+    centroid choice: prefer the group's least prototypical member), ties
+    to the lowest vec_id. Composed entirely from registered machinery:
+    :func:`_ivf_assign` (cells + centroid affinities, ONE Arrow pass,
+    shared via a lineage cut), :func:`_ivf_cell_pairs` (Σ cell² bounded
+    pair mass), two-star connected components (O(log n) rounds), and the
+    ``dedup_apply_quality`` election pattern (two bounded aggregations —
+    min-affinity per group, min-id among the minimum; the affinity is
+    rounded at COS_ROUND in BOTH engines, so the equality join is
+    engine-safe, never a raw-float comparison). Vectors in no duplicate
+    group are their own singleton (kept = true); zero-norm vectors are
+    outside cosine space per the engine-wide convention. Fully oracled:
+    the same quantizer/CC/election as one DuckDB recursive CTE."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    corpus = _ivf_assign(spark, sf_dir)
+    if corpus is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id long, aff double, kept boolean"
+        )
+    # two consumers (edges + election) — cut once, compute the Arrow
+    # assignment pass once
+    corpus = corpus.localCheckpoint(eager=False)
+    edges = _ivf_cell_pairs(corpus)
+    labels = connected_components_twostar(
+        edges, src="vec_a", dst="vec_b"
+    ).withColumnRenamed("doc_id", "vec_id")
+    full = (
+        corpus.select("vec_id", "aff")
+        .join(labels, "vec_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+    )
+    min_aff = full.groupBy("cluster_id").agg(F.min("aff").alias("m"))
+    keeper = (
+        full.join(min_aff, "cluster_id")
+        .where(F.col("aff") == F.col("m"))
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("keep_id"))
+    )
+    return full.join(keeper, "cluster_id").select(
+        "vec_id", "cluster_id", "aff",
+        (F.col("vec_id") == F.col("keep_id")).alias("kept"),
+    )
+
+
+SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+             {duck_norm(duck_cast_double('embedding'))} AS nrm
+      FROM embeddings WHERE nrm > 0),
+params AS (SELECT greatest({N_CENTROIDS}, least({IVF_DEDUP_MAX_CELLS},
+                  CAST(ceil(CAST(count(*) AS DOUBLE) / {IVF_TARGET_CELL}) AS INT))) AS nc
+           FROM embeddings),
+anchors AS (
+  SELECT cid, av, an FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           v AS av, nrm AS an
+    FROM e
+  ) ranked, params p
+  WHERE ranked.cid < p.nc
+),
+affinity AS (
+  SELECT e.vec_id, e.v, e.nrm, a.cid,
+         round({duck_dot('e.v', 'a.av')} / (e.nrm * a.an), {COS_ROUND}) AS aff,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({duck_dot('e.v', 'a.av')} / (e.nrm * a.an), {COS_ROUND}) DESC,
+                    a.cid ASC) AS rn
+  FROM e CROSS JOIN anchors a
+),
+assigned AS (SELECT vec_id, v, nrm, cid, aff FROM affinity WHERE rn = 1),
+prs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP_COS_THRESHOLD}
+),
+edges AS (SELECT va AS a, vb AS b FROM prs UNION SELECT vb AS a, va AS b FROM prs),
+reach AS (
+  SELECT a, a AS r FROM (SELECT DISTINCT a FROM edges) nodes0
+  UNION
+  SELECT ed.a, reach.r FROM edges ed JOIN reach ON reach.a = ed.b
+),
+labels AS (SELECT a AS vec_id, min(r) AS cluster_id FROM reach GROUP BY a),
+full_t AS (
+  SELECT s.vec_id, coalesce(l.cluster_id, s.vec_id) AS cluster_id, s.aff
+  FROM assigned s LEFT JOIN labels l ON l.vec_id = s.vec_id
+),
+m AS (SELECT cluster_id, min(aff) AS ma FROM full_t GROUP BY cluster_id),
+keeper AS (
+  SELECT f.cluster_id, min(f.vec_id) AS keep_id
+  FROM full_t f JOIN m ON m.cluster_id = f.cluster_id AND f.aff = m.ma
+  GROUP BY f.cluster_id
+)
+SELECT f.vec_id, f.cluster_id, f.aff, (f.vec_id = k.keep_id) AS kept
+FROM full_t f JOIN keeper k ON k.cluster_id = f.cluster_id
 """
 
 

@@ -249,6 +249,7 @@ register("dedup_substring_apply", _dedup.dedup_substring_apply,
          _dedup.DEDUP_SUBSTRING_APPLY_ORACLE)
 register("substring_boilerplate_census", _dedup.substring_boilerplate_census,
          _dedup.SUBSTRING_BOILERPLATE_ORACLE)
+register("semdedup_prune", _sim.semdedup_prune, _sim.SEMDEDUP_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
@@ -273,6 +274,10 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # round 10 (r9 ADVICE): the n < 2 quantizer fallback no longer poisons
     # the per-dir anchor cache (code path changed)
     "ann_topk_ivf_kmeans",
+    # round 10: the assignment stage was extracted into _ivf_assign (shared
+    # with semdedup_prune) and its Arrow pass now also emits the centroid
+    # affinity column — same per-element math, expression changed
+    "dedup_embedding_ivf",
 })
 
 
