@@ -3,6 +3,8 @@ determinism (SURVEY.md §7.2 #7)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_SMOKE, assert_query_matches_oracle
@@ -572,3 +574,66 @@ def test_boilerplate_census_surfaces_what_the_cap_drops(spark):
     assert (top["n_docs"] == n_docs).all()
     assert len(top) == len(LICENSE) - dedup.SUBSTR_W + 1
     assert all(w in " ".join(LICENSE) for w in top["span_text"])
+
+
+def test_dedup_substring_plan_shape(spark):
+    """Scale-posture plan asserts: the hot-fingerprint drop is a BROADCAST
+    anti-join (never a second full shuffle of the entry rows), and the span
+    merge never degenerates to a cartesian/nested-loop pair stage."""
+    p = dedup.dedup_substring(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p[:3000]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_substring_apply_plan_broadcasts_span_table(spark):
+    """The apply step's contract at 100 TB: the corpus is read ONCE and
+    never shuffled — the (output-sized) span table broadcasts into it; no
+    sort-merge/shuffled-hash join may appear on the corpus path."""
+    p = dedup.dedup_substring_apply(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftOuter", p), p[:3000]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+
+
+def test_dedup_substring_incremental_split_contract(spark):
+    """Every reported span pairs a NEW doc (id % 5 == 0) with an INDEXED doc
+    (id % 5 != 0) — never batch-internal, never index-internal."""
+    rows = dedup.dedup_substring_incremental(spark, SF_SMOKE).collect()
+    assert rows, "driver fixture should have cross-split spans"
+    assert all(r["doc_id"] % dedup.INCR_BATCH_MOD == 0 for r in rows)
+    assert all(r["dup_of"] % dedup.INCR_BATCH_MOD != 0 for r in rows)
+    # span geometry invariants
+    assert all(r["span_len"] >= dedup.SUBSTR_MIN_SPAN for r in rows)
+
+
+def test_dedup_substring_incremental_plan_broadcasts_batch_side(spark):
+    """Daily-cost contract: the small batch side broadcasts into the
+    write-once fingerprint index — the index is never reshuffled (no
+    sort-merge or shuffled-hash join anywhere in the plan)."""
+    p = dedup.dedup_substring_incremental(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+
+
+def test_dedup_substring_incremental_finds_cross_split_boilerplate(spark):
+    """License pasted into 10 docs: the two batch docs (ids 0, 5) each match
+    all eight indexed docs at the exact offsets and the full paragraph
+    length; index-index and batch-batch occurrences are not reported."""
+    import tempfile
+
+    rows_in, offsets = [], {}
+    for d in range(10):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(80)]
+        off = 3 + (d % 5)
+        offsets[d] = off
+        rows_in.append((d, " ".join(filler[:off] + LICENSE + filler[off:])))
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = dedup.dedup_substring_incremental(spark, tmp).toPandas()
+    new_ids = {0, 5}
+    idx_ids = {1, 2, 3, 4, 6, 7, 8, 9}
+    assert set(zip(got["doc_id"], got["dup_of"])) == {
+        (n, i) for n in new_ids for i in idx_ids
+    }
+    assert (got["span_len"] == len(LICENSE)).all()
+    for r in got.itertuples():
+        assert (r.pos_new, r.pos_idx) == (offsets[r.doc_id], offsets[r.dup_of])

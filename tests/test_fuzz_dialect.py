@@ -85,6 +85,7 @@ FUZZ_QUERIES = [
     # adversarial texts (empty/NULL/punct-only/repetition edge shapes)
     "dedup_substring",
     "dedup_substring_apply",
+    "dedup_substring_incremental",
     "substring_boilerplate_census",
 ]
 

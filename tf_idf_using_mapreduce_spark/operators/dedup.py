@@ -778,6 +778,95 @@ LIMIT {BOILERPLATE_TOP_K}
 INCR_BATCH_MOD = 5
 
 
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, pos_new, pos_idx, span_len): INCREMENTAL ExactSubstr
+    — repeated spans between each newly arriving document (fixture split:
+    ``doc_id % INCR_BATCH_MOD = 0``, same contract as
+    :func:`dedup_incremental`) and the already-indexed corpus. The daily
+    steady state to :func:`dedup_substring`'s backfill: in production the
+    positional fingerprint table is write-once state (appended after each
+    batch, rebuilt never); a daily batch computes fingerprints for ITS
+    documents only (map-only, linear in batch size) and probes the index
+    with a BROADCAST of the small batch side — the index is never
+    reshuffled, so daily cost is O(batch + matches), not O(corpus).
+    Hot index fingerprints (> ``SUBSTR_FP_CAP`` entries — boilerplate,
+    non-discriminative) are excluded exactly as in the batch operator,
+    mirrored in the oracle; the span merge is the same gaps-and-islands
+    window over (new doc, index doc, diagonal). Batch-internal pairs are
+    out of contract (the batch's own backfill run handles those)."""
+    ex = _positional_shingles(spark, sf_dir)
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = _drop_hot_buckets(ex.where(~is_new), ["fp"], SUBSTR_FP_CAP)
+    new = ex.where(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("pos").alias("pos_new"), "fp"
+    )
+    m = (
+        idx.join(F.broadcast(new), "fp")
+        .select(
+            F.col("new_id").alias("doc_id"), "pos_new",
+            F.col("doc_id").alias("dup_of"), F.col("pos").alias("pos_idx"),
+        )
+        .distinct()
+    )
+    w_run = Window.partitionBy("doc_id", "dup_of", "diag").orderBy("pos_new")
+    spans = (
+        m.withColumn("diag", F.col("pos_new") - F.col("pos_idx"))
+        .withColumn("run", F.col("pos_new") - F.row_number().over(w_run))
+        .groupBy("doc_id", "dup_of", "diag", "run")
+        .agg(
+            F.min("pos_new").alias("pos_new"),
+            F.min("pos_idx").alias("pos_idx"),
+            (F.max("pos_new") - F.min("pos_new") + F.lit(SUBSTR_W)).alias("span_len"),
+        )
+    )
+    return (
+        spans.where(F.col("span_len") >= SUBSTR_MIN_SPAN)
+        .select(
+            "doc_id", "dup_of",
+            F.col("pos_new").cast("int").alias("pos_new"),
+            F.col("pos_idx").cast("int").alias("pos_idx"),
+            F.col("span_len").cast("int").alias("span_len"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_INCR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z]+)', 1) AS t
+  FROM documents
+),
+ex0 AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - {SUBSTR_W} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, len(t) - {SUBSTR_W} + 2),
+                i -> md5(array_to_string(t[i:i + {SUBSTR_W} - 1], ' ')))) AS fp
+  FROM toks WHERE len(t) >= {SUBSTR_W}
+),
+idx0 AS (SELECT * FROM ex0 WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+hot AS (SELECT fp FROM idx0 GROUP BY fp HAVING count(*) > {SUBSTR_FP_CAP}),
+idx AS (SELECT * FROM idx0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = idx0.fp)),
+newb AS (SELECT * FROM ex0 WHERE doc_id % {INCR_BATCH_MOD} = 0),
+m AS (
+  SELECT DISTINCT n.doc_id AS doc_id, n.pos AS pos_new,
+                  i.doc_id AS dup_of, i.pos AS pos_idx
+  FROM newb n JOIN idx i ON n.fp = i.fp
+),
+runs AS (
+  SELECT doc_id, dup_of, pos_new, pos_idx, pos_new - pos_idx AS diag,
+         pos_new - row_number() OVER (
+           PARTITION BY doc_id, dup_of, pos_new - pos_idx ORDER BY pos_new) AS run
+  FROM m
+)
+SELECT doc_id, dup_of,
+       CAST(min(pos_new) AS INTEGER) AS pos_new,
+       CAST(min(pos_idx) AS INTEGER) AS pos_idx,
+       CAST(max(pos_new) - min(pos_new) + {SUBSTR_W} AS INTEGER) AS span_len
+FROM runs
+GROUP BY doc_id, dup_of, diag, run
+HAVING max(pos_new) - min(pos_new) + {SUBSTR_W} >= {SUBSTR_MIN_SPAN}
+"""
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, dup_of, jaccard): INCREMENTAL near-dup — each newly arriving
     document (fixture split: ``doc_id % INCR_BATCH_MOD = 0``) checked

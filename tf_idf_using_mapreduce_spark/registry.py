@@ -250,6 +250,8 @@ register("dedup_substring_apply", _dedup.dedup_substring_apply,
 register("substring_boilerplate_census", _dedup.substring_boilerplate_census,
          _dedup.SUBSTRING_BOILERPLATE_ORACLE)
 register("semdedup_prune", _sim.semdedup_prune, _sim.SEMDEDUP_ORACLE)
+register("dedup_substring_incremental", _dedup.dedup_substring_incremental,
+         _dedup.DEDUP_SUBSTRING_INCR_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
