@@ -18,10 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# refreshed round 10 from BENCH_FULL.json's slowest cells (the declared
+# quadratic baseline dedup_ngram_jaccard is measured separately — a full
+# 4-pass run on it costs ~50 min at sf1.0)
 TOP10 = [
     "lineitem_price_stats",
     "knn_label_agreement_lsh",
-    "ann_topk_mllib",
+    "semdedup_prune",
     "dedup_containment",
     "dedup_embedding_ivf",
     "tfidf_mllib_topk_overlap",
