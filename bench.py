@@ -206,10 +206,23 @@ def main() -> int:
             prev = prev_doc.get("queries", {}) or {}
     except Exception:
         prev = {}
+    # Cells with NO previous baseline (new queries, a first-round artifact,
+    # an sf mismatch) used to get no triage at all — the exact
+    # stall-poisoning window the pass was added for (r10 ADVICE). Absolute
+    # fallback: such a cell re-measures when it exceeds 2× the suite median
+    # of the PRIOR round (or of this run when no prior artifact exists) —
+    # a stalled first measurement of a genuinely cheap query is caught,
+    # while a genuinely expensive new query just pays two extra passes once.
+    ref_cells = [v for v in (prev or timings).values()
+                 if isinstance(v, (int, float)) and v > 0]
+    outlier_floor = 2.0 * sorted(ref_cells)[len(ref_cells) // 2] if ref_cells else None
     remeasured: list[str] = []
     for name, t in list(timings.items()):
         p = prev.get(name)
-        if isinstance(p, (int, float)) and p > 0 and t > 1.5 * p:
+        tripped = (isinstance(p, (int, float)) and p > 0 and t > 1.5 * p) or (
+            p is None and outlier_floor is not None and t > outlier_floor
+        )
+        if tripped:
             best = t
             for _ in range(2):
                 t0 = time.time()

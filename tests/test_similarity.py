@@ -463,3 +463,51 @@ def test_semdedup_prunes_planted_duplicate_group(spark):
     assert sum(r["kept"] for r in trio) == 1
     others = [r for r in rows if r["vec_id"] > 2]
     assert all(r["kept"] for r in others)
+
+
+# --------------------------------------------------------------------------- #
+# round-11: anchor cache keyed by corpus IDENTITY, not just path
+# --------------------------------------------------------------------------- #
+
+def test_anchor_cache_refreshes_when_dir_contents_change(spark):
+    """A warehouse dir whose CONTENTS change between calls in one session
+    must re-derive its quantizer (r10 verdict #5 / ADVICE: the path-only
+    cache key served the first probe's anchors forever — including the
+    degenerate <= 1-row md5 anchors after an empty-then-populated
+    transition). Grow a dir mid-session twice — 1 row -> 30 rows -> 60
+    rows — and observe fresh anchors each time on BOTH quantizer paths."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(d, n):
+        rng = np.random.default_rng(n)
+        table = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in rng.normal(size=8)] for _ in range(n)],
+                pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        })
+        shutil.rmtree(f"{d}/embeddings.parquet", ignore_errors=True)
+        pq.write_table(table, f"{d}/embeddings.parquet")
+
+    with tempfile.TemporaryDirectory() as d:
+        write(d, 1)
+        # md5-anchor path: degenerate 1-row corpus yields 1 anchor
+        assert len(sim._anchor_rows(spark, d, sim.N_CENTROIDS)) == 1
+        # kmeans path: n < 2 falls back to the md5 anchors (1 search result
+        # set over a 1-vector corpus is empty — no self pairs)
+        assert sim.ann_topk_ivf_kmeans(spark, d).count() == 0
+        write(d, 30)
+        a30 = sim._anchor_rows(spark, d, sim.N_CENTROIDS)
+        assert len(a30) == sim.N_CENTROIDS  # fresh anchors, not the stale 1
+        assert sim.ann_topk_ivf_kmeans(spark, d).count() > 0  # trained now
+        write(d, 60)
+        a60 = sim._anchor_rows(spark, d, sim.N_CENTROIDS)
+        assert len(a60) == sim.N_CENTROIDS
+        # different corpus -> different sampled anchors (rng seeds differ)
+        assert [r["v"] for r in a60] != [r["v"] for r in a30]

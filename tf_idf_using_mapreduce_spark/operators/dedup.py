@@ -654,8 +654,14 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE filter(t, (x, i) -> "
         "size(filter(sp, s -> i >= s.start AND i < s.start + s.len)) = 0) END"
     )
+    # explicit broadcast hint: the span side is output-sized (bounded by the
+    # pair cap), but it is an aggregate-derived frame whose size Catalyst can
+    # only ESTIMATE — without the hint the plan can flip to SortMergeJoin
+    # under different autoBroadcastJoinThreshold/AQE settings and silently
+    # break the "corpus never shuffles" contract this docstring and the plan
+    # test pin (the incremental twin already hints its batch side)
     return (
-        toks.join(rem, "doc_id", "left")
+        toks.join(F.broadcast(rem), "doc_id", "left")
         .withColumn("kept", F.expr(kept))
         .select(
             "doc_id",

@@ -266,6 +266,34 @@ def _anchor_cache_put(key, value) -> None:
     _ANCHOR_CACHE[key] = value
 
 
+def _corpus_signature(sf_dir: str):
+    """Cheap corpus-identity component for the anchor-cache key: the
+    (relative path, size, mtime) of every file behind ``embeddings.parquet``
+    under ``sf_dir`` — no Spark scan, one ``stat`` per file. A dir whose
+    CONTENTS change between calls in one session (the empty-then-populated
+    transition, a daily-refresh warehouse) therefore maps to a NEW cache key
+    and re-derives its quantizer instead of serving stale anchors (round-10
+    residual: path-only keys pinned the first probe for the session).
+    Non-local / unreadable layouts return ``None``, which callers treat as
+    "identity unknown — do not memoize"."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            return (("", st.st_size, st.st_mtime_ns),)
+        sig = []
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                sig.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+        return tuple(sig) if sig else None
+    except OSError:
+        return None
+
+
 def _anchor_rows(spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS) -> list:
     """The IVF coarse quantizer: ``k`` anchor vectors chosen
     DETERMINISTICALLY as the corpus vectors with the smallest
@@ -281,17 +309,27 @@ def _anchor_rows(spark: SparkSession, sf_dir: str, k: int = N_CENTROIDS) -> list
     centroids as a model table.
 
     ``k`` defaults to the fixed search quantizer size; the dedup blocking
-    passes its :func:`_derive_ivf_cells` width instead."""
-    key = (sf_dir, k)
-    if key not in _ANCHOR_CACHE:
-        _anchor_cache_put(
-            key,
+    passes its :func:`_derive_ivf_cells` width instead.
+
+    The cache key carries :func:`_corpus_signature` — corpus IDENTITY, not
+    just path — so a dir whose files change mid-session re-samples instead
+    of serving the previous contents' anchors (r10 ADVICE: the path-only key
+    kept the empty-then-populated hazard alive for md5-anchor consumers).
+    Unknown identity (non-local layout) skips the memo entirely: correctness
+    over convenience."""
+    sig = _corpus_signature(sf_dir)
+    key = (sf_dir, k, sig)
+    if sig is None or key not in _ANCHOR_CACHE:
+        rows = (
             _vectors(spark, sf_dir)
             .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
             .limit(k)
             .select("v", "nrm")
-            .collect(),
+            .collect()
         )
+        if sig is None:
+            return rows
+        _anchor_cache_put(key, rows)
     return _ANCHOR_CACHE[key]
 
 
@@ -422,8 +460,12 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    key = (sf_dir, "kmeans")
-    if key not in _ANCHOR_CACHE:
+    # corpus-identity key component (see _anchor_rows): a dir whose files
+    # change mid-session re-trains instead of serving the stale model;
+    # unknown identity (non-local layout) trains fresh every call
+    sig = _corpus_signature(sf_dir)
+    key = (sf_dir, "kmeans", sig)
+    if sig is None or key not in _ANCHOR_CACHE:
         feats = _vectors(spark, sf_dir).select(array_to_vector("v").alias("features"))
         # MLlib KMeans requires k >= 2 and raises on an empty corpus (found
         # by tools/degenerate_check.py --tiny/--empty). Below 2 vectors
@@ -433,11 +475,13 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
         # to the corpus size so a tiny corpus trains a small quantizer.
         n = feats.count()
         if n < 2:
-            # do NOT cache the degenerate fallback: the cache key is only
-            # (sf_dir, 'kmeans'), so caching here would pin the md5 anchors
-            # for the whole session even after an empty/1-row dir gains
-            # data — exactly the empty-then-populated transition the guard
-            # targets (ADVICE r9). Return uncached; re-probe next call.
+            # do NOT cache the degenerate fallback under the kmeans key:
+            # return uncached and re-probe next call (ADVICE r9). The inner
+            # _anchor_rows call is itself safe now — its key carries the
+            # corpus signature, so the <= 1 md5 anchors it memoizes for THIS
+            # dir state stop matching once the dir gains data (ADVICE r10:
+            # the path-only memo used to pin them for ann_topk_ivf and
+            # _ivf_assign consumers too).
             return _ivf_search(
                 _vectors(spark, sf_dir), _anchor_rows(spark, sf_dir, N_CENTROIDS), k
             )

@@ -261,25 +261,16 @@ register("dedup_substring_incremental", _dedup.dedup_substring_incremental,
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 10 (r9 ADVICE): GK rank-ratio denominator is now the non-NULL
-    # price count (count(*) deflated the ratios under mixed NULL density)
-    "lineitem_price_stats_approx_err",
-    # round 10 (r9 ADVICE): stack columns selected by _EVENT_TYPES
-    # membership instead of excluding a column named 'null'
-    "user_event_unpivot",
-    # round 10 (r9 ADVICE): NUM/CD digit rules gated with length > 0 so the
-    # empty token tags PUNCT/SYM like the Python twins (SQL text changed;
-    # pos_counts runs the SQL on both engines, stripes/penn run py-vs-SQL)
-    "pos_counts",
-    "pos_counts_stripes",
-    "pos_counts_penn",
-    # round 10 (r9 ADVICE): the n < 2 quantizer fallback no longer poisons
-    # the per-dir anchor cache (code path changed)
+    # round 11 (r10 ADVICE): the span-side of the excision join carries an
+    # explicit F.broadcast hint — results identical, plan contract changed
+    "dedup_substring_apply",
+    # round 11 (r10 ADVICE + verdict #5): the anchor cache is keyed by
+    # corpus identity (_corpus_signature) and skips the memo on unknown
+    # identity — the quantizer-derivation code path changed for every
+    # md5-anchor consumer; re-verify the cheapest oracled one plus the
+    # rows-only kmeans twin
+    "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
-    # round 10: the assignment stage was extracted into _ivf_assign (shared
-    # with semdedup_prune) and its Arrow pass now also emits the centroid
-    # affinity column — same per-element math, expression changed
-    "dedup_embedding_ivf",
 })
 
 
