@@ -482,6 +482,55 @@ def test_dedup_substring_hot_fingerprint_cap_mirrored(spark):
     assert canon_rows(spans) == canon_rows(ora)
 
 
+def test_dedup_substring_hot_window_splits_span_into_subspans(spark):
+    """The documented SUBSTR_FP_CAP trade-off, pinned the way the LSH cap is
+    pinned (r10 verdict #6): a long span shared by TWO docs whose middle
+    8-token window is ALSO boilerplate in > cap other docs loses exactly
+    that one matched position — the gaps-and-islands merge must report the
+    two flanking sub-spans (not the full span, not nothing), and the DuckDB
+    oracle must agree on the identical split."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    w = dedup.SUBSTR_W  # 8
+    span = [f"s{_az(i)}" for i in range(40)]      # 40-token shared span
+    hot = span[16:16 + w]                         # its middle window
+    rows = [
+        # doc 0: 8 unique prefix tokens + span  (span starts at pos 8)
+        (0, " ".join([f"p{_az(i)}" for i in range(8)] + span)),
+        # doc 1: span + 8 unique suffix tokens  (span starts at pos 0)
+        (1, " ".join(span + [f"u{_az(i)}" for i in range(8)])),
+    ]
+    # > cap docs carrying ONLY the hot window (plus per-doc-unique filler):
+    # fp(hot) occurs cap+9 + 2 times -> amputated before pair expansion
+    for d in range(dedup.SUBSTR_FP_CAP + 9):
+        filler = [f"f{_az(d)}q{_az(i)}" for i in range(8)]
+        rows.append((10 + d, " ".join(filler[:4] + hot + filler[4:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        spans = dedup.dedup_substring(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_substring"]).df()
+        con.close()
+    # matched diagonals lose position 16 only: runs 0..15 and 17..32 of the
+    # 33 window positions -> two sub-spans of 15 + w = 23 tokens each
+    got = sorted(
+        (r.doc_a, r.doc_b, r.pos_a, r.pos_b, r.span_len)
+        for r in spans.itertuples()
+    )
+    assert got == [(0, 1, 8, 0, 23), (0, 1, 25, 17, 23)]
+    assert canon_rows(spans) == canon_rows(ora)
+
+
 def test_dedup_substring_dup_doc_rows_no_self_pairs(spark):
     """Duplicate doc_id ROWS (legal dirty data, pinned corpus-wide by the
     fuzz suite) must not produce (x, x) self-pairs or double-counted spans:
