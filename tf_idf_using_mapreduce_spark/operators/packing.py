@@ -159,23 +159,16 @@ FROM ix
 """
 
 
-def token_offsets_of(docs: DataFrame,
-                     n_partitions: int | None = None) -> DataFrame:
-    """(doc_id, n, start) over ANY (doc_id, text) frame: each document's
-    token count and its exclusive prefix sum in doc_id order — the
-    DISTRIBUTED two-phase prefix sum.
+def offsets_from_counts(counts: DataFrame, n_partitions: int) -> DataFrame:
+    """(doc_id, n, start) from ANY precomputed (doc_id, n) frame: the
+    DISTRIBUTED two-phase prefix sum in doc_id order.
     Phase 1: range-partition by doc_id, subtotal per partition (tiny).
     Phase 2: broadcast the partition offsets back, run the window WITHIN
-    each partition only. No single-task global window anywhere. The
-    partition count derives from input bytes (``_prefix_partitions``) so
-    per-task volume stays bounded as the corpus grows; pass
-    ``n_partitions`` explicitly only in tests."""
-    if n_partitions is None:
-        n_partitions = _prefix_partitions(docs)
-    counts = (
-        docs.select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
-        .repartitionByRange(n_partitions, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+    each partition only. No single-task global window anywhere. Shared by
+    the word-token and BPE-token packers — the token BASIS is the caller's
+    choice, the prefix-sum discipline is not."""
+    counts = counts.repartitionByRange(n_partitions, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
     )
     # one row per partition: (pid, subtotal); running offset via a window
     # over the TINY partition table (O(partitions) rows, not O(docs))
@@ -195,29 +188,46 @@ def token_offsets_of(docs: DataFrame,
     )
 
 
+def token_offsets_of(docs: DataFrame,
+                     n_partitions: int | None = None) -> DataFrame:
+    """(doc_id, n, start) over ANY (doc_id, text) frame: each document's
+    WORD-token count and its exclusive prefix sum in doc_id order — the
+    two-phase prefix sum (:func:`offsets_from_counts`). The partition count
+    derives from input bytes (``_prefix_partitions``) so per-task volume
+    stays bounded as the corpus grows; pass ``n_partitions`` explicitly only
+    in tests."""
+    if n_partitions is None:
+        n_partitions = _prefix_partitions(docs)
+    return offsets_from_counts(
+        docs.select("doc_id", F.expr(f"size({_TOKENS})").alias("n")), n_partitions
+    )
+
+
+def pack_bins_of(spans: DataFrame, max_seq: int = MAX_SEQ) -> DataFrame:
+    """(seq_id, n_docs, n_tokens) from a (doc_id, n, start) span frame: each
+    document expands to the fixed-length sequences it overlaps (≤ a few per
+    doc), then one groupBy — the packing tail shared by both token bases."""
+    binned = spans.where(F.col("n") > 0).select(
+        "doc_id", "n", "start",
+        F.explode(
+            F.expr(f"sequence(cast(floor(start / {max_seq}) as long), "
+                   f"cast(floor((start + n - 1) / {max_seq}) as long))")
+        ).alias("seq_id"),
+    )
+    overlap = F.expr(
+        f"least(start + n, (seq_id + 1) * {max_seq}) - greatest(start, seq_id * {max_seq})"
+    )
+    return binned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(overlap).alias("n_tokens"),
+    )
+
+
 def pack_sequences_of(docs: DataFrame) -> DataFrame:
     """:func:`pack_sequences` over ANY (doc_id, text) frame — the composable
     form the end-to-end pipeline (``operators/pretrain.py``) packs its
     curated survivors with."""
-    m = MAX_SEQ
-    spans = token_offsets_of(docs).where(F.col("n") > 0)
-    binned = spans.select(
-        "doc_id", "n", "start",
-        F.explode(
-            F.expr(f"sequence(cast(floor(start / {m}) as long), "
-                   f"cast(floor((start + n - 1) / {m}) as long))")
-        ).alias("seq_id"),
-    )
-    overlap = F.expr(
-        f"least(start + n, (seq_id + 1) * {m}) - greatest(start, seq_id * {m})"
-    )
-    return (
-        binned.groupBy("seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(overlap).alias("n_tokens"),
-        )
-    )
+    return pack_bins_of(token_offsets_of(docs))
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,6 +253,12 @@ register("semdedup_prune", _sim.semdedup_prune, _sim.SEMDEDUP_ORACLE)
 register("dedup_substring_incremental", _dedup.dedup_substring_incremental,
          _dedup.DEDUP_SUBSTRING_INCR_ORACLE)
 
+# -- round 11: subword (BPE) token basis -------------------------------------
+from tf_idf_using_mapreduce_spark.operators import bpe as _bpe
+
+register("bpe_token_counts", _bpe.bpe_token_counts, _bpe.bpe_token_counts_oracle())
+register("pack_sequences_bpe", _bpe.pack_sequences_bpe, _bpe.pack_sequences_bpe_oracle())
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
