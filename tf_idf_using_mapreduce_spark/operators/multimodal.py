@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
 N_FAKE_FEATURES = 4
 
@@ -156,4 +156,210 @@ SELECT doc_id,
                    CAST(('0x' || substr(hx, 17, 8)) AS BIGINT),
                    CAST(('0x' || substr(hx, 25, 8)) AS BIGINT)) END AS feat_sig
 FROM h
+"""
+
+
+# --------------------------------------------------------------------------- #
+# image near-dup: perceptual hash (aHash) + hamming-banded candidate pairs
+# --------------------------------------------------------------------------- #
+
+# pixels in the fake decoded luma grid — the classic 8x8 aHash raster
+PHASH_PIXELS = 64
+# minimum decodable payload: below one byte per pixel there is no grid
+PHASH_MIN_BYTES = PHASH_PIXELS
+# near-dup bar: same pigeonhole guarantee as dedup_simhash (4 x 16-bit bands
+# find every pair within hamming 3 via >= 1 exact band)
+PHASH_HAMMING_THRESHOLD = 3
+PHASH_BANDS = 4
+
+
+def _phash64(payload: bytes) -> tuple[int, int]:
+    """STUB perceptual hash — aHash over a deterministic fake luma grid. A
+    real implementation decodes pixels (PIL) and block-averages the 8x8
+    grayscale raster; the container has no media libraries, so the "luma
+    sequence" is the payload's byte values, which preserves the property a
+    perceptual hash needs and an md5-derived fake destroys: NEARBY payloads
+    produce NEARBY grids (a re-encode that perturbs a few bytes flips a few
+    grid cells, not all 64).
+
+    Grid cell j averages byte slice [j*n//64, (j+1)*n//64); bit j is set
+    iff cell mean > whole-payload mean, compared exactly via integer
+    cross-multiplication (sum_j * n > total * size_j — no float). Returns
+    (hi, lo) 32-bit halves, the engine-wide two-half sketch layout, so the
+    SimHash banding/hamming machinery applies unchanged."""
+    n = len(payload)
+    total = sum(payload)
+    lo = hi = 0
+    for j in range(PHASH_PIXELS):
+        a, b = (j * n) // PHASH_PIXELS, ((j + 1) * n) // PHASH_PIXELS
+        if sum(payload[a:b]) * n > total * (b - a):
+            if j < 32:
+                lo |= 1 << j
+            else:
+                hi |= 1 << (j - 32)
+    return hi, lo
+
+
+def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo): the perceptual-hash index over every decodable
+    payload. The payload is the letters-only byte stream (the dedup tier's
+    ``[a-z]+`` token space, concatenated) so the fake decode is byte-exact on
+    both engines without Python-vs-SQL ``lower()`` hazards; payloads shorter
+    than ``PHASH_MIN_BYTES`` are not decodable (no grid) and drop on both
+    engines. Decode + hash runs Arrow-batched in ``mapInPandas`` — the same
+    production seam as :func:`multimodal_feature_vectors`; swap
+    :func:`_phash64` for a PIL-backed aHash and nothing else moves."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
+        .alias("payload"),
+    ).where(F.expr(f"octet_length(payload) >= {PHASH_MIN_BYTES}"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_phash64(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "ph_hi": [h for h, _ in hashes],
+                "ph_lo": [l for _, l in hashes],
+            })
+
+    return payloads.mapInPandas(decode, "doc_id long, ph_hi long, ph_lo long")
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate payload pairs within
+    ``PHASH_HAMMING_THRESHOLD`` bits over the 64-bit perceptual hash — the
+    IMAGE-side twin of ``dedup_simhash`` (r10 verdict #2), closing the
+    multimodal gap: the text side had exact/near/semantic dedup while the
+    payload side could only decode. Candidate generation reuses the SimHash
+    machinery verbatim (4 x 16-bit bands, hot-bucket cap mirrored in the
+    oracle, pure-expression ordered-pair expansion, emit-once band
+    predicate): a re-encoded image lands within a few flipped grid bits, so
+    every such pair shares >= 1 exact band by pigeonhole and is verified by
+    two ``bit_count(xor)``s — never an all-pairs join."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        _band_key,
+        _drop_hot_buckets,
+        _earlier_band_mismatch,
+        _hamming64_spark,
+        _ordered_pairs_expr,
+    )
+
+    ph = image_phash_table(spark, sf_dir).localCheckpoint(eager=False)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
+        for b in range(PHASH_BANDS)
+    )
+    banded = ph.select(
+        "doc_id", "ph_hi", "ph_lo",
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+    ).select("doc_id", "ph_hi", "ph_lo", "bb.band", "bb.bkey")
+    banded = _drop_hot_buckets(banded, ["band", "bkey"], LSH_BUCKET_CAP)
+    pairs = (
+        banded.groupBy("band", "bkey")
+        .agg(F.expr("array_sort(array_distinct(collect_list(struct(doc_id, ph_hi, ph_lo))))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select("band", F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select(
+            "band",
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_a.ph_hi").alias("hi_a"), F.col("p.doc_a.ph_lo").alias("lo_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_b.ph_hi").alias("hi_b"), F.col("p.doc_b.ph_lo").alias("lo_b"),
+        )
+    )
+    return (
+        pairs.withColumn("hamming", F.expr(_hamming64_spark("hi_a", "lo_a", "hi_b", "lo_b")))
+        .where(F.col("hamming") <= PHASH_HAMMING_THRESHOLD)
+        .where(F.expr(_earlier_band_mismatch(("hi_a", "lo_a"), ("hi_b", "lo_b"))))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _phash_table_ctes() -> str:
+    """The fake decode re-derived from the text column (the way
+    ``MULTIMODAL_FEATURES_ORACLE`` re-derives the md5 stub): codepoints of
+    the letters stream ARE the payload bytes (pure [a-z]), so DuckDB
+    recomputes :func:`_phash64` exactly — integer chunk sums and
+    cross-multiplied mean comparisons, no float anywhere. Produces
+    ``ph(doc_id, ph_hi, ph_lo)``; shared by the table oracle and the banded
+    pair oracle."""
+    p = PHASH_PIXELS
+    bit = "s[j+1] * n > total * sz[j+1]"
+    return f"""
+letters AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
+  FROM documents
+),
+cps AS (
+  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
+         length(ls) AS n
+  FROM letters WHERE length(ls) >= {PHASH_MIN_BYTES}
+),
+sums AS (
+  SELECT doc_id, n, list_sum(v) AS total,
+         list_transform(range(0, {p}), j -> list_sum(v[(j*n)//{p} + 1:((j+1)*n)//{p}])) AS s,
+         list_transform(range(0, {p}), j -> ((j+1)*n)//{p} - (j*n)//{p}) AS sz
+  FROM cps
+),
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32, {p}),
+              j -> CASE WHEN {bit} THEN 1 << (j - 32) ELSE 0 END)) AS BIGINT) AS ph_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN {bit} THEN 1 << j ELSE 0 END)) AS BIGINT) AS ph_lo
+  FROM sums
+)"""
+
+
+def multimodal_phash_oracle() -> str:
+    return f"WITH {_phash_table_ctes()} SELECT doc_id, ph_hi, ph_lo FROM ph"
+
+
+def dedup_image_phash_oracle() -> str:
+    """DuckDB twin of :func:`dedup_image_phash`: the shared decode CTEs,
+    then the exact SimHash banding SQL over (ph_hi, ph_lo)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        _band_key,
+        _earlier_band_mismatch,
+        _hamming64_duck,
+    )
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, ph_hi, ph_lo, {b} AS band,"
+        f" {_band_key('ph_hi', 'ph_lo', b)} AS bkey FROM ph"
+        for b in range(PHASH_BANDS)
+    )
+    # hamming + emit-once run over the DISTINCT candidate set (cand CTE),
+    # mirroring the engine's array_distinct-before-expansion rule under
+    # duplicate (doc_id, text) rows — the two-sided join would multiply
+    # identical pairs where the collect_list path emits them once
+    ham = _hamming64_duck("a_hi", "a_lo", "b_hi", "b_lo")
+    emit_once = _earlier_band_mismatch(("a_hi", "a_lo"), ("b_hi", "b_lo"))
+    return f"""
+WITH {_phash_table_ctes()},
+allbanded AS ({band_selects}),
+hot AS (SELECT band, bkey FROM allbanded
+        GROUP BY band, bkey HAVING count(*) > {LSH_BUCKET_CAP}),
+banded AS (SELECT * FROM allbanded bb
+           WHERE NOT EXISTS (SELECT 1 FROM hot h
+                             WHERE h.band = bb.band AND h.bkey = bb.bkey)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.ph_hi AS a_hi, a.ph_lo AS a_lo,
+         b.doc_id AS doc_b, b.ph_hi AS b_hi, b.ph_lo AS b_lo, a.band AS band
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {PHASH_HAMMING_THRESHOLD}
+  AND {emit_once}
 """
