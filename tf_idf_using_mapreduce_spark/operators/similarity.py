@@ -635,7 +635,8 @@ WHERE round({duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm), {COS_ROUND}) >= {NEARDUP
 """
 
 
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_prune(spark: SparkSession, sf_dir: str,
+                   stats: dict | None = None) -> DataFrame:
     """(vec_id, cluster_id, aff, kept): SemDeDup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication" — public method) as a relational composition: cluster
@@ -654,7 +655,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-safe, never a raw-float comparison). Vectors in no duplicate
     group are their own singleton (kept = true); zero-norm vectors are
     outside cosine space per the engine-wide convention. Fully oracled:
-    the same quantizer/CC/election as one DuckDB recursive CTE."""
+    the same quantizer/CC/election as one DuckDB recursive CTE.
+
+    ``stats``: optional dict the two-star CC fills with its round count —
+    observability for the skew bench (a seeded hot cluster must converge in
+    ~log2(component) rounds, pinned in SCALING_r11's skew table)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import (
         connected_components_twostar,
     )
@@ -669,7 +674,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus.localCheckpoint(eager=False)
     edges = _ivf_cell_pairs(corpus)
     labels = connected_components_twostar(
-        edges, src="vec_a", dst="vec_b"
+        edges, src="vec_a", dst="vec_b", stats=stats
     ).withColumnRenamed("doc_id", "vec_id")
     full = (
         corpus.select("vec_id", "aff")
