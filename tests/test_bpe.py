@@ -116,3 +116,20 @@ def test_bpe_packing_expands_sequence_count(spark):
     ).fetchone()[0]
     con.close()
     assert int(bpe_seqs["n_tokens"].sum()) == int(total)
+
+
+def test_bpe_fertility_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "bpe_fertility")
+
+
+def test_bpe_fertility_semantics(spark):
+    """The metrics cross-check against first principles on the fixture:
+    fertility = n_subwords/n_words exactly; the fused count matches the
+    dictionary ('a' and 'scan' fuse under the committed table); the char
+    mass per subword sits between 1 (all single chars) and the longest
+    word."""
+    row = ops.bpe_fertility(spark, SF_SMOKE).collect()[0]
+    assert row["n_subwords"] > 2 * row["n_words"]  # genuinely subword-ish
+    assert row["fertility"] == round(row["n_subwords"] / row["n_words"], 6)
+    assert row["vocab_words"] == 31 and row["fused_words"] == 2
+    assert 1.0 < row["chars_per_subword"] < 8.0

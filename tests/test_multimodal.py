@@ -113,3 +113,44 @@ def test_dedup_image_phash_hot_bucket_cap_mirrored(spark):
     rows = [(d, boiler) for d in range(LSH_BUCKET_CAP + 7)]
     pairs = _phash_corpus(spark, rows)
     assert len(pairs) == 0
+
+
+def test_dedup_image_phash_incremental_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_image_phash_incremental")
+
+
+def test_dedup_image_phash_incremental_probes_index_only(spark):
+    """Daily-ingest contract: batch payloads (doc_id % 5 == 0) pair against
+    the INDEX only — a batch-internal duplicate pair is out of contract, an
+    index near-dup is found with the exact hamming. Oracle cross-checked on
+    the injected corpus via the registered twin."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    a_letters = "".join(("aaaa" if j % 2 == 0 else "zzzz") for j in range(64))
+    b_letters = "zzzz" + a_letters[4:]  # one aHash bit from A
+    c_letters = "".join(chr(97 + (j * 11) % 26) * 4 for j in range(64))
+    rows = [
+        (1, a_letters),   # index
+        (2, c_letters),   # index, unrelated
+        (5, b_letters),   # batch: near-dup of index doc 1
+        (10, b_letters),  # batch: identical to doc 5 (batch-internal pair)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = mm.dedup_image_phash_incremental(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_image_phash_incremental"]).df()
+        con.close()
+    pairs = {(r.doc_id, r.dup_of): r.hamming for r in got.itertuples()}
+    assert pairs == {(5, 1): 1, (10, 1): 1}  # no (5,10)/(10,5) batch pair
+    assert canon_rows(got) == canon_rows(ora)

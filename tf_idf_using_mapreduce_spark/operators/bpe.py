@@ -170,3 +170,59 @@ SELECT seq_id,
                 - greatest(start, seq_id * {MAX_SEQ})) AS BIGINT) AS n_tokens
 FROM binned GROUP BY seq_id
 """
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row tokenizer evaluation — the metrics a pretraining team reads
+    before adopting a tokenizer: ``fertility`` (subword tokens emitted per
+    word token — the standard compression measure), ``chars_per_subword``
+    (letters per emitted symbol, end-of-word marker excluded from the char
+    mass), ``vocab_words``/``fused_words`` (distinct words, and those the
+    merge table fuses to a single symbol), and the raw totals. All ratios
+    are one double division of exact integer masses (< 2^53 — bit-identical
+    IEEE on both engines), rounded at 6dp by shared convention. Costs one
+    aggregate over the (vocabulary-sized) dictionary joined to the word
+    counts — nothing corpus-shaped beyond the word-count shuffle it shares
+    with :func:`bpe_token_counts`."""
+    w = _word_stream(spark, sf_dir)
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    dic = bpe_dictionary_of(wc)  # (word, k, syms)
+    joined = wc.join(F.broadcast(dic), "word").select(
+        "word", "n", "k", F.expr("length(word)").alias("chars")
+    )
+    return joined.agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.col("k")).alias("n_subwords"),
+        F.count(F.lit(1)).alias("vocab_words"),
+        F.count(F.when(F.col("k") == 1, True)).alias("fused_words"),
+        F.round(
+            F.sum(F.col("n") * F.col("k")).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("n") * F.col("chars")).cast("double")
+            / F.sum(F.col("n") * F.col("k")).cast("double"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
+def bpe_fertility_oracle() -> str:
+    return f"""
+WITH RECURSIVE allw AS (
+  SELECT unnest({WORD_TOKENS}) AS word FROM documents
+),
+awc AS (SELECT word, count(*) AS n FROM allw GROUP BY word),
+wc AS (SELECT word FROM awc),
+{bpe_seg_ctes()},
+joined AS (
+  SELECT a.word, a.n, len(f.syms) AS k, length(a.word) AS chars
+  FROM awc a JOIN bpe_final f USING (word)
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * k) AS BIGINT) AS n_subwords,
+       CAST(count(*) AS BIGINT) AS vocab_words,
+       CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS fused_words,
+       round(CAST(sum(n * k) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(n * chars) AS DOUBLE) / CAST(sum(n * k) AS DOUBLE), 6)
+         AS chars_per_subword
+FROM joined
+"""

@@ -363,3 +363,91 @@ FROM cand
 WHERE {ham} <= {PHASH_HAMMING_THRESHOLD}
   AND {emit_once}
 """
+
+
+def dedup_image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, hamming): INCREMENTAL image near-dup — each newly
+    arriving payload (fixture split ``doc_id % INCR_BATCH_MOD = 0``, the
+    engine-wide incremental contract) probed against the already-indexed
+    corpus. Completes the image modality the way
+    ``dedup_substring_incremental`` completes ExactSubstr: in production the
+    (doc_id, ph_hi, ph_lo) index is write-once state, the daily batch hashes
+    only ITS payloads (map-only) and probes with a BROADCAST of the small
+    batch side — the index is never reshuffled, daily cost is
+    O(batch + matches). Hot index buckets (> ``LSH_BUCKET_CAP`` entries —
+    degenerate payloads) are excluded exactly as in the batch operator,
+    mirrored in the oracle; batch-internal pairs are out of contract (the
+    batch's own backfill run handles those)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+        _band_key,
+        _drop_hot_buckets,
+        _hamming64_spark,
+    )
+
+    ph = image_phash_table(spark, sf_dir).localCheckpoint(eager=False)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
+        for b in range(PHASH_BANDS)
+    )
+    banded = ph.select(
+        "doc_id", "ph_hi", "ph_lo",
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+    ).select("doc_id", "ph_hi", "ph_lo", "bb.band", "bb.bkey")
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = _drop_hot_buckets(banded.where(~is_new), ["band", "bkey"], LSH_BUCKET_CAP)
+    new = banded.where(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("ph_hi").alias("hi_n"), F.col("ph_lo").alias("lo_n"),
+        "band", "bkey",
+    )
+    cand = (
+        idx.join(F.broadcast(new), ["band", "bkey"])
+        .select(
+            F.col("new_id").alias("doc_id"), "hi_n", "lo_n",
+            F.col("doc_id").alias("dup_of"),
+            F.col("ph_hi").alias("hi_i"), F.col("ph_lo").alias("lo_i"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr(_hamming64_spark("hi_n", "lo_n", "hi_i", "lo_i")))
+        .where(F.col("hamming") <= PHASH_HAMMING_THRESHOLD)
+        .select("doc_id", "dup_of", "hamming")
+    )
+
+
+def dedup_image_phash_incremental_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+        _band_key,
+        _hamming64_duck,
+    )
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, ph_hi, ph_lo, {b} AS band,"
+        f" {_band_key('ph_hi', 'ph_lo', b)} AS bkey FROM ph"
+        for b in range(PHASH_BANDS)
+    )
+    ham = _hamming64_duck("hi_n", "lo_n", "hi_i", "lo_i")
+    return f"""
+WITH {_phash_table_ctes()},
+allbanded AS ({band_selects}),
+idx0 AS (SELECT * FROM allbanded WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+hot AS (SELECT band, bkey FROM idx0
+        GROUP BY band, bkey HAVING count(*) > {LSH_BUCKET_CAP}),
+idx AS (SELECT * FROM idx0 bb
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = bb.band AND h.bkey = bb.bkey)),
+newb AS (SELECT * FROM allbanded WHERE doc_id % {INCR_BATCH_MOD} = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, n.ph_hi AS hi_n, n.ph_lo AS lo_n,
+         i.doc_id AS dup_of, i.ph_hi AS hi_i, i.ph_lo AS lo_i
+  FROM newb n JOIN idx i ON n.band = i.band AND n.bkey = i.bkey
+)
+SELECT doc_id, dup_of, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {PHASH_HAMMING_THRESHOLD}
+"""

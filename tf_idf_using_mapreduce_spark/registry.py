@@ -258,10 +258,13 @@ from tf_idf_using_mapreduce_spark.operators import bpe as _bpe
 
 register("bpe_token_counts", _bpe.bpe_token_counts, _bpe.bpe_token_counts_oracle())
 register("pack_sequences_bpe", _bpe.pack_sequences_bpe, _bpe.pack_sequences_bpe_oracle())
+register("bpe_fertility", _bpe.bpe_fertility, _bpe.bpe_fertility_oracle())
 
 # -- round 11: image-side near-dup over the multimodal payloads --------------
 register("multimodal_phash", _mm.image_phash_table, _mm.multimodal_phash_oracle())
 register("dedup_image_phash", _mm.dedup_image_phash, _mm.dedup_image_phash_oracle())
+register("dedup_image_phash_incremental", _mm.dedup_image_phash_incremental,
+         _mm.dedup_image_phash_incremental_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
