@@ -252,6 +252,30 @@ def main() -> int:
         "hot_cell": {"sec": round(best, 3), "pairs": n_pairs}
     }
 
+    # image perceptual hash (r11): the head template cluster's members differ
+    # by <= 2 words out of 80, so their letters-stream byte grids — and
+    # usually their aHash band keys — collide: every such band bucket is a
+    # ~HEAD_CLUSTER-member hot bucket, the image-side analogue of the
+    # template boilerplate the text caps amputate. Measured capped vs
+    # uncapped like the text family.
+    from tf_idf_using_mapreduce_spark.operators import multimodal as mmod
+
+    # dedup_image_phash reads dd.LSH_BUCKET_CAP at call time (function-local
+    # import), so the same patch point as the text family applies
+    for label, cap, reps in (("capped", production_cap, 2), ("uncapped", 1 << 60, 1)):
+        dd.LSH_BUCKET_CAP = cap
+        try:
+            best, n_pairs = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.time()
+                n_pairs = mmod.dedup_image_phash(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            results.setdefault("dedup_image_phash", {})[label] = {
+                "sec": round(best, 3), "pairs": n_pairs,
+            }
+        finally:
+            dd.LSH_BUCKET_CAP = production_cap
+
     # SemDeDup composition (r10 verdict #4): dedup_embedding_ivf above times
     # the hot CELL's pair kernel, but semdedup_prune composes it with
     # two-star CC and the survivor election — on the Zipf embeddings the
