@@ -52,6 +52,19 @@ def _word_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(F.expr(WORD_TOKENS)).alias("word"))
 
 
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n) — corpus word counts, lineage-CUT (vocabulary-sized, so the
+    materialization is Heaps-bounded): both the dictionary branch and the
+    join probe consume this frame, and without the cut each branch re-scans
+    the corpus and re-pays the word shuffle (the plan audit showed TWO text
+    scans behind bpe_token_counts)."""
+    w = _word_stream(spark, sf_dir)
+    return (
+        w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def bpe_dictionary_of(words: DataFrame) -> DataFrame:
     """(word, k, syms): the BPE segmentation dictionary over the DISTINCT
     words of any (…, word) frame — subtoken count and the symbols
@@ -82,8 +95,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of distinct words whose segmentation contains it. The subword
     twin of the word-token ``token_counts``; fully oracle-checked against
     the recursive-CTE apply of the same committed merge table."""
-    w = _word_stream(spark, sf_dir)
-    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    wc = _word_counts(spark, sf_dir)
     dic = bpe_dictionary_of(wc)
     ex = wc.join(F.broadcast(dic), "word").select(
         "word", "n", F.explode("syms").alias("token")
@@ -184,8 +196,7 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the (vocabulary-sized) dictionary joined to the word
     counts — nothing corpus-shaped beyond the word-count shuffle it shares
     with :func:`bpe_token_counts`."""
-    w = _word_stream(spark, sf_dir)
-    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    wc = _word_counts(spark, sf_dir)
     dic = bpe_dictionary_of(wc)  # (word, k, syms)
     joined = wc.join(F.broadcast(dic), "word").select(
         "word", "n", "k", F.expr("length(word)").alias("chars")
