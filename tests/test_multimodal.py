@@ -154,3 +154,136 @@ def test_dedup_image_phash_incremental_probes_index_only(spark):
     pairs = {(r.doc_id, r.dup_of): r.hamming for r in got.itertuples()}
     assert pairs == {(5, 1): 1, (10, 1): 1}  # no (5,10)/(10,5) batch pair
     assert canon_rows(got) == canon_rows(ora)
+
+
+# --------------------------------------------------------------------------- #
+# round-11 (cont.): audio frame fingerprints + video content-anchored frames
+# --------------------------------------------------------------------------- #
+
+def test_multimodal_audio_fp_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "multimodal_audio_fp")
+
+
+def test_dedup_audio_fingerprint_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_audio_fingerprint")
+
+
+def test_multimodal_video_frames_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "multimodal_video_frames")
+
+
+def test_dedup_video_frames_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_video_frames")
+
+
+def test_audio_fingerprint_vectorized_matches_scalar_spec():
+    """The numpy fingerprinter must equal the documented scalar loop
+    bit-for-bit (including the empty result under one-window length)."""
+    def scalar(payload: bytes) -> list[int]:
+        n = len(payload)
+        out = []
+        for i in range((n - mm.AUDIO_FRAME_BYTES) // mm.AUDIO_HOP_BYTES + 1):
+            f = payload[i * mm.AUDIO_HOP_BYTES: i * mm.AUDIO_HOP_BYTES + mm.AUDIO_FRAME_BYTES]
+            h = 0
+            for j in range(mm.AUDIO_FRAME_BYTES - 1):
+                if f[j + 1] > f[j]:
+                    h |= 1 << j
+            out.append(h)
+        return out
+
+    for payload in (
+        _letters("spec", 400).encode(),
+        _letters("x", 32).encode(),          # exactly one window
+        _letters("y", 47).encode(),          # one window + ragged tail
+        b"a" * 100,                           # constant signal: all-zero bits
+        bytes(range(97, 123)) * 5,            # monotone ramps
+    ):
+        assert mm._audio_fingerprints(payload) == scalar(payload)
+    assert mm._audio_fingerprints(b"short") == []
+    assert mm._video_keyframes(b"short") == []
+
+
+def _letters(seed: str, n: int) -> str:
+    """Deterministic non-periodic lowercase-letters string (md5 chain) — the
+    payload IS the text (pure [a-z]), so injected scenarios are byte-exact."""
+    import hashlib
+
+    out: list[str] = []
+    h = seed.encode()
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        out.extend(chr(97 + b % 26) for b in h)
+    return "".join(out[:n])
+
+
+def _injected_corpus(spark, rows, names):
+    """Run registered queries AND their oracles over a throwaway documents
+    dir; assert parity per query; return {name: engine pandas frame}."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        for name in names:
+            eng = e.queries()[name](spark, tmp).toPandas()
+            ora = con.sql(e.oracle_sql()[name]).df()
+            assert canon_rows(eng) == canon_rows(ora), name
+            out[name] = eng
+        con.close()
+    return out
+
+
+def test_dedup_audio_fingerprint_finds_edit_and_offset(spark):
+    """The near-dup-injection scenario for the audio modality: a localized
+    same-length edit damages only the frames whose windows overlap it (pair
+    at delta 0), a hop-aligned prefix insertion shifts every frame by a
+    whole number of hops (pair at exactly that delta), and an unrelated
+    payload pairs with nothing."""
+    base = _letters("audio-base", 400)
+    edited = base[:200] + _letters("edit", 8) + base[208:]      # same length
+    shifted = _letters("pad", 2 * mm.AUDIO_HOP_BYTES) + base    # +2 hops
+    other = _letters("unrelated", 400)
+    rows = [(1, base), (2, edited), (3, shifted), (4, other)]
+    pairs = _injected_corpus(spark, rows, ["dedup_audio_fingerprint"])[
+        "dedup_audio_fingerprint"
+    ]
+    by_pair = {(r.doc_a, r.doc_b, r.delta): r.n_aligned for r in pairs.itertuples()}
+    nf = (400 - mm.AUDIO_FRAME_BYTES) // mm.AUDIO_HOP_BYTES + 1
+    # edit at bytes [200, 208) can damage only windows overlapping it
+    damaged = len({i for i in range(nf)
+                   if i * mm.AUDIO_HOP_BYTES + mm.AUDIO_FRAME_BYTES > 200
+                   and i * mm.AUDIO_HOP_BYTES < 208})
+    assert by_pair.get((1, 2, 0), 0) >= nf - damaged >= mm.AUDIO_MIN_ALIGNED
+    # prefix insertion of exactly 2 hops: doc 1's frame i == doc 3's frame i+2
+    assert by_pair.get((1, 3, -2), 0) >= mm.AUDIO_MIN_ALIGNED
+    assert not any(4 in (a, b) for a, b, _ in by_pair)
+
+
+def test_dedup_video_frames_resyncs_after_length_changing_edit(spark):
+    """The design point of content-anchored keyframes (vs fixed fractional
+    positions): an INSERTION changes the length, yet anchors downstream of
+    the edit land on the same content and re-synchronize — the pair is found
+    at Jaccard >= 1/2. An unrelated payload pairs with nothing."""
+    base = _letters("video-base", 600)
+    inserted = base[:300] + _letters("scene", 37) + base[300:]  # length +37
+    other = _letters("video-other", 600)
+    rows = [(1, base), (2, inserted), (3, other)]
+    pairs = _injected_corpus(spark, rows, ["dedup_video_frames"])[
+        "dedup_video_frames"
+    ]
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.n_union) for r in pairs.itertuples()}
+    assert (1, 2) in got
+    n_shared, n_union = got[(1, 2)]
+    assert 3 * n_shared >= n_shared + n_union  # J >= 1/2 restated on outputs
+    assert not any(3 in p for p in got)

@@ -451,3 +451,421 @@ SELECT doc_id, dup_of, {ham} AS hamming
 FROM cand
 WHERE {ham} <= {PHASH_HAMMING_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------- #
+# audio near-dup: frame fingerprints + offset-aligned voting
+# --------------------------------------------------------------------------- #
+#
+# Completes the modality matrix started by the image tier (round-10 verdict
+# #2 / round-11 continuation): IMAGE near-dup is a single 64-bit perceptual
+# hash under hamming-banded LSH; AUDIO is a *temporal sequence*, so the
+# public technique is different — per-frame sub-fingerprints over overlapping
+# windows (Chromaprint / Shazam constellation, both published methods), an
+# inverted index on the frame fingerprint, and OFFSET-ALIGNED VOTING: a pair
+# is a near-dup when >= AUDIO_MIN_ALIGNED frames match at one consistent
+# time offset. A localized edit breaks only the frames it touches; the rest
+# still vote. This is the audio twin of ExactSubstr's diagonal trick
+# (dedup.py: span merge keyed by (doc_a, doc_b, diagonal)) — the "diagonal"
+# here is the frame-index delta.
+
+# frame window / hop in payload bytes (stands in for ~0.37 s FFT windows with
+# 50% overlap in a real Chromaprint pipeline)
+AUDIO_FRAME_BYTES = 32
+AUDIO_HOP_BYTES = 16
+# a pair is a near-dup when this many frames match at ONE offset delta;
+# random 31-bit fingerprint collisions cannot reach this (see docstring)
+AUDIO_MIN_ALIGNED = 8
+
+
+def _audio_fingerprints(payload: bytes) -> list[int]:
+    """STUB frame fingerprinter — sign-of-first-difference over each
+    ``AUDIO_FRAME_BYTES`` window at ``AUDIO_HOP_BYTES`` hop. A real
+    implementation decodes PCM (torchaudio) and takes the sign pattern of
+    band-energy differences per FFT frame (Chromaprint's bit layout); the
+    container has no audio libraries, so the "signal" is the payload's byte
+    stream. The stub preserves the two properties the matcher needs and an
+    md5-derived fake destroys: IDENTICAL windows produce identical
+    fingerprints, and a localized byte edit perturbs only the <= 2 frames
+    whose windows overlap it.
+
+    Bit j of frame i is set iff byte[i*hop + j + 1] > byte[i*hop + j]
+    (31 bits per frame — collision probability across a corpus of ~1e5
+    frames is negligible next to ``AUDIO_MIN_ALIGNED`` aligned votes).
+
+    Vectorized (numpy int64 end-to-end) — this is the hot decode path,
+    Arrow-batched by the caller; semantics are the scalar loop
+    ``h |= 1 << j if frame[j+1] > frame[j]``, exercised against this
+    implementation in tests/test_multimodal.py."""
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = len(a)
+    if n < AUDIO_FRAME_BYTES:
+        return []
+    d = (a[1:] > a[:-1]).astype(np.int64)
+    nf = (n - AUDIO_FRAME_BYTES) // AUDIO_HOP_BYTES + 1
+    idx = (np.arange(nf)[:, None] * AUDIO_HOP_BYTES
+           + np.arange(AUDIO_FRAME_BYTES - 1)[None, :])
+    weights = 1 << np.arange(AUDIO_FRAME_BYTES - 1, dtype=np.int64)
+    return (d[idx] * weights).sum(axis=1).tolist()
+
+
+def audio_fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, fh): the frame-fingerprint inverted-index input —
+    one row per overlapping window of every decodable payload. Same
+    letters-only byte stream as :func:`image_phash_table` (bytes ==
+    codepoints, so DuckDB recomputes the stub exactly); payloads shorter than
+    one window are not decodable and drop on both engines. Decode +
+    fingerprint runs Arrow-batched in ``mapInPandas`` — swap
+    :func:`_audio_fingerprints` for an FFT-backed Chromaprint and nothing
+    else moves. Frame count is O(payload bytes / hop): map-only, no shuffle,
+    partition-bounded by ``spread``'s byte budget — at 100 TB this is the
+    same scan-shaped work as tokenization."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
+        .alias("payload"),
+    ).where(F.expr(f"octet_length(payload) >= {AUDIO_FRAME_BYTES}"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            fhs: list[int] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, h in enumerate(_audio_fingerprints(bytes(p))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fhs.append(h)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "fh": fhs})
+
+    return payloads.mapInPandas(decode, "doc_id long, frame_idx int, fh long")
+
+
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, delta, n_aligned): audio near-dup pairs — >=
+    ``AUDIO_MIN_ALIGNED`` frames whose fingerprints match at one consistent
+    frame-index offset ``delta``. Shape at scale: the inverted index groups
+    by the 31-bit fingerprint (ONE shuffle on fh); per-bucket pair expansion
+    is a pure array expression bounded by the hot-bucket cap (degenerate
+    constant payloads — the audio analogue of boilerplate — are amputated
+    BEFORE materialization, mirrored in the oracle); the vote histogram is a
+    second small shuffle on (doc_a, doc_b, delta) whose input is candidate
+    mass, not corpus mass. Never an all-pairs join."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        _drop_hot_buckets,
+        _ordered_pairs_expr,
+    )
+
+    fps = audio_fingerprint_table(spark, sf_dir)
+    buck = _drop_hot_buckets(fps, ["fh"], LSH_BUCKET_CAP)
+    pairs = (
+        buck.groupBy("fh")
+        .agg(F.expr("array_sort(array_distinct(collect_list(struct(doc_id, frame_idx))))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .where(F.expr("p.doc_a.doc_id <> p.doc_b.doc_id"))
+        .select(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            (F.col("p.doc_a.frame_idx") - F.col("p.doc_b.frame_idx")).alias("delta"),
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b", "delta")
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+        .where(F.col("n_aligned") >= AUDIO_MIN_ALIGNED)
+    )
+
+
+def _audio_frames_cte() -> str:
+    """Frame table re-derived from the text column (bytes == codepoints on
+    the pure-[a-z] letters stream): DuckDB recomputes
+    :func:`_audio_fingerprints` exactly — integer comparisons only. Produces
+    ``frames(doc_id, frame_idx, fh)``."""
+    w, h = AUDIO_FRAME_BYTES, AUDIO_HOP_BYTES
+    return f"""
+letters AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
+  FROM documents
+),
+cps AS (
+  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
+         length(ls) AS n
+  FROM letters WHERE length(ls) >= {w}
+),
+fr AS (
+  SELECT doc_id, v, unnest(range(0, (n - {w}) // {h} + 1)) AS frame_idx FROM cps
+),
+frames AS (
+  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         CAST(list_sum(list_transform(range(0, {w - 1}),
+              j -> CASE WHEN v[frame_idx * {h} + j + 2] > v[frame_idx * {h} + j + 1]
+                        THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS fh
+  FROM fr
+)"""
+
+
+def multimodal_audio_fp_oracle() -> str:
+    return f"WITH {_audio_frames_cte()} SELECT doc_id, frame_idx, fh FROM frames"
+
+
+def dedup_audio_fingerprint_oracle() -> str:
+    """DuckDB twin of :func:`dedup_audio_fingerprint`: shared frame CTE, the
+    engine's hot-bucket cap, candidate pairs via fingerprint equi-join
+    (doc_a < doc_b — identical to the sorted-array pair expansion), then the
+    offset-delta vote histogram."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import LSH_BUCKET_CAP
+
+    return f"""
+WITH {_audio_frames_cte()},
+hot AS (SELECT fh FROM frames GROUP BY fh HAVING count(*) > {LSH_BUCKET_CAP}),
+cold AS (SELECT DISTINCT doc_id, frame_idx, fh FROM frames
+         WHERE fh NOT IN (SELECT fh FROM hot)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.frame_idx - b.frame_idx AS delta
+  FROM cold a JOIN cold b ON a.fh = b.fh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, delta, count(*) AS n_aligned
+FROM cand
+GROUP BY doc_a, doc_b, delta
+HAVING count(*) >= {AUDIO_MIN_ALIGNED}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# video near-dup: content-anchored keyframe phashes + set-overlap voting
+# --------------------------------------------------------------------------- #
+#
+# The third modality, and the third distinct algorithm shape. Video identity
+# survives trims, re-cuts and re-muxing, so two design choices follow, both
+# published methods:
+#
+# 1. CONTENT-ANCHORED sampling, not fixed-position sampling. Keyframes are
+#    taken where the content itself satisfies a local condition (the
+#    scene-cut detector of real content-ID pipelines; byte-level analogue:
+#    the rolling-condition anchors of content-defined chunking, rsync/LBFS).
+#    Fixed fractional positions (frame i at i/K of the duration) break under
+#    ANY length change — every sample shifts — whereas content anchors
+#    re-synchronize right after an edit. The fixture's organic near-dups are
+#    length-changing edits, so this is observable, not theoretical.
+# 2. ORDER-INSENSITIVE matching: a pair is a near-dup when the Jaccard
+#    overlap of their distinct keyframe-hash sets reaches 1/2, applied in
+#    exact integer arithmetic (3*shared >= |A| + |B|  <=>  J >= 1/2) — no
+#    float anywhere. Re-ordering scenes does not change the set.
+#
+# Each keyframe is perceptual-hashed with the image tier's :func:`_phash64`.
+
+# keyframe slice length == PHASH_PIXELS, so each aHash grid cell is one
+# byte — the oracle recomputes the per-frame hash as a flat per-byte
+# comparison (the general cross-multiplied mean test specialized at n == 64)
+VIDEO_FRAME_BYTES = PHASH_PIXELS
+# anchor condition: 4-byte window sum divisible by this — anchor density
+# ~1/16, the "scene cut rate" of the stub detector
+VIDEO_ANCHOR_MOD = 16
+
+
+def _video_keyframes(payload: bytes) -> list[tuple[int, int, int]]:
+    """STUB keyframe sampler + hasher — (anchor_pos, ph_hi, ph_lo) per
+    content-defined anchor. A real implementation decodes frames (PyAV /
+    ffmpeg), detects scene cuts, and perceptual-hashes each keyframe; the
+    container has no media libraries, so the "scene-cut detector" is a
+    rolling condition on the byte stream: position ``a`` anchors a keyframe
+    iff ``sum(payload[a:a+4]) % VIDEO_ANCHOR_MOD == 0`` and a full
+    ``VIDEO_FRAME_BYTES`` slice fits. The stub preserves the property the
+    matcher needs: anchors inside content shared by two payloads land at the
+    SAME content (re-synchronizing after a length-changing edit), so shared
+    scenes produce identical keyframe hashes.
+
+    Vectorized (numpy int64 end-to-end, exact integer comparisons) — this is
+    the hot decode path, Arrow-batched by the caller."""
+    import numpy as np
+
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(a)
+    if n < VIDEO_FRAME_BYTES:
+        return []
+    s4 = a[: n - 3] + a[1: n - 2] + a[2: n - 1] + a[3:]
+    pos = np.nonzero(s4 % VIDEO_ANCHOR_MOD == 0)[0]
+    pos = pos[pos <= n - VIDEO_FRAME_BYTES]
+    if len(pos) == 0:
+        return []
+    frames = a[pos[:, None] + np.arange(VIDEO_FRAME_BYTES)[None, :]]
+    totals = frames.sum(axis=1)
+    # _phash64 specialized at slice length == PHASH_PIXELS: cell j is byte j,
+    # bit j set iff byte_j * 64 > slice_total (same exact-integer test)
+    bits = frames * VIDEO_FRAME_BYTES > totals[:, None]
+    weights = (1 << np.arange(32, dtype=np.int64))
+    lo = (bits[:, :32] * weights).sum(axis=1)
+    hi = (bits[:, 32:] * weights).sum(axis=1)
+    return list(zip(pos.tolist(), hi.tolist(), lo.tolist()))
+
+
+def video_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, ph_hi, ph_lo): content-anchored keyframe
+    perceptual hashes — the frame-sample plumbing of SURVEY §7.2's multimodal
+    contract, Arrow-batched through the same decode seam as the image tier
+    (``frame_idx`` is the anchor byte offset). Map-only, no shuffle; frame
+    count is O(payload bytes / anchor period), the same scan-shaped cost as
+    tokenization."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
+        .alias("payload"),
+    ).where(F.expr(f"octet_length(payload) >= {VIDEO_FRAME_BYTES}"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            his: list[int] = []
+            los: list[int] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for pos, hi, lo in _video_keyframes(bytes(p)):
+                    ids.append(doc_id)
+                    idxs.append(pos)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ph_hi": his, "ph_lo": los}
+            )
+
+    return payloads.mapInPandas(
+        decode, "doc_id long, frame_idx int, ph_hi long, ph_lo long"
+    )
+
+
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_union): video near-dup pairs — distinct
+    keyframe-hash sets overlapping at Jaccard >= 1/2, tested as
+    3*n_shared >= n_a + n_b (exact integers). Plan shape: ONE groupBy on the
+    64-bit keyframe hash builds the inverted index (hot-hash cap before any
+    bucket materializes — a black-frame analogue would otherwise expand
+    quadratically, mirrored in the oracle), pure-expression ordered-pair
+    expansion, then per-doc distinct counts join in as two small aggregates.
+    The distinct keyframe table is lineage-cut because three consumers share
+    it. Candidate mass is Σ min(bucket, cap)², never an all-pairs join."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        _drop_hot_buckets,
+        _ordered_pairs_expr,
+    )
+
+    vfh = (
+        video_frame_table(spark, sf_dir)
+        .select("doc_id", "ph_hi", "ph_lo")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dcnt = vfh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    buck = _drop_hot_buckets(vfh, ["ph_hi", "ph_lo"], LSH_BUCKET_CAP)
+    shared = (
+        buck.groupBy("ph_hi", "ph_lo")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            dcnt.select(F.col("doc_id").alias("doc_a"), F.col("n_frames").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            dcnt.select(F.col("doc_id").alias("doc_b"), F.col("n_frames").alias("n_b")),
+            "doc_b",
+        )
+        .where(3 * F.col("n_shared") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            (F.col("n_a") + F.col("n_b") - F.col("n_shared")).alias("n_union"),
+        )
+    )
+
+
+def _video_frames_cte() -> str:
+    """Keyframe phash table re-derived in SQL (bytes == codepoints on the
+    pure-[a-z] letters stream): the anchor condition is a 4-byte window sum
+    mod ``VIDEO_ANCHOR_MOD``; with the slice length equal to
+    ``PHASH_PIXELS``, :func:`_phash64`'s grid cell j is exactly byte j, so
+    bit j is ``byte_j * 64 > slice_total``. Produces
+    ``vfh(doc_id, frame_idx, ph_hi, ph_lo)``."""
+    fb, mod = VIDEO_FRAME_BYTES, VIDEO_ANCHOR_MOD
+    bit = f"v[frame_idx + j + 1] * {fb} > total"
+    return f"""
+letters AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
+  FROM documents
+),
+cps AS (
+  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
+         length(ls) AS n
+  FROM letters WHERE length(ls) >= {fb}
+),
+anch AS (
+  SELECT doc_id, v, unnest(range(0, n - {fb - 1})) AS a FROM cps
+),
+keyf AS (
+  SELECT doc_id, CAST(a AS INTEGER) AS frame_idx, v
+  FROM anch
+  WHERE (v[a + 1] + v[a + 2] + v[a + 3] + v[a + 4]) % {mod} = 0
+),
+slt AS (
+  SELECT doc_id, frame_idx, v,
+         list_sum(v[frame_idx + 1: frame_idx + {fb}]) AS total
+  FROM keyf
+),
+vfh AS (
+  SELECT doc_id, frame_idx,
+         CAST(list_sum(list_transform(range(32, {fb}),
+              j -> CASE WHEN {bit} THEN (1::BIGINT << (j - 32)) ELSE 0 END)) AS BIGINT) AS ph_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN {bit} THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS ph_lo
+  FROM slt
+)"""
+
+
+def multimodal_video_frames_oracle() -> str:
+    return f"WITH {_video_frames_cte()} SELECT doc_id, frame_idx, ph_hi, ph_lo FROM vfh"
+
+
+def dedup_video_frames_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import LSH_BUCKET_CAP
+
+    return f"""
+WITH {_video_frames_cte()},
+dh AS (SELECT DISTINCT doc_id, ph_hi, ph_lo FROM vfh),
+dcnt AS (SELECT doc_id, count(*) AS n_frames FROM dh GROUP BY doc_id),
+hot AS (SELECT ph_hi, ph_lo FROM dh GROUP BY ph_hi, ph_lo
+        HAVING count(*) > {LSH_BUCKET_CAP}),
+cold AS (SELECT * FROM dh d
+         WHERE NOT EXISTS (SELECT 1 FROM hot h
+                           WHERE h.ph_hi = d.ph_hi AND h.ph_lo = d.ph_lo)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM cold a JOIN cold b
+    ON a.ph_hi = b.ph_hi AND a.ph_lo = b.ph_lo AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       ca.n_frames + cb.n_frames - s.n_shared AS n_union
+FROM shared s
+JOIN dcnt ca ON ca.doc_id = s.doc_a
+JOIN dcnt cb ON cb.doc_id = s.doc_b
+WHERE 3 * s.n_shared >= ca.n_frames + cb.n_frames
+"""

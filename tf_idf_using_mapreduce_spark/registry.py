@@ -265,6 +265,12 @@ register("multimodal_phash", _mm.image_phash_table, _mm.multimodal_phash_oracle(
 register("dedup_image_phash", _mm.dedup_image_phash, _mm.dedup_image_phash_oracle())
 register("dedup_image_phash_incremental", _mm.dedup_image_phash_incremental,
          _mm.dedup_image_phash_incremental_oracle())
+# -- round 11 (cont.): audio + video near-dup — the modality matrix complete --
+register("multimodal_audio_fp", _mm.audio_fingerprint_table, _mm.multimodal_audio_fp_oracle())
+register("dedup_audio_fingerprint", _mm.dedup_audio_fingerprint,
+         _mm.dedup_audio_fingerprint_oracle())
+register("multimodal_video_frames", _mm.video_frame_table, _mm.multimodal_video_frames_oracle())
+register("dedup_video_frames", _mm.dedup_video_frames, _mm.dedup_video_frames_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
