@@ -287,3 +287,32 @@ def test_dedup_video_frames_resyncs_after_length_changing_edit(spark):
     n_shared, n_union = got[(1, 2)]
     assert 3 * n_shared >= n_shared + n_union  # J >= 1/2 restated on outputs
     assert not any(3 in p for p in got)
+
+
+def test_dedup_audio_fingerprint_incremental_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_audio_fingerprint_incremental")
+
+
+def test_neardup_modality_agreement_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "neardup_modality_agreement")
+
+
+def test_incremental_audio_is_batch_restricted_to_new_docs(spark):
+    """Contract lock: the incremental probe must equal the batch operator's
+    pairs restricted to (new doc, indexed doc) — modulo the cap being
+    computed on the index side only (no such hot bucket exists in the
+    fixture, so equality is exact here)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import INCR_BATCH_MOD
+
+    batch = mm.dedup_audio_fingerprint(spark, SF_SMOKE).toPandas()
+    incr = mm.dedup_audio_fingerprint_incremental(spark, SF_SMOKE).toPandas()
+    want = set()
+    for r in batch.itertuples():
+        a_new, b_new = r.doc_a % INCR_BATCH_MOD == 0, r.doc_b % INCR_BATCH_MOD == 0
+        if a_new and not b_new:
+            want.add((r.doc_a, r.doc_b, r.delta, r.n_aligned))
+        elif b_new and not a_new:
+            # incremental emits (new, indexed); batch emits doc_a < doc_b
+            want.add((r.doc_b, r.doc_a, -r.delta, r.n_aligned))
+    got = {(r.doc_id, r.dup_of, r.delta, r.n_aligned) for r in incr.itertuples()}
+    assert got == want

@@ -869,3 +869,122 @@ JOIN dcnt ca ON ca.doc_id = s.doc_a
 JOIN dcnt cb ON cb.doc_id = s.doc_b
 WHERE 3 * s.n_shared >= ca.n_frames + cb.n_frames
 """
+
+
+def dedup_audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, delta, n_aligned): INCREMENTAL audio near-dup — each
+    newly arriving payload (fixture split ``doc_id % INCR_BATCH_MOD = 0``,
+    the engine-wide incremental contract) probed against the already-indexed
+    corpus, completing the audio modality the way
+    ``dedup_image_phash_incremental`` completes the image one. In production
+    the (doc_id, frame_idx, fh) inverted index is write-once state: the daily
+    batch fingerprints only ITS payloads (map-only) and probes with a
+    BROADCAST of the small batch side — the index is never reshuffled, daily
+    cost is O(batch frames + matches). Hot index fingerprints (>
+    ``LSH_BUCKET_CAP`` occurrences — degenerate constant payloads) are
+    excluded exactly as in the batch operator, mirrored in the oracle;
+    batch-internal pairs are out of contract (the batch's own backfill run
+    handles those)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+        _drop_hot_buckets,
+    )
+
+    fps = audio_fingerprint_table(spark, sf_dir)
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = _drop_hot_buckets(fps.where(~is_new), ["fh"], LSH_BUCKET_CAP)
+    new = fps.where(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("frame_idx").alias("idx_n"),
+        "fh",
+    )
+    return (
+        idx.join(F.broadcast(new), "fh")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("doc_id").alias("dup_of"),
+            (F.col("idx_n") - F.col("frame_idx")).alias("delta"),
+        )
+        .groupBy("doc_id", "dup_of", "delta")
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+        .where(F.col("n_aligned") >= AUDIO_MIN_ALIGNED)
+    )
+
+
+def dedup_audio_fingerprint_incremental_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+    )
+
+    return f"""
+WITH {_audio_frames_cte()},
+idx0 AS (SELECT * FROM frames WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+hot AS (SELECT fh FROM idx0 GROUP BY fh HAVING count(*) > {LSH_BUCKET_CAP}),
+idx AS (SELECT * FROM idx0 WHERE fh NOT IN (SELECT fh FROM hot)),
+newb AS (SELECT * FROM frames WHERE doc_id % {INCR_BATCH_MOD} = 0),
+cand AS (
+  SELECT n.doc_id AS doc_id, i.doc_id AS dup_of,
+         n.frame_idx - i.frame_idx AS delta
+  FROM newb n JOIN idx i ON n.fh = i.fh
+)
+SELECT doc_id, dup_of, delta, count(*) AS n_aligned
+FROM cand
+GROUP BY doc_id, dup_of, delta
+HAVING count(*) >= {AUDIO_MIN_ALIGNED}
+"""
+
+
+def neardup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, by_image, by_audio, by_video): cross-modality ensemble
+    view — every near-dup pair flagged by ANY of the three payload operators,
+    with one boolean per modality detector. The modality-matrix capstone:
+    image (hamming-banded whole-payload aHash), audio (offset-aligned frame
+    votes) and video (content-anchored keyframe Jaccard) catch overlapping
+    but distinct pair sets, and a real curation pipeline acts on the ensemble
+    (e.g. quarantine 2-of-3 agreements). Each detector's pair frame is tiny
+    relative to the corpus, so the unions/aggregation shuffle candidate mass,
+    not corpus mass — the three payload scans stay independent map-only
+    pipelines."""
+    img = (
+        dedup_image_phash(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit("image").alias("m"))
+    )
+    aud = (
+        dedup_audio_fingerprint(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit("audio").alias("m"))
+    )
+    vid = (
+        dedup_video_frames(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit("video").alias("m"))
+    )
+    return (
+        img.unionByName(aud).unionByName(vid)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr("bool_or(m = 'image')").alias("by_image"),
+            F.expr("bool_or(m = 'audio')").alias("by_audio"),
+            F.expr("bool_or(m = 'video')").alias("by_video"),
+        )
+    )
+
+
+def neardup_modality_agreement_oracle() -> str:
+    """Each detector's full oracle embedded as a subquery-local WITH (their
+    CTE names collide, so they cannot share one WITH list), unioned with a
+    modality tag and folded to one row per pair."""
+    return f"""
+SELECT doc_a, doc_b,
+       bool_or(m = 'image') AS by_image,
+       bool_or(m = 'audio') AS by_audio,
+       bool_or(m = 'video') AS by_video
+FROM (
+  SELECT doc_a, doc_b, 'image' AS m FROM ({dedup_image_phash_oracle()})
+  UNION ALL
+  SELECT doc_a, doc_b, 'audio' AS m FROM ({dedup_audio_fingerprint_oracle()})
+  UNION ALL
+  SELECT doc_a, doc_b, 'video' AS m FROM ({dedup_video_frames_oracle()})
+)
+GROUP BY doc_a, doc_b
+"""

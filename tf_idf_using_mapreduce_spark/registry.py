@@ -271,6 +271,10 @@ register("dedup_audio_fingerprint", _mm.dedup_audio_fingerprint,
          _mm.dedup_audio_fingerprint_oracle())
 register("multimodal_video_frames", _mm.video_frame_table, _mm.multimodal_video_frames_oracle())
 register("dedup_video_frames", _mm.dedup_video_frames, _mm.dedup_video_frames_oracle())
+register("dedup_audio_fingerprint_incremental", _mm.dedup_audio_fingerprint_incremental,
+         _mm.dedup_audio_fingerprint_incremental_oracle())
+register("neardup_modality_agreement", _mm.neardup_modality_agreement,
+         _mm.neardup_modality_agreement_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)

@@ -276,6 +276,31 @@ def main() -> int:
         finally:
             dd.LSH_BUCKET_CAP = production_cap
 
+    # audio + video near-dup (r11 cont.): the head template cluster shares
+    # nearly every frame window, so every audio frame-fingerprint bucket and
+    # every video keyframe-hash bucket is a ~HEAD_CLUSTER-member hot bucket —
+    # and unlike the image row (one hash/doc, 4 bands) there are ~dozens of
+    # windows per doc, so the uncapped pair mass is an order of magnitude
+    # worse. Both operators read dd.LSH_BUCKET_CAP at call time (function-
+    # local imports), the same patch point as the text family.
+    for qname, fn in (
+        ("dedup_audio_fingerprint", mmod.dedup_audio_fingerprint),
+        ("dedup_video_frames", mmod.dedup_video_frames),
+    ):
+        for label, cap, reps in (("capped", production_cap, 2), ("uncapped", 1 << 60, 1)):
+            dd.LSH_BUCKET_CAP = cap
+            try:
+                best, n_pairs = float("inf"), 0
+                for _ in range(reps):
+                    t0 = time.time()
+                    n_pairs = fn(spark, sf_dir).count()
+                    best = min(best, time.time() - t0)
+                results.setdefault(qname, {})[label] = {
+                    "sec": round(best, 3), "pairs": n_pairs,
+                }
+            finally:
+                dd.LSH_BUCKET_CAP = production_cap
+
     # SemDeDup composition (r10 verdict #4): dedup_embedding_ivf above times
     # the hot CELL's pair kernel, but semdedup_prune composes it with
     # two-star CC and the survivor election — on the Zipf embeddings the
