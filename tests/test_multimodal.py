@@ -316,3 +316,47 @@ def test_incremental_audio_is_batch_restricted_to_new_docs(spark):
             want.add((r.doc_b, r.doc_a, -r.delta, r.n_aligned))
     got = {(r.doc_id, r.dup_of, r.delta, r.n_aligned) for r in incr.itertuples()}
     assert got == want
+
+
+def test_documents_stream_phash_matches_batch_oracle(spark):
+    assert_query_matches_oracle(spark, "documents_stream_phash")
+
+
+def test_dedup_video_frames_incremental_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_video_frames_incremental")
+
+
+def test_incremental_video_is_batch_restricted_to_new_docs(spark):
+    """Same contract lock as the audio twin: incremental = batch pairs
+    restricted to (new, indexed), with identical n_shared/n_union (no hot
+    bucket exists in the fixture, so the index-side-only cap is invisible)."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import INCR_BATCH_MOD
+
+    batch = mm.dedup_video_frames(spark, SF_SMOKE).toPandas()
+    incr = mm.dedup_video_frames_incremental(spark, SF_SMOKE).toPandas()
+    want = set()
+    for r in batch.itertuples():
+        a_new, b_new = r.doc_a % INCR_BATCH_MOD == 0, r.doc_b % INCR_BATCH_MOD == 0
+        if a_new != b_new:
+            new_doc, old_doc = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            want.add((new_doc, old_doc, r.n_shared, r.n_union))
+    got = {(r.doc_id, r.dup_of, r.n_shared, r.n_union) for r in incr.itertuples()}
+    assert got == want
+
+
+def test_modality_dedup_plan_shapes(spark):
+    """Scale-posture plan asserts for the new modality operators (mirrors
+    the ExactSubstr pins): hot-bucket drops are BROADCAST anti-joins, pair
+    stages never degenerate to cartesian/nested-loop, and both incremental
+    probes keep the write-once index un-reshuffled (no sort-merge or
+    shuffled-hash join anywhere)."""
+    import re
+
+    for fn in (mm.dedup_audio_fingerprint, mm.dedup_video_frames):
+        p = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p[:3000]
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for fn in (mm.dedup_audio_fingerprint_incremental,
+               mm.dedup_video_frames_incremental):
+        p = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]

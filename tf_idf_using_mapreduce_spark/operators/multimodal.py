@@ -200,19 +200,12 @@ def _phash64(payload: bytes) -> tuple[int, int]:
     return hi, lo
 
 
-def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, ph_hi, ph_lo): the perceptual-hash index over every decodable
-    payload. The payload is the letters-only byte stream (the dedup tier's
-    ``[a-z]+`` token space, concatenated) so the fake decode is byte-exact on
-    both engines without Python-vs-SQL ``lower()`` hazards; payloads shorter
-    than ``PHASH_MIN_BYTES`` are not decodable (no grid) and drop on both
-    engines. Decode + hash runs Arrow-batched in ``mapInPandas`` — the same
-    production seam as :func:`multimodal_feature_vectors`; swap
-    :func:`_phash64` for a PIL-backed aHash and nothing else moves."""
-    docs = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        bytes_per_partition=128 * 1024,
-    )
+def image_phash_df(docs: DataFrame) -> DataFrame:
+    """DF-level core of :func:`image_phash_table`: payload synthesis + Arrow-
+    batched decode/hash over a (doc_id, text) frame. Stateless map-only, so
+    the IDENTICAL expression tree + ``mapInPandas`` seam also runs under
+    Structured Streaming (``streaming/corpus.py:documents_stream_phash``) —
+    ingest-time perceptual indexing with zero shuffle and no state store."""
     payloads = docs.select(
         "doc_id",
         F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
@@ -229,6 +222,22 @@ def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return payloads.mapInPandas(decode, "doc_id long, ph_hi long, ph_lo long")
+
+
+def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo): the perceptual-hash index over every decodable
+    payload. The payload is the letters-only byte stream (the dedup tier's
+    ``[a-z]+`` token space, concatenated) so the fake decode is byte-exact on
+    both engines without Python-vs-SQL ``lower()`` hazards; payloads shorter
+    than ``PHASH_MIN_BYTES`` are not decodable (no grid) and drop on both
+    engines. Decode + hash runs Arrow-batched in ``mapInPandas`` — the same
+    production seam as :func:`multimodal_feature_vectors`; swap
+    :func:`_phash64` for a PIL-backed aHash and nothing else moves."""
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    return image_phash_df(docs)
 
 
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,4 +996,89 @@ FROM (
   SELECT doc_a, doc_b, 'video' AS m FROM ({dedup_video_frames_oracle()})
 )
 GROUP BY doc_a, doc_b
+"""
+
+
+def dedup_video_frames_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, n_shared, n_union): INCREMENTAL video near-dup —
+    each newly arriving payload (``doc_id % INCR_BATCH_MOD = 0``) probed
+    against the already-indexed corpus, completing the incremental column of
+    the modality matrix (exact text / substring / image / audio all have
+    one). Production state is the write-once (doc_id, keyframe-hash) index
+    PLUS its per-doc distinct-frame count column — both append-only, so the
+    daily batch hashes only ITS payloads, broadcasts them into the index
+    (never reshuffled through a join), and the Jaccard >= 1/2 test runs in
+    exact integers against the stored counts. Hot index hashes are excluded
+    as in the batch operator (cap on the index side only, mirrored in the
+    oracle); batch-internal pairs are out of contract."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+        _drop_hot_buckets,
+    )
+
+    vfh = (
+        video_frame_table(spark, sf_dir)
+        .select("doc_id", "ph_hi", "ph_lo")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = vfh.where(~is_new)
+    idx_cold = _drop_hot_buckets(idx, ["ph_hi", "ph_lo"], LSH_BUCKET_CAP)
+    new = vfh.where(is_new).select(
+        F.col("doc_id").alias("new_id"), "ph_hi", "ph_lo"
+    )
+    # per-doc distinct-frame counts: index side is stored state in
+    # production (recomputed here from the fixture); batch side is batch-sized
+    icnt = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_idx"))
+    ncnt = new.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_new"))
+    shared = (
+        idx_cold.join(F.broadcast(new), ["ph_hi", "ph_lo"])
+        .groupBy(F.col("new_id").alias("doc_id"), F.col("doc_id").alias("dup_of"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    probe = shared.join(
+        F.broadcast(ncnt.withColumnRenamed("new_id", "doc_id")), "doc_id"
+    )
+    return (
+        icnt.withColumnRenamed("doc_id", "dup_of")
+        .join(F.broadcast(probe), "dup_of")
+        .where(3 * F.col("n_shared") >= F.col("n_new") + F.col("n_idx"))
+        .select(
+            "doc_id", "dup_of", "n_shared",
+            (F.col("n_new") + F.col("n_idx") - F.col("n_shared")).alias("n_union"),
+        )
+    )
+
+
+def dedup_video_frames_incremental_oracle() -> str:
+    from tf_idf_using_mapreduce_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        LSH_BUCKET_CAP,
+    )
+
+    return f"""
+WITH {_video_frames_cte()},
+dh AS (SELECT DISTINCT doc_id, ph_hi, ph_lo FROM vfh),
+idx AS (SELECT * FROM dh WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+hot AS (SELECT ph_hi, ph_lo FROM idx GROUP BY ph_hi, ph_lo
+        HAVING count(*) > {LSH_BUCKET_CAP}),
+cold AS (SELECT * FROM idx d
+         WHERE NOT EXISTS (SELECT 1 FROM hot h
+                           WHERE h.ph_hi = d.ph_hi AND h.ph_lo = d.ph_lo)),
+newb AS (SELECT * FROM dh WHERE doc_id % {INCR_BATCH_MOD} = 0),
+icnt AS (SELECT doc_id, count(*) AS n_idx FROM idx GROUP BY doc_id),
+ncnt AS (SELECT doc_id, count(*) AS n_new FROM newb GROUP BY doc_id),
+shared AS (
+  SELECT n.doc_id AS doc_id, i.doc_id AS dup_of, count(*) AS n_shared
+  FROM newb n JOIN cold i ON n.ph_hi = i.ph_hi AND n.ph_lo = i.ph_lo
+  GROUP BY n.doc_id, i.doc_id
+)
+SELECT s.doc_id, s.dup_of, s.n_shared,
+       nc.n_new + ic.n_idx - s.n_shared AS n_union
+FROM shared s
+JOIN ncnt nc ON nc.doc_id = s.doc_id
+JOIN icnt ic ON ic.doc_id = s.dup_of
+WHERE 3 * s.n_shared >= nc.n_new + ic.n_idx
 """

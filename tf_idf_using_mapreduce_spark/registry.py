@@ -275,6 +275,10 @@ register("dedup_audio_fingerprint_incremental", _mm.dedup_audio_fingerprint_incr
          _mm.dedup_audio_fingerprint_incremental_oracle())
 register("neardup_modality_agreement", _mm.neardup_modality_agreement,
          _mm.neardup_modality_agreement_oracle())
+register("documents_stream_phash", _stream_corpus.documents_stream_phash,
+         _mm.multimodal_phash_oracle())
+register("dedup_video_frames_incremental", _mm.dedup_video_frames_incremental,
+         _mm.dedup_video_frames_incremental_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)

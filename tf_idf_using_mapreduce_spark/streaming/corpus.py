@@ -127,3 +127,23 @@ def documents_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     result_name = "documents_stream_pii_result"
     run_stream_to_memory(pii_redaction_df(stream), result_name, output_mode="append")
     return spark.table(result_name)
+
+
+def documents_stream_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo): the multimodal perceptual-hash index built AT
+    INGEST TIME — the image tier's Arrow-batched decode + aHash seam
+    (``operators/multimodal.py:image_phash_df``) running unchanged on the
+    file stream, proving the multimodal decode path is streaming-safe:
+    ``mapInPandas`` is stateless, so microbatches stay map-only (no
+    watermark, no state store, zero shuffle at any landing rate). In
+    production this is how payload near-dup INDEXING keeps up with a
+    crawler: hash on landing, probe the write-once index incrementally
+    (``dedup_image_phash_incremental``), never re-scan the corpus. The audio
+    fingerprint and video keyframe tables ride the identical seam. Pinned by
+    the same DuckDB oracle as the batch ``multimodal_phash``."""
+    from tf_idf_using_mapreduce_spark.operators.multimodal import image_phash_df
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_phash_result"
+    run_stream_to_memory(image_phash_df(stream), result_name, output_mode="append")
+    return spark.table(result_name)
