@@ -686,3 +686,98 @@ def test_dedup_substring_incremental_finds_cross_split_boilerplate(spark):
     assert (got["span_len"] == len(LICENSE)).all()
     for r in got.itertuples():
         assert (r.pos_new, r.pos_idx) == (offsets[r.doc_id], offsets[r.dup_of])
+
+
+# --------------------------------------------------------------------------- #
+# round-11: bloom-pruned incremental exact dedup
+# --------------------------------------------------------------------------- #
+
+def test_dedup_incremental_bloom_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "dedup_incremental_bloom")
+
+
+def test_dedup_incremental_bloom_finds_injected_cross_batch_dups(spark):
+    """Exact copies injected across the batch boundary are matched to the
+    EARLIEST index copy; novel batch docs report dup_of NULL; batch-internal
+    copies (both doc_ids % INCR_BATCH_MOD == 0) are NOT matched — the
+    operator probes the index only, like dedup_incremental. Also
+    cross-checks the DuckDB oracle on the injected corpus."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    mod = dedup.INCR_BATCH_MOD
+    rows = []
+    # index docs: ids 1..9 skipping multiples of mod
+    for d in range(1, 10):
+        if d % mod == 0:
+            continue
+        rows.append((d, f"index doc {_az(d)} " + " ".join(_az(i) for i in range(30))))
+    text_of = dict(rows)
+    # a second INDEX copy of doc 2's text with a higher id: min() must win
+    rows = [(d, text_of[2] if d == 8 else t) for d, t in rows]
+    rows.append((10, text_of[2]))          # batch dup of index docs 2 and 8
+    rows.append((15, text_of[2]))          # second batch copy of the same text
+    rows.append((20, "novel batch doc " + " ".join(_az(i) for i in range(25))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = dedup.dedup_incremental_bloom(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_incremental_bloom"]).df()
+        con.close()
+    by_id = {int(r.doc_id): r for r in got.itertuples()}
+    assert set(by_id) == {10, 15, 20}          # one row per batch doc
+    assert by_id[10].dup_of == 2 and bool(by_id[10].is_dup)
+    assert by_id[15].dup_of == 2 and bool(by_id[15].is_dup)
+    import pandas as pd
+    assert pd.isna(by_id[20].dup_of) and not bool(by_id[20].is_dup)
+    assert canon_rows(got) == canon_rows(ora)
+
+
+def test_dedup_incremental_bloom_plan_broadcasts_filter(spark):
+    """The index side (the 100 TB side) never reshuffles and never
+    broadcasts whole: the bloom probes are broadcast LeftSemi joins into
+    the batch scan, the confirm join broadcasts the PRUNED BATCH into the
+    index, and no SortMergeJoin/ShuffledHashJoin appears anywhere."""
+    p = (dedup.dedup_incremental_bloom(spark, SF_SMOKE)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+    assert p.count("LeftSemi") >= dedup.BLOOM_HASHES, p[:3000]
+    # the only Inner broadcast join must build the pruned-batch side: its
+    # build subtree carries the LeftSemi probes, so an index-side build
+    # (no LeftSemi below the BroadcastExchange) would fail this scan
+    import re
+    inner = [m.start() for m in re.finditer(r"BroadcastHashJoin \[h#\d+\], \[h#\d+\], Inner", p)]
+    assert len(inner) == 1, p[:3000]
+
+
+def test_dedup_incremental_bloom_filter_never_drops_a_match(spark):
+    """No false negatives: the bloom-pruned result equals the UNFILTERED
+    batch-vs-index exact probe on the smoke fixture (the filter may only
+    remove rows the confirm join would reject anyway)."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.md5("text").alias("h"))
+    is_new = F.col("doc_id") % dedup.INCR_BATCH_MOD == 0
+    plain = (
+        docs.where(is_new).select("doc_id", "h")
+        .join(docs.where(~is_new).select(F.col("doc_id").alias("dup_of"), "h"), "h")
+        .groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+    )
+    plain_rows = {(r["doc_id"], r["dup_of"]) for r in plain.collect()}
+    got = dedup.dedup_incremental_bloom(spark, SF_SMOKE).collect()
+    got_rows = {(r["doc_id"], r["dup_of"]) for r in got if r["is_dup"]}
+    assert got_rows == plain_rows
+    # and the report covers the whole batch
+    assert len(got) == docs.where(is_new).count()

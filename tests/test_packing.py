@@ -283,3 +283,111 @@ def test_pinned_oracle_guard_fails_loud_when_fixture_outgrows_floor(spark):
     with mock.patch.object(pk, "_input_bytes", return_value=100 * (1 << 30)):
         with _pytest.raises(ValueError, match="Re-pin the oracle"):
             pk._shard_count_for_pinned_oracle(docs, pk.SHUFFLE_SHARDS, "corpus_shuffle")
+
+
+# --------------------------------------------------------------------------- #
+# round-11: intra-document chunk dedup (apply step)
+# --------------------------------------------------------------------------- #
+
+def test_doc_chunk_dedup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "doc_chunk_dedup")
+
+
+def test_doc_chunk_dedup_removes_repeated_chunk_keeps_first(spark):
+    """A document whose token stream repeats the same CHUNK_LEN-token block
+    three times keeps exactly ONE copy at its first position; a document
+    with all-distinct chunks is untouched; an empty document survives with
+    empty clean_text (apply semantics: every doc has an output row)."""
+    import tempfile
+
+    k = pk.CHUNK_LEN
+    block = [f"rep{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(k)]
+    tailc = [f"tail{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(k)]
+    uniq = [f"uni{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(2 * k)]
+    rows = [
+        (0, " ".join(block + block + block + tailc)),  # 4 chunks, 2 dropped
+        (1, " ".join(uniq)),                           # 2 chunks, none dropped
+        (2, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = {r["doc_id"]: r for r in pk.doc_chunk_dedup(spark, tmp).collect()}
+    assert got[0]["n_chunks"] == 4 and got[0]["n_dropped"] == 2
+    assert got[0]["clean_text"] == " ".join(block + tailc)
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dropped"] == 0
+    assert got[1]["clean_text"] == " ".join(uniq)
+    assert got[2]["n_chunks"] == 0 and got[2]["n_dropped"] == 0
+    assert got[2]["clean_text"] == ""
+
+
+def test_doc_chunk_dedup_plan_is_map_only(spark):
+    """Apply semantics at any scale: per-document array math, no Exchange
+    anywhere in the plan."""
+    p = (pk.doc_chunk_dedup(spark, SF_SMOKE)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p, p[:2000]
+
+
+# --------------------------------------------------------------------------- #
+# round-11: z-order layout
+# --------------------------------------------------------------------------- #
+
+def test_zorder_layout_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "zorder_layout")
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The Morton expression equals a bit-twiddling Python reference on a
+    grid of sample coordinates, on BOTH dialects."""
+    import duckdb
+
+    def ref(x, y, bits=pk.ZORDER_GRID_BITS):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 2, 85, 255)]
+    sdf = spark.createDataFrame(pts, "gx int, gy int")
+    zs = pk._interleave_expr("gx", "gy", pk.ZORDER_GRID_BITS, spark_side=True)
+    got_s = {(r["gx"], r["gy"]): r["z"]
+             for r in sdf.selectExpr("gx", "gy", f"{zs} as z").collect()}
+    zd = pk._interleave_expr("gx", "gy", pk.ZORDER_GRID_BITS, spark_side=False)
+    con = duckdb.connect()
+    vals = ", ".join(f"({x}, {y})" for x, y in pts)
+    got_d = {(x, y): z for x, y, z in con.sql(
+        f"SELECT gx, gy, {zd} AS z FROM (VALUES {vals}) t(gx, gy)").fetchall()}
+    con.close()
+    for p_ in pts:
+        assert got_s[p_] == ref(*p_) == got_d[p_], p_
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The layout claim itself: every z-bucket's footer rectangle spans a
+    BOUNDED fraction of BOTH key domains — with 64 buckets (3 z-levels per
+    axis) each side spans <= 1/4 of its domain plus one grid cell — so a
+    point predicate on either key prunes >= ~3/4 of the would-be files.
+    A single-key linear layout bounds one dimension and leaves the other
+    at 100% — asserted as the contrast."""
+    rows = pk.zorder_layout(spark, SF_SMOKE).collect()
+    assert rows and sum(r["n"] for r in rows) == \
+        load_table(spark, SF_SMOKE, "lineitem").count()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    pk_max, sk_max = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    # one 256-grid cell in original units (domain mapped onto 256 slots)
+    cell_pk = (pk_max + 1) / 256.0
+    cell_sk = (sk_max + 1) / 256.0
+    for r in rows:
+        assert r["pk_max"] - r["pk_min"] <= (pk_max + 1) / 4.0 + cell_pk, r
+        assert r["sk_max"] - r["sk_min"] <= (sk_max + 1) / 4.0 + cell_sk, r
+    # the contrast: bucketing BY ONE KEY leaves the other dimension's span
+    # at (essentially) the full domain
+    by_pk = (
+        li.select(F.expr(f"cast(l_partkey * 64.0 / ({pk_max} + 1) as int)").alias("b"),
+                  "l_suppkey")
+        .groupBy("b").agg((F.max("l_suppkey") - F.min("l_suppkey")).alias("span"))
+        .agg(F.max("span")).first()[0]
+    )
+    assert by_pk >= sk_max * 0.9

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, assert_query_matches_oracle
 from tf_idf_using_mapreduce_spark.operators import similarity as sim
@@ -511,3 +512,50 @@ def test_anchor_cache_refreshes_when_dir_contents_change(spark):
         assert len(a60) == sim.N_CENTROIDS
         # different corpus -> different sampled anchors (rng seeds differ)
         assert [r["v"] for r in a60] != [r["v"] for r in a30]
+
+
+# --------------------------------------------------------------------------- #
+# round-11: coverage-aware diverse sampling
+# --------------------------------------------------------------------------- #
+
+def test_diverse_sample_ivf_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "diverse_sample_ivf")
+
+
+def test_diverse_sample_covers_every_occupied_cell(spark):
+    """Every IVF cell with members contributes 1..DIVERSE_PER_CELL
+    representatives with contiguous ranks from 1, ordered by descending
+    rounded affinity (ties to the lowest vec_id) — the coverage guarantee
+    that distinguishes this from top-N-by-score global sampling."""
+    rows = sim.diverse_sample_ivf(spark, SF_SMOKE).collect()
+    assert rows
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["cid"], []).append(r)
+    assigned = sim._ivf_assign(spark, SF_SMOKE)
+    occupied = {r["cid"] for r in assigned.select("cid").distinct().collect()}
+    assert set(cells) == occupied
+    for cid, members in cells.items():
+        members.sort(key=lambda r: r["rk"])
+        assert [m["rk"] for m in members] == list(range(1, len(members) + 1))
+        assert len(members) <= sim.DIVERSE_PER_CELL
+        key = [(-m["aff"], m["vec_id"]) for m in members]
+        assert key == sorted(key)
+
+
+def test_diverse_sample_keeps_most_prototypical_member(spark):
+    """Rank-1 of each cell is the cell's maximum rounded affinity (ties to
+    min vec_id) — verified against the raw assignment frame."""
+    assigned = {r["cid"]: r for r in (
+        sim._ivf_assign(spark, SF_SMOKE)
+        .groupBy("cid")
+        .agg(F.max(F.struct(F.col("aff"), (-F.col("vec_id")).alias("nid"))).alias("m"))
+        .select("cid", F.col("m.aff").alias("aff"), (-F.col("m.nid")).alias("vec_id"))
+        .collect()
+    )}
+    top = {r["cid"]: r for r in sim.diverse_sample_ivf(spark, SF_SMOKE)
+           .where(F.col("rk") == 1).collect()}
+    assert set(top) == set(assigned)
+    for cid, r in top.items():
+        assert r["aff"] == assigned[cid]["aff"]
+        assert r["vec_id"] == assigned[cid]["vec_id"]

@@ -959,6 +959,108 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 
 
 # --------------------------------------------------------------------------- #
+# bloom-pruned incremental EXACT dedup
+# --------------------------------------------------------------------------- #
+
+# bloom sizing: m bit positions shared by BLOOM_HASHES independent hashes.
+# The broadcast "filter" is the DISTINCT set of occupied positions — at most
+# min(BLOOM_HASHES * index_rows, BLOOM_BITS) rows of one int, so its size
+# SATURATES at BLOOM_BITS longs (~8 MB at 2^20) no matter how large the
+# index grows; false-positive rate ≈ occupancy^BLOOM_HASHES.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 2
+
+
+def _bloom_positions(h: str) -> list:
+    """The BLOOM_HASHES bit positions of md5-hex column ``h`` — k seeded
+    xxhash64 probes mod BLOOM_BITS. Free choice of hash family: the filter
+    only PRUNES (no false negatives — a true match's positions are occupied
+    by the index copy of the identical md5), so the oracle never needs to
+    mirror it."""
+    return [
+        F.pmod(F.xxhash64(F.col(h), F.lit(seed)), F.lit(BLOOM_BITS)).alias(f"p{seed}")
+        for seed in range(BLOOM_HASHES)
+    ]
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dup_of, is_dup): the daily-batch exact-dedup REPORT — every
+    newly arriving document (fixture split: ``doc_id % INCR_BATCH_MOD = 0``,
+    the :func:`dedup_incremental` contract) with the earliest already-
+    indexed EXACT (md5) duplicate as ``dup_of`` (NULL when the document is
+    novel) — the steady-state daily twin of :func:`dedup_exact`, with a
+    BLOOM-filter pre-probe. One row per batch document, match or not: the
+    report is what the ingest job acts on (route dups to quarantine, novel
+    docs to the index append).
+
+    Scale shape — why the bloom leg exists: at 100 TB the INDEX side is the
+    whole historical corpus, so NOTHING may reshuffle it. The index
+    aggregates its occupied bit positions ONCE (write-once state, appended
+    per batch in production, like the LSH band table), the ≤ 8 MB position
+    set broadcasts, and every batch row whose k positions aren't all
+    occupied — at typical dup rates, almost all of them — drops map-side
+    before the confirm join even sees it. The confirm join then broadcasts
+    the PRUNED batch into the index scan (never the reverse — plan-asserted
+    like dedup_incremental's band probe), and in production lands on a
+    bucketed-by-hash index so survivors touch only their bucket. No false
+    negatives (identical md5 ⇒ identical positions), so results are EXACTLY
+    the unfiltered probe's and the oracle is the plain exact-match SQL;
+    false positives only cost confirm-join work.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = docs.where(~is_new)
+    batch = docs.where(is_new)
+    # occupied-position set: explode k probes per index row, distinct —
+    # bounded by BLOOM_BITS rows regardless of index size. Lineage cut:
+    # BLOOM_HASHES broadcast consumers below must not re-scan the index to
+    # rebuild the same set
+    occupied = (
+        idx.select(F.explode(F.array(*_bloom_positions("h"))).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pruned = batch
+    for seed in range(BLOOM_HASHES):
+        probe = F.pmod(F.xxhash64(F.col("h"), F.lit(seed)), F.lit(BLOOM_BITS))
+        pruned = pruned.join(
+            F.broadcast(occupied),
+            probe == F.col("pos"),
+            "left_semi",
+        )
+    # confirm join: the PRUNED BATCH broadcasts into the index — the index
+    # (the 100 TB side) never reshuffles, same discipline as
+    # dedup_incremental's band probe
+    matches = (
+        idx.select(F.col("doc_id").alias("dup_of"), "h")
+        .join(F.broadcast(pruned), "h")
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(F.broadcast(matches), "doc_id", "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+    )
+
+
+DEDUP_INCREMENTAL_BLOOM_ORACLE = f"""
+WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+idx AS (SELECT * FROM hashed WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+batch AS (SELECT * FROM hashed WHERE doc_id % {INCR_BATCH_MOD} = 0),
+matches AS (
+  SELECT b.doc_id, min(i.doc_id) AS dup_of
+  FROM batch b JOIN idx i ON i.h = b.h
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id, m.dup_of, (m.dup_of IS NOT NULL) AS is_dup
+FROM batch b LEFT JOIN matches m ON m.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------------- #
 

@@ -434,3 +434,181 @@ SELECT bucket_id, shard,
 FROM ranked
 GROUP BY bucket_id, shard, CAST(floor((rn - 1) / {BATCH_DOCS}) AS BIGINT)
 """
+
+
+# --------------------------------------------------------------------------- #
+# intra-document chunk dedup (apply step)
+# --------------------------------------------------------------------------- #
+
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chunks, n_dropped, clean_text): remove REPEATED
+    ``CHUNK_LEN``-token chunks WITHIN each document, keeping the first
+    occurrence in document order and reassembling the cleaned text — the
+    intra-document repetition APPLY step (the RefinedWeb-style repeated-
+    passage removal, done at chunk granularity because the fixture corpus
+    has no line structure). :func:`curation.doc_repetition` is the census
+    (trigram dup ratio, filter decision); this is the edit. Cross-document
+    repeats are the ExactSubstr family's job (``dedup_substring_apply``).
+
+    Scale shape: MAP-ONLY — chunking, first-occurrence dedup
+    (``array_distinct`` preserves first-occurrence order), and reassembly
+    are per-row array math; every document survives (apply semantics), no
+    exchange at any corpus size. The oracle proves the order contract with
+    an explicit ordinality window instead of relying on DuckDB's
+    list_distinct ordering."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = CHUNK_LEN
+    chunks = (
+        "CASE WHEN size(toks) > 0 THEN "
+        f"transform(sequence(0, cast(ceil(size(toks) / {k}.0) as int) - 1), "
+        f"i -> concat_ws(' ', slice(toks, i * {k} + 1, {k}))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select("doc_id", F.expr(chunks).alias("chunks"))
+        .select(
+            "doc_id",
+            F.expr("cast(size(chunks) as bigint)").alias("n_chunks"),
+            F.expr(
+                "cast(size(chunks) - size(array_distinct(chunks)) as bigint)"
+            ).alias("n_dropped"),
+            F.expr("concat_ws(' ', array_distinct(chunks))").alias("clean_text"),
+        )
+    )
+
+
+DOC_CHUNK_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+ix AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_LEN}.0) AS INT))) AS ci
+  FROM toks WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, ci,
+         array_to_string(list_slice(toks, ci * {CHUNK_LEN} + 1,
+                                    ci * {CHUNK_LEN} + {CHUNK_LEN}), ' ') AS chunk
+  FROM ix
+),
+firsts AS (
+  SELECT doc_id, ci, chunk,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ci) AS rn
+  FROM ch
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         count(*) FILTER (WHERE rn > 1) AS n_dropped,
+         string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rn = 1) AS clean_text
+  FROM firsts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------- #
+# z-order layout (data-skipping clustering)
+# --------------------------------------------------------------------------- #
+
+ZORDER_GRID_BITS = 8          # grid resolution per dimension (256 x 256)
+ZORDER_BUCKET_SHIFT = 10      # 2*8-bit z-values >> 10 -> 64 layout buckets
+
+
+def _interleave_expr(gx: str, gy: str, bits: int, spark_side: bool) -> str:
+    """Bit-interleaved z-value of two ``bits``-wide grid coordinates: x in
+    the even bit positions, y in the odd — the Morton curve, as a plain
+    total expression in either dialect (no UDF; ``bits`` terms per input)."""
+    terms = []
+    for i in range(bits):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({gx}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({gy}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n, pk_min, pk_max, sk_min, sk_max): lineitem clustered into
+    64 layout buckets by the Z-ORDER (Morton) value of (l_partkey,
+    l_suppkey) — the write-side data-layout operator that makes parquet
+    min/max footer pruning effective on BOTH filter columns at once. Each
+    output row is one would-be file's footer stats: because the Morton
+    curve maps bucket-contiguous z-ranges to BOUNDED rectangles in
+    (partkey, suppkey) space, every bucket spans ~1/2^ceil(b/2) of each
+    dimension instead of (linear layout) all of one and 100% of the other —
+    so a predicate on EITHER key prunes ~that fraction of files at the
+    scan, before any I/O. At 100 TB this is the difference between a scan
+    that touches 1/16 of the files and one that touches all of them.
+
+    Scale shape: grid bounds are one scalar aggregate (broadcast single-row
+    cross join, the engine's blessed pattern for corpus-level constants);
+    the z-value is per-row bit math; the layout report is one hash
+    aggregation on the bucket id. In production the same z expression feeds
+    ``repartitionByRange(z).sortWithinPartitions(z)`` + parquet write; the
+    report form keeps the operator oracled end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.coalesce(F.max("l_partkey"), F.lit(0)).alias("max_pk"),
+        F.coalesce(F.max("l_suppkey"), F.lit(0)).alias("max_sk"),
+    )
+    side = 1 << ZORDER_GRID_BITS
+    grid = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            f"cast(floor(l_partkey * {side}.0 / (max_pk + 1)) as int)"
+        ).alias("gx"),
+        F.expr(
+            f"cast(floor(l_suppkey * {side}.0 / (max_sk + 1)) as int)"
+        ).alias("gy"),
+    )
+    z = _interleave_expr("gx", "gy", ZORDER_GRID_BITS, spark_side=True)
+    return (
+        grid.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"cast(shiftright({z}, {ZORDER_BUCKET_SHIFT}) as bigint)").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_suppkey").alias("sk_min"),
+            F.max("l_suppkey").alias("sk_max"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    side = 1 << ZORDER_GRID_BITS
+    z = _interleave_expr("gx", "gy", ZORDER_GRID_BITS, spark_side=False)
+    return f"""
+WITH bounds AS (
+  SELECT coalesce(max(l_partkey), 0) AS max_pk,
+         coalesce(max(l_suppkey), 0) AS max_sk
+  FROM lineitem
+),
+grid AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_partkey * {side}.0 / (max_pk + 1)) AS INT) AS gx,
+         CAST(floor(l_suppkey * {side}.0 / (max_sk + 1)) AS INT) AS gy
+  FROM lineitem CROSS JOIN bounds
+)
+SELECT CAST({z} >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+FROM grid
+GROUP BY 1
+"""
+
+
+ZORDER_LAYOUT_ORACLE = _zorder_oracle()

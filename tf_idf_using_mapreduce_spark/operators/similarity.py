@@ -747,6 +747,75 @@ FROM full_t f JOIN keeper k ON k.cluster_id = f.cluster_id
 """
 
 
+# representatives kept per IVF cell by the coverage sampler
+DIVERSE_PER_CELL = 3
+
+
+def diverse_sample_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, aff, rk): coverage-aware diverse sampling — keep the
+    ``DIVERSE_PER_CELL`` most-prototypical members (highest COS_ROUND-rounded
+    affinity to the cell anchor, ties to the lowest vec_id) of EVERY IVF
+    cell. The data-selection counterpart of :func:`semdedup_prune`: where
+    SemDeDup removes redundancy inside semantic-duplicate groups, this picks
+    a small subset that still SPANS the embedding space — every occupied
+    quantizer slot contributes, so no region of the corpus is silently
+    dropped (the k-center coverage objective, greedily approximated by the
+    quantizer's own partition).
+
+    Scale shape: ONE Arrow assignment pass (:func:`_ivf_assign`, shared
+    machinery with the dedup/semdedup tier), then a window partitioned by
+    CELL — per-task work is bounded by cell occupancy, which the
+    ``_derive_ivf_cells`` law holds at ~125 mean regardless of corpus size.
+    No global window, no collect; output is O(cells · DIVERSE_PER_CELL).
+    Fully oracled: the md5-anchor quantizer is SQL-expressible, and the
+    affinity is rounded at COS_ROUND before ranking in BOTH engines."""
+    corpus = _ivf_assign(spark, sf_dir)
+    if corpus is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cid long, aff double, rk long"
+        )
+    w = Window.partitionBy("cid").orderBy(F.desc("aff"), F.asc("vec_id"))
+    return (
+        corpus.select("vec_id", F.col("cid").cast("long").alias("cid"), "aff")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= DIVERSE_PER_CELL)
+    )
+
+
+DIVERSE_SAMPLE_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
+                  {duck_norm(duck_cast_double('embedding'))} AS nrm
+           FROM embeddings WHERE nrm > 0),
+params AS (SELECT greatest({N_CENTROIDS}, least({IVF_DEDUP_MAX_CELLS},
+                  CAST(ceil(CAST(count(*) AS DOUBLE) / {IVF_TARGET_CELL}) AS INT))) AS nc
+           FROM embeddings),
+anchors AS (
+  SELECT cid, av, an FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           v AS av, nrm AS an
+    FROM e
+  ) ranked, params p
+  WHERE ranked.cid < p.nc
+),
+affinity AS (
+  SELECT e.vec_id, a.cid,
+         round({duck_dot('e.v', 'a.av')} / (e.nrm * a.an), {COS_ROUND}) AS aff,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({duck_dot('e.v', 'a.av')} / (e.nrm * a.an), {COS_ROUND}) DESC,
+                    a.cid ASC) AS rn
+  FROM e CROSS JOIN anchors a
+),
+assigned AS (SELECT vec_id, cid, aff FROM affinity WHERE rn = 1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, aff, rk FROM (
+  SELECT vec_id, cid, aff,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY aff DESC, vec_id ASC) AS rk
+  FROM assigned
+) ranked WHERE rk <= {DIVERSE_PER_CELL}
+"""
+
+
 TOP_PAIRS = 20
 
 

@@ -280,6 +280,13 @@ register("documents_stream_phash", _stream_corpus.documents_stream_phash,
 register("dedup_video_frames_incremental", _mm.dedup_video_frames_incremental,
          _mm.dedup_video_frames_incremental_oracle())
 
+# -- round 11, second half: layout / selection / bloom-pruned dedup tier ----
+register("dedup_incremental_bloom", _dedup.dedup_incremental_bloom,
+         _dedup.DEDUP_INCREMENTAL_BLOOM_ORACLE)
+register("diverse_sample_ivf", _sim.diverse_sample_ivf, _sim.DIVERSE_SAMPLE_IVF_ORACLE)
+register("doc_chunk_dedup", _pack.doc_chunk_dedup, _pack.DOC_CHUNK_DEDUP_ORACLE)
+register("zorder_layout", _pack.zorder_layout, _pack.ZORDER_LAYOUT_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
