@@ -434,3 +434,21 @@ def test_documents_stream_quality_matches_batch(spark):
 
 def test_documents_stream_quality_oracle_parity(spark):
     assert_query_matches_oracle(spark, "documents_stream_quality")
+
+
+def test_documents_stream_chunk_dedup_matches_batch(spark):
+    """Ingest-time repetition scrub: the streaming run must produce the
+    exact same cleaned text and drop counts as the batch apply step (same
+    expression tree, same oracle) — the batch↔stream portability contract."""
+    from tf_idf_using_mapreduce_spark.operators.packing import doc_chunk_dedup
+    from tf_idf_using_mapreduce_spark.streaming.corpus import (
+        documents_stream_chunk_dedup,
+    )
+
+    batch = sorted(map(tuple, doc_chunk_dedup(spark, SF_SMOKE).collect()))
+    stream = sorted(map(tuple, documents_stream_chunk_dedup(spark, SF_SMOKE).collect()))
+    assert stream == batch and batch
+
+
+def test_documents_stream_chunk_dedup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "documents_stream_chunk_dedup")

@@ -378,3 +378,45 @@ def test_token_drift_null_doc_id_counts_in_neither_side(spark):
     # 'delta' (NULL-id doc only) carries Laplace-only mass on both sides
     row = spdf[spdf["term"] == "delta"].iloc[0]
     assert row["p_a"] == row["p_b"]
+
+
+# --------------------------------------------------------------------------- #
+# round-11: per-source quality rollup
+# --------------------------------------------------------------------------- #
+
+def test_source_quality_rollup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "source_quality_rollup")
+
+
+def test_source_quality_rollup_semantics(spark):
+    """dup_docs counts every member of an exact-dup group (including
+    cross-source copies) in its own source's row; NULL text stays out of
+    the quality means but in n_docs; keep_share agrees with the registered
+    quality classifier's keep labels."""
+    import tempfile
+
+    from tf_idf_using_mapreduce_spark.operators import textstats as ts
+
+    good = ("the and is in it of to a with that " * 8).strip()   # stopword-rich
+    rows = [
+        (0, good + " alpha", "en", "web"),
+        (1, good + " alpha", "en", "web"),     # exact dup inside web
+        (2, good + " alpha", "de", "books"),   # cross-source copy of the same text
+        (3, good + " beta", "en", "books"),    # unique
+        (4, None, "en", "books"),              # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = {r["source"]: r for r in ts.source_quality_rollup(spark, tmp).collect()}
+        q = {r["doc_id"]: r for r in ts.quality_classifier(spark, tmp).collect()}
+    assert got["web"]["n_docs"] == 2 and got["web"]["dup_docs"] == 2
+    assert got["books"]["n_docs"] == 3 and got["books"]["dup_docs"] == 1
+    assert got["web"]["n_langs"] == 1 and got["books"]["n_langs"] == 2
+    # NULL text: books' means average docs 2 and 3 only
+    # compare against the UNROUNDED mean at the rounding half-width (the
+    # engines round half-away-from-zero, Python rounds half-even)
+    probs = [q[2]["quality_prob"], q[3]["quality_prob"]]
+    assert abs(got["books"]["mean_quality"] - sum(probs) / 2) < 6e-7
+    keeps = [1.0 if q[d]["quality_label"] == "keep" else 0.0 for d in (2, 3)]
+    assert abs(got["books"]["keep_share"] - sum(keeps) / 2) < 6e-7

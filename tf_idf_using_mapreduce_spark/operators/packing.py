@@ -440,23 +440,10 @@ GROUP BY bucket_id, shard, CAST(floor((rn - 1) / {BATCH_DOCS}) AS BIGINT)
 # intra-document chunk dedup (apply step)
 # --------------------------------------------------------------------------- #
 
-def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chunks, n_dropped, clean_text): remove REPEATED
-    ``CHUNK_LEN``-token chunks WITHIN each document, keeping the first
-    occurrence in document order and reassembling the cleaned text — the
-    intra-document repetition APPLY step (the RefinedWeb-style repeated-
-    passage removal, done at chunk granularity because the fixture corpus
-    has no line structure). :func:`curation.doc_repetition` is the census
-    (trigram dup ratio, filter decision); this is the edit. Cross-document
-    repeats are the ExactSubstr family's job (``dedup_substring_apply``).
-
-    Scale shape: MAP-ONLY — chunking, first-occurrence dedup
-    (``array_distinct`` preserves first-occurrence order), and reassembly
-    are per-row array math; every document survives (apply semantics), no
-    exchange at any corpus size. The oracle proves the order contract with
-    an explicit ordinality window instead of relying on DuckDB's
-    list_distinct ordering."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def doc_chunk_dedup_df(docs: DataFrame) -> DataFrame:
+    """Expression form of :func:`doc_chunk_dedup` over any (doc_id, text)
+    frame — reused verbatim by the streaming twin (map-only ⇒ trivially
+    streaming-safe: no watermark, no state store)."""
     k = CHUNK_LEN
     chunks = (
         "CASE WHEN size(toks) > 0 THEN "
@@ -475,6 +462,27 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped"),
             F.expr("concat_ws(' ', array_distinct(chunks))").alias("clean_text"),
         )
+    )
+
+
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chunks, n_dropped, clean_text): remove REPEATED
+    ``CHUNK_LEN``-token chunks WITHIN each document, keeping the first
+    occurrence in document order and reassembling the cleaned text — the
+    intra-document repetition APPLY step (the RefinedWeb-style repeated-
+    passage removal, done at chunk granularity because the fixture corpus
+    has no line structure). :func:`curation.doc_repetition` is the census
+    (trigram dup ratio, filter decision); this is the edit. Cross-document
+    repeats are the ExactSubstr family's job (``dedup_substring_apply``).
+
+    Scale shape: MAP-ONLY — chunking, first-occurrence dedup
+    (``array_distinct`` preserves first-occurrence order), and reassembly
+    are per-row array math; every document survives (apply semantics), no
+    exchange at any corpus size. The oracle proves the order contract with
+    an explicit ordinality window instead of relying on DuckDB's
+    list_distinct ordering."""
+    return doc_chunk_dedup_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
 
 

@@ -1027,3 +1027,103 @@ SELECT n_docs, n_null_text, total_tokens, vocab_size,
        n_sources, n_langs, exact_dup_docs
 FROM base, vocab, dups
 """
+
+
+# --------------------------------------------------------------------------- #
+# per-source quality rollup (mixture-decision input)
+# --------------------------------------------------------------------------- #
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_langs, mean_quality, keep_share, dup_docs): the
+    per-SOURCE intake report a mixture designer reads before setting
+    sampling weights — corpus share, language breadth, model-based quality
+    mass (mean prob + share passing the keep gate), and how much of the
+    source is exact-duplicated text ANYWHERE in the corpus (boilerplate-
+    heavy sources show up here first). Composes the registered quality
+    expression (:func:`quality_classifier_df`'s feature tree, inlined so
+    source/lang ride the same scan) with the dedup_exact hash census.
+
+    Scale shape: one scan computes md5 + quality per row; the hash census
+    is the same groupBy as ``dedup_exact``; the flag-back join shuffles on
+    the hash (both sides already hash-clustered from the census); the final
+    rollup is one hash aggregation with O(sources) output. NULL text scores
+    NULL quality (excluded from the means, counted in n_docs) and has a
+    NULL hash — LEFT join semantics keep those rows (NULL keys never match
+    in either engine), dup_docs counts them as unduplicated."""
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    n_tok = f"size({toks})"
+    n_stop = _count_in_list(toks, _QUALITY_STOPS)
+    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
+    mtl = (
+        f"(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
+        f" / greatest({n_tok}, 1))"
+    )
+    alpha = (
+        "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
+        " / greatest(length(text), 1))"
+    )
+    prob = (
+        f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})),"
+        f" {QUALITY_ROUND})"
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        "lang", "source",
+        F.md5("text").alias("h"),
+        F.expr(prob).alias("q"),
+    )
+    hc = base.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
+    return (
+        base.join(hc, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("q"), QUALITY_ROUND).alias("mean_quality"),
+            F.round(
+                F.avg(
+                    F.expr(
+                        # cast: bare 1.0/0.0 literals are DECIMAL in Spark
+                        # SQL (avg would come back Decimal, not float64)
+                        f"CASE WHEN q >= {QC_THRESHOLD} THEN cast(1.0 as double) "
+                        "WHEN q IS NOT NULL THEN cast(0.0 as double) END"
+                    )
+                ),
+                QUALITY_ROUND,
+            ).alias("keep_share"),
+            F.sum(
+                F.expr("CASE WHEN hc > 1 THEN 1 ELSE 0 END")
+            ).alias("dup_docs"),
+        )
+    )
+
+
+def source_quality_rollup_oracle() -> str:
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    n_tok = f"len({toks})"
+    n_stop = _count_in_list_duck(toks, _QUALITY_STOPS)
+    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_tok}, 1))"
+    mtl = (
+        f"(CASE WHEN {toks} IS NULL THEN NULL"
+        f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
+        f" / greatest({n_tok}, 1))"
+    )
+    alpha = (
+        "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1))"
+    )
+    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    return f"""
+WITH base AS (
+  SELECT lang, source, md5(text) AS h, {prob} AS q FROM documents
+),
+hc AS (SELECT h, count(*) AS hc FROM base GROUP BY h)
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+       round(avg(b.q), {QUALITY_ROUND}) AS mean_quality,
+       round(avg(CASE WHEN b.q >= {QC_THRESHOLD} THEN 1.0
+                      WHEN b.q IS NOT NULL THEN 0.0 END), {QUALITY_ROUND}) AS keep_share,
+       CAST(sum(CASE WHEN c.hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+FROM base b LEFT JOIN hc c ON c.h = b.h
+GROUP BY b.source
+"""

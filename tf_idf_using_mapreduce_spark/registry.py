@@ -286,6 +286,10 @@ register("dedup_incremental_bloom", _dedup.dedup_incremental_bloom,
 register("diverse_sample_ivf", _sim.diverse_sample_ivf, _sim.DIVERSE_SAMPLE_IVF_ORACLE)
 register("doc_chunk_dedup", _pack.doc_chunk_dedup, _pack.DOC_CHUNK_DEDUP_ORACLE)
 register("zorder_layout", _pack.zorder_layout, _pack.ZORDER_LAYOUT_ORACLE)
+register("source_quality_rollup", _ts.source_quality_rollup,
+         _ts.source_quality_rollup_oracle())
+register("documents_stream_chunk_dedup", _stream_corpus.documents_stream_chunk_dedup,
+         _pack.DOC_CHUNK_DEDUP_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)

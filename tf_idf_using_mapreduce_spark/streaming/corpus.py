@@ -147,3 +147,20 @@ def documents_stream_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     result_name = "documents_stream_phash_result"
     run_stream_to_memory(image_phash_df(stream), result_name, output_mode="append")
     return spark.table(result_name)
+
+
+def documents_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chunks, n_dropped, clean_text): intra-document repeated-
+    chunk removal evaluated ON THE STREAM — same expression tree, same
+    oracle as the batch ``doc_chunk_dedup``. The edit is per-document array
+    math, so it needs no cross-document state at all: stateless map-only
+    microbatching (no watermark, no state store, zero shuffle at any
+    landing rate). In production this runs at ingest so the landing zone
+    already holds repetition-scrubbed text, the same compliance posture as
+    the streaming PII scrub."""
+    from tf_idf_using_mapreduce_spark.operators.packing import doc_chunk_dedup_df
+
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    result_name = "documents_stream_chunk_dedup_result"
+    run_stream_to_memory(doc_chunk_dedup_df(stream), result_name, output_mode="append")
+    return spark.table(result_name)
