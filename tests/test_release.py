@@ -200,3 +200,41 @@ def test_split_leakage_semantic_flags_cross_split_twin(spark):
     row = out[0]
     assert row["split_a"] != row["split_b"]
     assert row["n_pairs"] == 1 and row["max_cos"] > 0.99
+
+
+# --------------------------------------------------------------------------- #
+# round-11: BPE-token mixture plan
+# --------------------------------------------------------------------------- #
+
+def test_mixture_plan_bpe_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "mixture_plan_bpe")
+
+
+def test_mixture_plan_bpe_budgets_in_subword_tokens(spark):
+    """The BPE plan's per-source token census equals sum-of-fertility (the
+    subword counts bpe_doc_counts_of reports), is >= the word-token census
+    everywhere (every word emits >= 1 subword), and the weights are
+    IDENTICAL to the word plan's (weights depend on MIXTURE_TARGETS and
+    the source set, not the token basis) while the sample rates re-rank
+    wherever per-source fertility differs."""
+    from tf_idf_using_mapreduce_spark.functions.bpe import WORD_TOKENS
+    from tf_idf_using_mapreduce_spark.operators import release as rel
+    from tf_idf_using_mapreduce_spark.operators.bpe import bpe_doc_counts_of
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+    from pyspark.sql import functions as F
+
+    bpe = {r["source"]: r for r in rel.mixture_plan_bpe(spark, SF_SMOKE).collect()}
+    word = {r["source"]: r for r in rel.mixture_plan(spark, SF_SMOKE).collect()}
+    assert set(bpe) == set(word) and bpe
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "source")
+    words = docs.select("doc_id", "source", F.explode(F.expr(WORD_TOKENS)).alias("word"))
+    per_doc = bpe_doc_counts_of(words.select("doc_id", "word"))
+    expect = {
+        r["source"]: r["t"]
+        for r in docs.join(per_doc, "doc_id")
+        .groupBy("source").agg(F.sum("n").alias("t")).collect()
+    }
+    for s, r in bpe.items():
+        assert r["n_tokens"] == expect[s]
+        assert r["n_tokens"] >= word[s]["n_tokens"]
+        assert r["target_weight"] == word[s]["target_weight"]

@@ -290,6 +290,7 @@ register("source_quality_rollup", _ts.source_quality_rollup,
          _ts.source_quality_rollup_oracle())
 register("documents_stream_chunk_dedup", _stream_corpus.documents_stream_chunk_dedup,
          _pack.DOC_CHUNK_DEDUP_ORACLE)
+register("mixture_plan_bpe", _rel6.mixture_plan_bpe, _rel6.mixture_plan_bpe_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
