@@ -336,6 +336,47 @@ def main() -> int:
         }
     }
 
+    # Bloom-pruned incremental exact dedup (round 11): the claim is the
+    # PRE-FILTER's selectivity — how much of the daily batch the confirm
+    # join never sees. The Zipf corpus's near-dup clusters are MUTATED
+    # copies (exact-dup rate ~0), the adversarial case for a filter that
+    # must not leak: survivors ≈ true dups + false positives, so the
+    # survivor count directly exhibits the fpp at the observed filter
+    # occupancy. Also re-verifies zero false negatives (report dups ==
+    # unfiltered probe dups) on skewed data.
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table as _lt
+
+    _docs = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h"))
+    _is_new = F.col("doc_id") % dd.INCR_BATCH_MOD == 0
+    _batch, _idx = _docs.where(_is_new), _docs.where(~_is_new)
+    _occ = (_idx.select(F.explode(F.array(*dd._bloom_positions("h"))).alias("pos"))
+            .distinct().localCheckpoint(eager=False))
+    _pruned = _batch
+    for _seed in range(dd.BLOOM_HASHES):
+        _probe = F.pmod(F.xxhash64(F.col("h"), F.lit(_seed)), F.lit(dd.BLOOM_BITS))
+        _pruned = _pruned.join(F.broadcast(_occ), _probe == F.col("pos"), "left_semi")
+    best, n_dup = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n_dup = dd.dedup_incremental_bloom(spark, sf_dir).where("is_dup").count()
+        best = min(best, time.time() - t0)
+    _plain_dups = (
+        _batch.join(_idx.select(F.col("doc_id").alias("dup_of"), "h"), "h")
+        .select("doc_id").distinct().count()
+    )
+    results["dedup_incremental_bloom"] = {
+        "selectivity": {
+            "sec": round(best, 3),
+            "batch_rows": _batch.count(),
+            "filter_survivors": _pruned.count(),
+            "occupied_positions": _occ.count(),
+            "bloom_bits": dd.BLOOM_BITS,
+            "true_dups": _plain_dups,
+            "report_dups": n_dup,
+        }
+    }
+
     knn_cap = sim.KNN_LSH_BUCKET_CAP
     for label, cap, reps in (("capped", knn_cap, 2), ("uncapped", 1 << 60, 1)):
         sim.KNN_LSH_BUCKET_CAP = cap
