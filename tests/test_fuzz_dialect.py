@@ -87,6 +87,16 @@ FUZZ_QUERIES = [
     "dedup_substring_apply",
     "dedup_substring_incremental",
     "substring_boilerplate_census",
+    # round-11 second half: the bloom pre-filter must stay exactly
+    # transparent on NULL texts / duplicate edge shapes; the chunk scrub's
+    # array_distinct-order contract meets repetition + unicode; the rollup
+    # composes quality + hash census over NULL text and NULL lang; the BPE
+    # mixture plan pushes OOV/unicode/emoji words through the recursive
+    # segmentation CTE (byte-level fallback) before the recipe arithmetic
+    "dedup_incremental_bloom",
+    "doc_chunk_dedup",
+    "source_quality_rollup",
+    "mixture_plan_bpe",
 ]
 
 _EDGE_TEXTS = [
@@ -326,6 +336,9 @@ EMBED_FUZZ_QUERIES = [
     # round-10 SemDeDup: exact-duplicate groups (cos=1 election ties),
     # negated pairs, zero-norm exclusions through quantizer + CC + election
     "semdedup_prune",
+    # round-11: coverage sampler through the same adversarial vectors —
+    # duplicate-vector affinity ties must elect identically in both engines
+    "diverse_sample_ivf",
 ]
 
 
@@ -416,6 +429,9 @@ TPCH_FUZZ_QUERIES = [
     "suppliers_intersect_customer_nations", "monthly_order_revenue",
     "customer_order_cadence", "lineitem_price_stats", "running_customer_spend",
     "top3_orders_per_customer",
+    # round-11: the Morton layout over the adversarial key distribution
+    # (clustered + boundary + sparse keys — grid math must agree exactly)
+    "zorder_layout",
 ]
 
 # the date constants the query predicates compare against (grep'd from

@@ -487,35 +487,42 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_CHUNK_DEDUP_ORACLE = f"""
-WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+WITH toks AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
 ix AS (
-  SELECT doc_id, toks,
+  SELECT doc_id, text, toks,
          unnest(range(0, CAST(ceil(len(toks) / {CHUNK_LEN}.0) AS INT))) AS ci
   FROM toks WHERE len(toks) > 0
 ),
 ch AS (
-  SELECT doc_id, ci,
+  SELECT doc_id, text, ci,
          array_to_string(list_slice(toks, ci * {CHUNK_LEN} + 1,
                                     ci * {CHUNK_LEN} + {CHUNK_LEN}), ' ') AS chunk
   FROM ix
 ),
 firsts AS (
-  SELECT doc_id, ci, chunk,
-         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ci) AS rn
+  SELECT doc_id, text, ci, chunk,
+         row_number() OVER (PARTITION BY doc_id, text, chunk ORDER BY ci) AS rn
   FROM ch
 ),
+-- keyed by (doc_id, text), NOT doc_id alone: the Spark op is per-ROW
+-- (map-only), so duplicate doc_ids with DIFFERENT texts must each scrub
+-- their own text; duplicate (doc_id, text) rows collapse to one agg row
+-- that fans back identically through the join — same multiset as Spark.
+-- IS NOT DISTINCT FROM: a NULL doc_id row must still find its agg row.
 agg AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          count(*) AS n_chunks,
          count(*) FILTER (WHERE rn > 1) AS n_dropped,
          string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rn = 1) AS clean_text
-  FROM firsts GROUP BY doc_id
+  FROM firsts GROUP BY doc_id, text
 )
 SELECT t.doc_id,
        CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
        CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
        coalesce(a.clean_text, '') AS clean_text
-FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+FROM toks t LEFT JOIN agg a
+  ON a.doc_id IS NOT DISTINCT FROM t.doc_id
+ AND a.text IS NOT DISTINCT FROM t.text
 """
 
 
