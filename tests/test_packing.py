@@ -391,3 +391,66 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         .agg(F.max("span")).first()[0]
     )
     assert by_pk >= sk_max * 0.9
+
+
+def test_zorder_write_skips_files_on_both_keys(spark, tmp_path):
+    """The data-skipping claim MEASURED on real parquet footers: write
+    lineitem z-clustered on (l_partkey, l_suppkey), read every output
+    file's min/max stats with pyarrow, and count the files a point
+    predicate on EACH key would have to touch. Both keys must prune to a
+    bounded fraction; the contrast layout (range-partitioned by partkey
+    alone) prunes partkey but leaves suppkey predicates reading EVERY
+    file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    pk_max, sk_max = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+
+    def footer_spans(d):
+        spans = []
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = {c: min(md.row_group(g).column(cols[c]).statistics.min
+                         for g in range(md.num_row_groups)) for c in cols}
+            hi = {c: max(md.row_group(g).column(cols[c]).statistics.max
+                         for g in range(md.num_row_groups)) for c in cols}
+            spans.append((lo, hi))
+        return spans
+
+    def files_touched(spans, col, val):
+        return sum(1 for lo, hi in spans if lo[col] <= val <= hi[col])
+
+    zdir = str(tmp_path / "zordered")
+    pk.zorder_write(li, "l_partkey", "l_suppkey", zdir, n_files=16)
+    spans = footer_spans(zdir)
+    assert len(spans) >= 8  # enough files for pruning to mean anything
+    # probe five points per key; z-clustering must bound BOTH
+    for frac in (0.1, 0.3, 0.5, 0.7, 0.9):
+        touched_pk = files_touched(spans, "l_partkey", int(pk_max * frac))
+        touched_sk = files_touched(spans, "l_suppkey", int(sk_max * frac))
+        assert touched_pk <= len(spans) * 0.6, (frac, touched_pk, len(spans))
+        assert touched_sk <= len(spans) * 0.6, (frac, touched_sk, len(spans))
+    # contrast: linear layout on partkey alone — suppkey never prunes
+    ldir = str(tmp_path / "linear")
+    (li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey")
+       .write.mode("overwrite").parquet(ldir))
+    lspans = footer_spans(ldir)
+    assert files_touched(lspans, "l_suppkey", int(sk_max * 0.5)) == len(lspans)
+
+
+def test_doc_chunk_dedup_is_idempotent(spark, tmp_path):
+    """Fixpoint property: scrubbing an already-scrubbed corpus drops
+    nothing (the apply step converges in one pass — chunk boundaries are
+    position-stable because removal only ever deletes whole chunks)."""
+    first = pk.doc_chunk_dedup(spark, SF_SMOKE).select(
+        F.col("doc_id"), F.col("clean_text").alias("text"))
+    d = str(tmp_path / "scrubbed")
+    first.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    again = pk.doc_chunk_dedup(spark, d)
+    assert again.agg(F.sum("n_dropped")).first()[0] == 0
+    same = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    orig = {r["doc_id"]: r["text"] for r in first.collect()}
+    assert same == orig

@@ -627,3 +627,32 @@ GROUP BY 1
 
 
 ZORDER_LAYOUT_ORACLE = _zorder_oracle()
+
+
+def zorder_write(df: DataFrame, col_x: str, col_y: str, out_dir: str,
+                 n_files: int = 16) -> None:
+    """Write ``df`` as parquet physically CLUSTERED on the Morton value of
+    (``col_x``, ``col_y``) — the production form of :func:`zorder_layout`:
+    ``repartitionByRange`` on the z-value (contiguous z-ranges per output
+    file) + ``sortWithinPartitions`` (row groups inside a file stay
+    z-local, so footer min/max stats are tight on BOTH columns). Grid
+    bounds come from the same single-row broadcast aggregate as the report
+    form. Downstream, a predicate on EITHER column skips all files whose
+    footer rectangle misses it — measured by tests/test_packing.py reading
+    the written footers directly (pyarrow), not assumed."""
+    bounds = df.agg(
+        F.coalesce(F.max(col_x), F.lit(0)).alias("max_x"),
+        F.coalesce(F.max(col_y), F.lit(0)).alias("max_y"),
+    )
+    side = 1 << ZORDER_GRID_BITS
+    z = _interleave_expr("gx", "gy", ZORDER_GRID_BITS, spark_side=True)
+    (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("gx", F.expr(f"cast(floor({col_x} * {side}.0 / (max_x + 1)) as int)"))
+        .withColumn("gy", F.expr(f"cast(floor({col_y} * {side}.0 / (max_y + 1)) as int)"))
+        .withColumn("zval", F.expr(z))
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("gx", "gy", "zval", "max_x", "max_y")
+        .write.mode("overwrite").parquet(out_dir)
+    )
