@@ -144,6 +144,11 @@ def _fuzz_rows(n: int = 120, seed: int = 20260813):
     # propagate NULL through the shared expressions identically (verified)
     rows.append((len(rows), None, "en", "src0", 0))
     rows.append((len(rows), "plain words here", None, "src1", 16))
+    # NOTE (load-bearing): the loop below restarts ids at len(_EDGE_TEXTS),
+    # so the two appended rows' ids (22, 23) are DUPLICATED with different
+    # texts — dirty-data shape that real lakes have and the uniform fixture
+    # doesn't. It caught doc_chunk_dedup's oracle grouping per doc_id where
+    # the engine scrubs per ROW (round 11). Keep the collision.
     for i in range(len(_EDGE_TEXTS), n):
         k = rng.randint(0, 60)
         text = " ".join(rng.choice(vocab) for _ in range(k))
