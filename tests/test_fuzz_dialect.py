@@ -148,7 +148,11 @@ def _fuzz_rows(n: int = 120, seed: int = 20260813):
     # so the two appended rows' ids (22, 23) are DUPLICATED with different
     # texts — dirty-data shape that real lakes have and the uniform fixture
     # doesn't. It caught doc_chunk_dedup's oracle grouping per doc_id where
-    # the engine scrubs per ROW (round 11). Keep the collision.
+    # the engine scrubs per ROW (round 11). Keep the collision. The fully
+    # identical row (same id AND text) below covers the other dirty shape —
+    # it caught the fixed oracle double-counting chunks inside the shared
+    # (doc_id, text) agg group (round-11 review).
+    rows.append((7, _EDGE_TEXTS[7], "en", "src7", len(_EDGE_TEXTS[7])))
     for i in range(len(_EDGE_TEXTS), n):
         k = rng.randint(0, 60)
         text = " ".join(rng.choice(vocab) for _ in range(k))

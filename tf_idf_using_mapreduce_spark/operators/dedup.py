@@ -966,7 +966,17 @@ WHERE common * 1.0 / (ca.n_sh + cb.n_sh - common) >= {JACCARD_THRESHOLD}
 # The broadcast "filter" is the DISTINCT set of occupied positions — at most
 # min(BLOOM_HASHES * index_rows, BLOOM_BITS) rows of one int, so its size
 # SATURATES at BLOOM_BITS longs (~8 MB at 2^20) no matter how large the
-# index grows; false-positive rate ≈ occupancy^BLOOM_HASHES.
+# index grows; false-positive rate ≈ occupancy^BLOOM_HASHES. The fixed m is
+# a deliberate broadcast-size bound, and the filter DEGRADES GRACEFULLY
+# rather than breaking: occupancy ≈ 1−e^(−2n/m), so per index size n the
+# fraction of NOVEL batch rows still pruned (1 − fpp) is
+#   n = 50k  → occ  9%, prunes 99.2% of novel rows
+#   n = 500k → occ 62%, prunes 62%
+#   n = 5M   → occ 99.99%, prunes ~0% (results STILL exact — the filter
+#              only ever pre-prunes; the confirm join is the truth)
+# Past ~1M index docs the production move is NOT a bigger m (the broadcast
+# would grow with it): shard the filter with the bucketed-by-hash index —
+# per-bucket position sets, each bounded by this same law over n/buckets.
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 2
 
@@ -981,6 +991,38 @@ def _bloom_positions(h: str) -> list:
         F.pmod(F.xxhash64(F.col(h), F.lit(seed)), F.lit(BLOOM_BITS)).alias(f"p{seed}")
         for seed in range(BLOOM_HASHES)
     ]
+
+
+def _bloom_split_and_prune(spark: SparkSession, sf_dir: str):
+    """(batch, idx, occupied, pruned) — the batch/index split, the index's
+    occupied-position set, and the bloom-pruned batch. The single source of
+    truth for the filter chain: :func:`dedup_incremental_bloom` builds its
+    confirm join on it, and the skew bench measures ITS selectivity (so the
+    bench can never silently drift from the operator's filter)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    idx = docs.where(~is_new)
+    batch = docs.where(is_new)
+    # occupied-position set: explode k probes per index row, distinct —
+    # bounded by BLOOM_BITS rows regardless of index size. Lineage cut:
+    # BLOOM_HASHES broadcast consumers below must not re-scan the index to
+    # rebuild the same set
+    occupied = (
+        idx.select(F.explode(F.array(*_bloom_positions("h"))).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pruned = batch
+    for seed in range(BLOOM_HASHES):
+        probe = F.pmod(F.xxhash64(F.col("h"), F.lit(seed)), F.lit(BLOOM_BITS))
+        pruned = pruned.join(
+            F.broadcast(occupied),
+            probe == F.col("pos"),
+            "left_semi",
+        )
+    return batch, idx, occupied, pruned
 
 
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,29 +1049,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unfiltered probe's and the oracle is the plain exact-match SQL;
     false positives only cost confirm-join work.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("h")
-    )
-    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
-    idx = docs.where(~is_new)
-    batch = docs.where(is_new)
-    # occupied-position set: explode k probes per index row, distinct —
-    # bounded by BLOOM_BITS rows regardless of index size. Lineage cut:
-    # BLOOM_HASHES broadcast consumers below must not re-scan the index to
-    # rebuild the same set
-    occupied = (
-        idx.select(F.explode(F.array(*_bloom_positions("h"))).alias("pos"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    pruned = batch
-    for seed in range(BLOOM_HASHES):
-        probe = F.pmod(F.xxhash64(F.col("h"), F.lit(seed)), F.lit(BLOOM_BITS))
-        pruned = pruned.join(
-            F.broadcast(occupied),
-            probe == F.col("pos"),
-            "left_semi",
-        )
+    batch, idx, occupied, pruned = _bloom_split_and_prune(spark, sf_dir)
     # confirm join: the PRUNED BATCH broadcasts into the index — the index
     # (the 100 TB side) never reshuffles, same discipline as
     # dedup_incremental's band probe

@@ -488,10 +488,14 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_CHUNK_DEDUP_ORACLE = f"""
 WITH toks AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+-- DISTINCT before unnest: two IDENTICAL (doc_id, text) rows must not
+-- double every chunk inside their shared agg group (the fan-back join
+-- below restores the row multiplicity)
+dtoks AS (SELECT DISTINCT doc_id, text, toks FROM toks WHERE len(toks) > 0),
 ix AS (
   SELECT doc_id, text, toks,
          unnest(range(0, CAST(ceil(len(toks) / {CHUNK_LEN}.0) AS INT))) AS ci
-  FROM toks WHERE len(toks) > 0
+  FROM dtoks
 ),
 ch AS (
   SELECT doc_id, text, ci,
@@ -640,19 +644,25 @@ def zorder_write(df: DataFrame, col_x: str, col_y: str, out_dir: str,
     form. Downstream, a predicate on EITHER column skips all files whose
     footer rectangle misses it — measured by tests/test_packing.py reading
     the written footers directly (pyarrow), not assumed."""
+    # dunder-prefixed internals: a caller's df may legitimately carry
+    # columns named gx/zval/max_x — never clobber or drop user data
     bounds = df.agg(
-        F.coalesce(F.max(col_x), F.lit(0)).alias("max_x"),
-        F.coalesce(F.max(col_y), F.lit(0)).alias("max_y"),
+        F.coalesce(F.max(col_x), F.lit(0)).alias("__zorder_max_x"),
+        F.coalesce(F.max(col_y), F.lit(0)).alias("__zorder_max_y"),
     )
     side = 1 << ZORDER_GRID_BITS
-    z = _interleave_expr("gx", "gy", ZORDER_GRID_BITS, spark_side=True)
+    z = _interleave_expr("__zorder_gx", "__zorder_gy", ZORDER_GRID_BITS,
+                         spark_side=True)
     (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn("gx", F.expr(f"cast(floor({col_x} * {side}.0 / (max_x + 1)) as int)"))
-        .withColumn("gy", F.expr(f"cast(floor({col_y} * {side}.0 / (max_y + 1)) as int)"))
-        .withColumn("zval", F.expr(z))
-        .repartitionByRange(n_files, "zval")
-        .sortWithinPartitions("zval")
-        .drop("gx", "gy", "zval", "max_x", "max_y")
+        .withColumn("__zorder_gx", F.expr(
+            f"cast(floor({col_x} * {side}.0 / (__zorder_max_x + 1)) as int)"))
+        .withColumn("__zorder_gy", F.expr(
+            f"cast(floor({col_y} * {side}.0 / (__zorder_max_y + 1)) as int)"))
+        .withColumn("__zorder_z", F.expr(z))
+        .repartitionByRange(n_files, "__zorder_z")
+        .sortWithinPartitions("__zorder_z")
+        .drop("__zorder_gx", "__zorder_gy", "__zorder_z",
+              "__zorder_max_x", "__zorder_max_y")
         .write.mode("overwrite").parquet(out_dir)
     )

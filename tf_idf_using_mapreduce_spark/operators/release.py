@@ -435,24 +435,33 @@ def mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's sample rates are not just scaled — they're mis-ranked wherever
     vocabulary richness differs). Same weight/rate/epoch arithmetic
     (:func:`_mixture_plan_of`), same oracle tail; only the census differs:
-    the word stream joins the broadcast BPE dictionary (the
-    dictionary-encoding discipline — segmentation work is Heaps-bounded,
-    never corpus-sized) and aggregates subword counts per SOURCE. Documents
-    with no words contribute no tokens but still count in n_docs (two tiny
-    aggregates joined on source)."""
+    ONE full text scan folds the word stream to (source, word, n) —
+    vocabulary×sources-sized, lineage-CUT per the ``_word_counts``
+    discipline so the dictionary branch and the pricing probe don't each
+    re-scan the corpus — then the broadcast BPE dictionary prices each
+    distinct word once (segmentation stays Heaps-bounded, never
+    corpus-sized). Documents with no words contribute no tokens but still
+    count in n_docs, via a second aggregate over a source-column-only scan
+    (column pruning makes it footer-cheap)."""
     from tf_idf_using_mapreduce_spark.functions.bpe import WORD_TOKENS
     from tf_idf_using_mapreduce_spark.operators.bpe import bpe_dictionary_of
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    words = docs.select("source", F.explode(F.expr(WORD_TOKENS)).alias("word"))
-    dic = bpe_dictionary_of(words).select("word", "k")
+    docs = load_table(spark, sf_dir, "documents")
+    swc = (
+        docs.select("source", F.explode(F.expr(WORD_TOKENS)).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dic = bpe_dictionary_of(swc).select("word", "k")
     per_tok = (
-        words.join(F.broadcast(dic), "word")
+        swc.join(F.broadcast(dic), "word")
         .groupBy("source")
-        .agg(F.sum("k").cast("long").alias("n_tokens"))
+        .agg(F.sum(F.col("n") * F.col("k")).cast("long").alias("n_tokens"))
         .where(F.col("n_tokens") > 0)
     )
-    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.select("source").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
     per = n_docs.join(per_tok, "source").select("source", "n_docs", "n_tokens")
     return _mixture_plan_of(per)
 

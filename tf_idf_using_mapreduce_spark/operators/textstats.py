@@ -884,6 +884,47 @@ def _qc_z(n_tok: str, stop_ratio: str, mtl: str, alpha: str,
     )
 
 
+def _qc_prob_expr(duck: bool, weights: dict | None = None) -> str:
+    """The classifier's probability expression STRING in either dialect —
+    the single source of truth for the feature tree (length, stopword
+    share, mean token length, alphabetic share → sigmoid). Shared by
+    :func:`quality_classifier_df` / :func:`quality_classifier_oracle` AND
+    the per-source rollup, so a weight or feature change can never
+    silently diverge between the classifier and its consumers."""
+    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
+    if duck:
+        n_tok = f"len({toks})"
+        n_stop = _count_in_list_duck(toks, _QUALITY_STOPS)
+        stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_tok}, 1))"
+        # list_sum quirk: NULL for BOTH empty and NULL lists — the CASE
+        # keeps NULL text NULL while empty text folds to 0 (Spark's 0-seed)
+        mtl = (
+            f"(CASE WHEN {toks} IS NULL THEN NULL"
+            f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
+            f" / greatest({n_tok}, 1))"
+        )
+        alpha = (
+            "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
+            " / greatest(length(text), 1))"
+        )
+    else:
+        n_tok = f"size({toks})"
+        n_stop = _count_in_list(toks, _QUALITY_STOPS)
+        stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
+        mtl = (
+            f"(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
+            f" / greatest({n_tok}, 1))"
+        )
+        alpha = (
+            "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
+            " / greatest(length(text), 1))"
+        )
+    return (
+        f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha, weights)})),"
+        f" {QUALITY_ROUND})"
+    )
+
+
 def quality_classifier_df(docs: DataFrame,
                           weights: dict | None = None) -> DataFrame:
     """Expression form of :func:`quality_classifier` over any
@@ -892,22 +933,7 @@ def quality_classifier_df(docs: DataFrame,
     in as a different constant dict and the plan is bit-identical in shape
     (same single codegen projection, zero shuffle) — pinned by
     tests/test_textstats.py."""
-    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
-    n_tok = f"size({toks})"
-    n_stop = _count_in_list(toks, _QUALITY_STOPS)
-    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
-    mtl = (
-        f"(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
-        f" / greatest({n_tok}, 1))"
-    )
-    alpha = (
-        "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
-        " / greatest(length(text), 1))"
-    )
-    prob = (
-        f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha, weights)})),"
-        f" {QUALITY_ROUND})"
-    )
+    prob = _qc_prob_expr(duck=False, weights=weights)
     return docs.select(
         "doc_id",
         F.expr(prob).alias("quality_prob"),
@@ -931,22 +957,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_classifier_oracle() -> str:
-    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
-    n_tok = f"len({toks})"
-    n_stop = _count_in_list_duck(toks, _QUALITY_STOPS)
-    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_tok}, 1))"
-    # list_sum quirk: NULL for BOTH empty and NULL lists — the CASE keeps
-    # NULL text NULL while empty text folds to 0 (same as Spark's 0-seed)
-    mtl = (
-        f"(CASE WHEN {toks} IS NULL THEN NULL"
-        f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
-        f" / greatest({n_tok}, 1))"
-    )
-    alpha = (
-        "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
-        " / greatest(length(text), 1))"
-    )
-    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    prob = _qc_prob_expr(duck=True)
     return f"""
 SELECT doc_id, {prob} AS quality_prob,
        CASE WHEN {prob} IS NULL THEN NULL
@@ -1043,34 +1054,20 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (:func:`quality_classifier_df`'s feature tree, inlined so
     source/lang ride the same scan) with the dedup_exact hash census.
 
-    Scale shape: one scan computes md5 + quality per row; the hash census
-    is the same groupBy as ``dedup_exact``; the flag-back join shuffles on
-    the hash (both sides already hash-clustered from the census); the final
-    rollup is one hash aggregation with O(sources) output. NULL text scores
-    NULL quality (excluded from the means, counted in n_docs) and has a
-    NULL hash — LEFT join semantics keep those rows (NULL keys never match
-    in either engine), dup_docs counts them as unduplicated."""
-    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
-    n_tok = f"size({toks})"
-    n_stop = _count_in_list(toks, _QUALITY_STOPS)
-    stop_ratio = f"(cast({n_stop} as double) / greatest({n_tok}, 1))"
-    mtl = (
-        f"(aggregate({toks}, cast(0 as double), (acc, t) -> acc + length(t))"
-        f" / greatest({n_tok}, 1))"
-    )
-    alpha = (
-        "(cast(length(regexp_replace(lower(text), '[^a-z]', '')) as double)"
-        " / greatest(length(text), 1))"
-    )
-    prob = (
-        f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})),"
-        f" {QUALITY_ROUND})"
-    )
+    Scale shape: ONE scan computes md5 + quality per row, lineage-CUT so
+    the census branch and the join probe don't each re-scan and re-evaluate
+    the feature tree (the ``_word_counts`` discipline — the plan audit
+    showed two full text scans without it); the hash census is the same
+    groupBy as ``dedup_exact``; the flag-back join shuffles on the hash;
+    the final rollup is one hash aggregation with O(sources) output. NULL
+    text scores NULL quality (excluded from the means, counted in n_docs)
+    and has a NULL hash — LEFT join semantics keep those rows (NULL keys
+    never match in either engine), dup_docs counts them as unduplicated."""
     base = load_table(spark, sf_dir, "documents").select(
         "lang", "source",
         F.md5("text").alias("h"),
-        F.expr(prob).alias("q"),
-    )
+        F.expr(_qc_prob_expr(duck=False)).alias("q"),
+    ).localCheckpoint(eager=False)
     hc = base.groupBy("h").agg(F.count(F.lit(1)).alias("hc"))
     return (
         base.join(hc, "h", "left")
@@ -1098,20 +1095,7 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def source_quality_rollup_oracle() -> str:
-    toks = "regexp_extract_all(lower(text), '([a-z]+)', 1)"
-    n_tok = f"len({toks})"
-    n_stop = _count_in_list_duck(toks, _QUALITY_STOPS)
-    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / greatest({n_tok}, 1))"
-    mtl = (
-        f"(CASE WHEN {toks} IS NULL THEN NULL"
-        f" ELSE coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) END * 1.0"
-        f" / greatest({n_tok}, 1))"
-    )
-    alpha = (
-        "(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)"
-        " / greatest(length(text), 1))"
-    )
-    prob = f"round(1.0 / (1.0 + exp(-{_qc_z(n_tok, stop_ratio, mtl, alpha)})), {QUALITY_ROUND})"
+    prob = _qc_prob_expr(duck=True)
     return f"""
 WITH base AS (
   SELECT lang, source, md5(text) AS h, {prob} AS q FROM documents

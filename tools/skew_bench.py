@@ -344,18 +344,7 @@ def main() -> int:
     # survivor count directly exhibits the fpp at the observed filter
     # occupancy. Also re-verifies zero false negatives (report dups ==
     # unfiltered probe dups) on skewed data.
-    from tf_idf_using_mapreduce_spark.sources.corpus import load_table as _lt
-
-    _docs = _lt(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("h"))
-    _is_new = F.col("doc_id") % dd.INCR_BATCH_MOD == 0
-    _batch, _idx = _docs.where(_is_new), _docs.where(~_is_new)
-    _occ = (_idx.select(F.explode(F.array(*dd._bloom_positions("h"))).alias("pos"))
-            .distinct().localCheckpoint(eager=False))
-    _pruned = _batch
-    for _seed in range(dd.BLOOM_HASHES):
-        _probe = F.pmod(F.xxhash64(F.col("h"), F.lit(_seed)), F.lit(dd.BLOOM_BITS))
-        _pruned = _pruned.join(F.broadcast(_occ), _probe == F.col("pos"), "left_semi")
+    _batch, _idx, _occ, _pruned = dd._bloom_split_and_prune(spark, sf_dir)
     best, n_dup = float("inf"), 0
     for _ in range(2):
         t0 = time.time()
