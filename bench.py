@@ -219,8 +219,12 @@ def main() -> int:
     remeasured: list[str] = []
     for name, t in list(timings.items()):
         p = prev.get(name)
-        tripped = (isinstance(p, (int, float)) and p > 0 and t > 1.5 * p) or (
-            p is None and outlier_floor is not None and t > outlier_floor
+        # treat 0 / non-numeric prior cells (corrupted artifact) exactly
+        # like missing ones: they fall through to the absolute check rather
+        # than silently getting no triage at all
+        p_num = p if isinstance(p, (int, float)) and p > 0 else None
+        tripped = (p_num is not None and t > 1.5 * p_num) or (
+            p_num is None and outlier_floor is not None and t > outlier_floor
         )
         if tripped:
             best = t

@@ -360,3 +360,84 @@ def test_modality_dedup_plan_shapes(spark):
                mm.dedup_video_frames_incremental):
         p = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:3000]
+
+
+# --------------------------------------------------------------------------- #
+# round-11 review regressions: duplicate-row dirty data through the
+# payload near-dup tiers
+# --------------------------------------------------------------------------- #
+
+def test_dedup_image_phash_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate doc_ids with DIFFERENT texts (legal dirty data — the fuzz
+    corpus pins the shape) hash to distinct sketches in the same band
+    bucket; the engine must not pair an id with itself (the oracle's
+    a.doc_id < b.doc_id join never does). Also cross-checks the oracle on
+    the injected corpus."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+    from tf_idf_using_mapreduce_spark.operators import multimodal as mm
+
+    base = "abcdefgh" * 16  # 128 letters, decodable
+    near = base[:-1] + "z"  # a few flipped grid bits, same bands
+    rows = [(1, base), (1, near), (3, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = mm.dedup_image_phash(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_image_phash"]).df()
+        con.close()
+    assert (got["doc_a"] != got["doc_b"]).all()
+    assert len(got) > 0  # the (1, 3) pairs must still surface
+    assert canon_rows(got) == canon_rows(ora)
+
+
+def test_dedup_audio_incremental_votes_not_multiplied_by_duplicate_rows(spark):
+    """A duplicated document row duplicates every (doc_id, frame_idx, fh)
+    fingerprint row; the incremental probe must dedup them (as the batch
+    operator's array_distinct does) so vote counts — and the
+    AUDIO_MIN_ALIGNED gate — match the batch contract exactly. Engine and
+    oracle are checked on the injected corpus, and the incremental votes
+    equal the batch operator's for the same pair."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+    from tf_idf_using_mapreduce_spark.operators import multimodal as mm
+
+    # non-periodic letters (a repeating pattern collapses every frame into
+    # ONE hot fingerprint, which the batch cap then amputates entirely)
+    import random as _random
+
+    _rng = _random.Random(20260816)
+    text = "".join(chr(97 + _rng.randrange(26)) for _ in range(640))
+    rows = [(5, text), (5, text), (1, text)]  # doc 5 = new (x2 rows), doc 1 = index
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        inc = mm.dedup_audio_fingerprint_incremental(spark, tmp).toPandas()
+        bat = mm.dedup_audio_fingerprint(spark, tmp).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        ora = con.sql(e.oracle_sql()["dedup_audio_fingerprint_incremental"]).df()
+        con.close()
+    assert canon_rows(inc) == canon_rows(ora)
+    # the identical payloads align at delta 0; votes must equal the batch
+    # operator's deduped count, not a multiple of it
+    inc_row = inc[(inc.doc_id == 5) & (inc.dup_of == 1) & (inc.delta == 0)]
+    bat_row = bat[(bat.doc_a == 1) & (bat.doc_b == 5) & (bat.delta == 0)]
+    assert len(inc_row) == 1 and len(bat_row) == 1
+    assert int(inc_row.n_aligned.iloc[0]) == int(bat_row.n_aligned.iloc[0])

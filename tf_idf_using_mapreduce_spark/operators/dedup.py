@@ -1101,14 +1101,17 @@ def _hamming64_duck(hi_a: str, lo_a: str, hi_b: str, lo_b: str) -> str:
     return f"({hamming_int_duck(hi_a, hi_b)} + {hamming_int_duck(lo_a, lo_b)})"
 
 
-def _earlier_band_mismatch(a_cols: tuple[str, str], b_cols: tuple[str, str]) -> str:
+def _earlier_band_mismatch(a_cols: tuple[str, str], b_cols: tuple[str, str],
+                           n_bands: int = SIMHASH_BANDS) -> str:
     """Emit-once predicate replacing DISTINCT on candidates: keep a pair at
     band b only if NO earlier band also matched. Pure expression — candidate
     rows never shuffle for dedup. ``a_cols``/``b_cols`` are (hi, lo) column
-    names of the two sides."""
+    names of the two sides; ``n_bands`` is the CALLER's band count (the
+    image tier passes its own PHASH_BANDS — they happen to be equal today,
+    but tuning one must not silently skip the other's later bands)."""
     conds = [
         f"(band <= {n} OR {_band_key(*a_cols, n)} <> {_band_key(*b_cols, n)})"
-        for n in range(SIMHASH_BANDS - 1)
+        for n in range(n_bands - 1)
     ]
     return " AND ".join(conds)
 

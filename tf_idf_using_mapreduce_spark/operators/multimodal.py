@@ -186,18 +186,55 @@ def _phash64(payload: bytes) -> tuple[int, int]:
     iff cell mean > whole-payload mean, compared exactly via integer
     cross-multiplication (sum_j * n > total * size_j — no float). Returns
     (hi, lo) 32-bit halves, the engine-wide two-half sketch layout, so the
-    SimHash banding/hamming machinery applies unchanged."""
+    SimHash banding/hamming machinery applies unchanged.
+
+    Numpy-vectorized (frombuffer + reduceat) because this IS the hot decode
+    path — the audio/video stubs in this file made the same call for the
+    same reason; all arithmetic stays exact int64 (max sum·n ≈ 255·n², safe
+    to n ~ 10^8 bytes), so the scalar spec above is computed bit-for-bit."""
+    import numpy as np
+
     n = len(payload)
-    total = sum(payload)
-    lo = hi = 0
-    for j in range(PHASH_PIXELS):
-        a, b = (j * n) // PHASH_PIXELS, ((j + 1) * n) // PHASH_PIXELS
-        if sum(payload[a:b]) * n > total * (b - a):
-            if j < 32:
-                lo |= 1 << j
-            else:
-                hi |= 1 << (j - 32)
+    v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    total = int(v.sum())
+    starts = (np.arange(PHASH_PIXELS, dtype=np.int64) * n) // PHASH_PIXELS
+    ends = ((np.arange(PHASH_PIXELS, dtype=np.int64) + 1) * n) // PHASH_PIXELS
+    sums = np.add.reduceat(v, starts)
+    bits = sums * n > total * (ends - starts)
+    lo = int(np.sum((1 << np.arange(32, dtype=np.int64))[bits[:32]]))
+    hi = int(np.sum((1 << np.arange(32, dtype=np.int64))[bits[32:]]))
     return hi, lo
+
+
+def _payload_frame(docs: DataFrame, min_bytes: int) -> DataFrame:
+    """(doc_id, payload binary) — the fake-decode payload convention shared
+    by ALL payload tiers (image/audio/video, batch and streaming): the
+    letters-only byte stream (the dedup tier's ``[a-z]+`` token space,
+    concatenated — byte-exact on both engines, no Python-vs-SQL ``lower()``
+    hazards), rows below ``min_bytes`` undecodable and dropped on both
+    engines. ONE definition so a convention change cannot silently leave a
+    modality behind; the SQL twin is :func:`_letters_cps_cte`."""
+    return docs.select(
+        "doc_id",
+        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
+        .alias("payload"),
+    ).where(F.expr(f"octet_length(payload) >= {min_bytes}"))
+
+
+def _letters_cps_cte(min_bytes: int) -> str:
+    """The DuckDB twin of :func:`_payload_frame`: ``letters(doc_id, ls)`` +
+    ``cps(doc_id, v, n)`` — codepoints of the letters stream ARE the payload
+    bytes (pure [a-z]). Shared prefix of every modality oracle."""
+    return f"""letters AS (
+  SELECT doc_id,
+         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
+  FROM documents
+),
+cps AS (
+  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
+         length(ls) AS n
+  FROM letters WHERE length(ls) >= {min_bytes}
+)"""
 
 
 def image_phash_df(docs: DataFrame) -> DataFrame:
@@ -206,11 +243,7 @@ def image_phash_df(docs: DataFrame) -> DataFrame:
     the IDENTICAL expression tree + ``mapInPandas`` seam also runs under
     Structured Streaming (``streaming/corpus.py:documents_stream_phash``) —
     ingest-time perceptual indexing with zero shuffle and no state store."""
-    payloads = docs.select(
-        "doc_id",
-        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
-        .alias("payload"),
-    ).where(F.expr(f"octet_length(payload) >= {PHASH_MIN_BYTES}"))
+    payloads = _payload_frame(docs, PHASH_MIN_BYTES)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -275,6 +308,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("array_sort(array_distinct(collect_list(struct(doc_id, ph_hi, ph_lo))))").alias("ds"))
         .where(F.size("ds") >= 2)
         .select("band", F.explode(F.expr(_ordered_pairs_expr("ds"))).alias("p"))
+        # duplicate doc_ids with DIFFERENT texts (legal dirty data — the
+        # fuzz corpus pins the shape) hash to distinct structs, so the
+        # sorted member list can pair an id with itself; the oracle's
+        # a.doc_id < b.doc_id join structurally never does. Same filter as
+        # the audio tier's vote probe.
+        .where(F.expr("p.doc_a.doc_id <> p.doc_b.doc_id"))
         .select(
             "band",
             F.col("p.doc_a.doc_id").alias("doc_a"),
@@ -286,7 +325,8 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("hamming", F.expr(_hamming64_spark("hi_a", "lo_a", "hi_b", "lo_b")))
         .where(F.col("hamming") <= PHASH_HAMMING_THRESHOLD)
-        .where(F.expr(_earlier_band_mismatch(("hi_a", "lo_a"), ("hi_b", "lo_b"))))
+        .where(F.expr(_earlier_band_mismatch(("hi_a", "lo_a"), ("hi_b", "lo_b"),
+                                             n_bands=PHASH_BANDS)))
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -302,16 +342,7 @@ def _phash_table_ctes() -> str:
     p = PHASH_PIXELS
     bit = "s[j+1] * n > total * sz[j+1]"
     return f"""
-letters AS (
-  SELECT doc_id,
-         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
-  FROM documents
-),
-cps AS (
-  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
-         length(ls) AS n
-  FROM letters WHERE length(ls) >= {PHASH_MIN_BYTES}
-),
+{_letters_cps_cte(PHASH_MIN_BYTES)},
 sums AS (
   SELECT doc_id, n, list_sum(v) AS total,
          list_transform(range(0, {p}), j -> list_sum(v[(j*n)//{p} + 1:((j+1)*n)//{p}])) AS s,
@@ -352,7 +383,8 @@ def dedup_image_phash_oracle() -> str:
     # duplicate (doc_id, text) rows — the two-sided join would multiply
     # identical pairs where the collect_list path emits them once
     ham = _hamming64_duck("a_hi", "a_lo", "b_hi", "b_lo")
-    emit_once = _earlier_band_mismatch(("a_hi", "a_lo"), ("b_hi", "b_lo"))
+    emit_once = _earlier_band_mismatch(("a_hi", "a_lo"), ("b_hi", "b_lo"),
+                                       n_bands=PHASH_BANDS)
     return f"""
 WITH {_phash_table_ctes()},
 allbanded AS ({band_selects}),
@@ -535,11 +567,7 @@ def audio_fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         bytes_per_partition=128 * 1024,
     )
-    payloads = docs.select(
-        "doc_id",
-        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
-        .alias("payload"),
-    ).where(F.expr(f"octet_length(payload) >= {AUDIO_FRAME_BYTES}"))
+    payloads = _payload_frame(docs, AUDIO_FRAME_BYTES)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -600,16 +628,7 @@ def _audio_frames_cte() -> str:
     ``frames(doc_id, frame_idx, fh)``."""
     w, h = AUDIO_FRAME_BYTES, AUDIO_HOP_BYTES
     return f"""
-letters AS (
-  SELECT doc_id,
-         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
-  FROM documents
-),
-cps AS (
-  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
-         length(ls) AS n
-  FROM letters WHERE length(ls) >= {w}
-),
+{_letters_cps_cte(w)},
 fr AS (
   SELECT doc_id, v, unnest(range(0, (n - {w}) // {h} + 1)) AS frame_idx FROM cps
 ),
@@ -729,11 +748,7 @@ def video_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         bytes_per_partition=128 * 1024,
     )
-    payloads = docs.select(
-        "doc_id",
-        F.expr("cast(concat_ws('', regexp_extract_all(lower(text), '([a-z]+)', 1)) as binary)")
-        .alias("payload"),
-    ).where(F.expr(f"octet_length(payload) >= {VIDEO_FRAME_BYTES}"))
+    payloads = _payload_frame(docs, VIDEO_FRAME_BYTES)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -816,16 +831,7 @@ def _video_frames_cte() -> str:
     fb, mod = VIDEO_FRAME_BYTES, VIDEO_ANCHOR_MOD
     bit = f"v[frame_idx + j + 1] * {fb} > total"
     return f"""
-letters AS (
-  SELECT doc_id,
-         array_to_string(regexp_extract_all(lower(text), '([a-z]+)', 1), '') AS ls
-  FROM documents
-),
-cps AS (
-  SELECT doc_id, list_transform(string_split(ls, ''), c -> unicode(c)) AS v,
-         length(ls) AS n
-  FROM letters WHERE length(ls) >= {fb}
-),
+{_letters_cps_cte(fb)},
 anch AS (
   SELECT doc_id, v, unnest(range(0, n - {fb - 1})) AS a FROM cps
 ),
@@ -902,8 +908,14 @@ def dedup_audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> Dat
 
     fps = audio_fingerprint_table(spark, sf_dir)
     is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
-    idx = _drop_hot_buckets(fps.where(~is_new), ["fh"], LSH_BUCKET_CAP)
-    new = fps.where(is_new).select(
+    # .distinct() on both probe sides: duplicate document rows (legal dirty
+    # data) duplicate every (doc_id, frame_idx, fh) row, and raw-row joins
+    # would multiply the vote counts — the batch operator dedups the same
+    # way via array_distinct inside its bucket lists, and the incremental
+    # contract is 'batch restricted to new docs'. Hot-cap BEFORE distinct,
+    # matching the batch order (cap counts raw occurrences).
+    idx = _drop_hot_buckets(fps.where(~is_new), ["fh"], LSH_BUCKET_CAP).distinct()
+    new = fps.where(is_new).distinct().select(
         F.col("doc_id").alias("new_id"),
         F.col("frame_idx").alias("idx_n"),
         "fh",
@@ -931,8 +943,10 @@ def dedup_audio_fingerprint_incremental_oracle() -> str:
 WITH {_audio_frames_cte()},
 idx0 AS (SELECT * FROM frames WHERE doc_id % {INCR_BATCH_MOD} <> 0),
 hot AS (SELECT fh FROM idx0 GROUP BY fh HAVING count(*) > {LSH_BUCKET_CAP}),
-idx AS (SELECT * FROM idx0 WHERE fh NOT IN (SELECT fh FROM hot)),
-newb AS (SELECT * FROM frames WHERE doc_id % {INCR_BATCH_MOD} = 0),
+idx AS (SELECT DISTINCT doc_id, frame_idx, fh FROM idx0
+        WHERE fh NOT IN (SELECT fh FROM hot)),
+newb AS (SELECT DISTINCT doc_id, frame_idx, fh FROM frames
+         WHERE doc_id % {INCR_BATCH_MOD} = 0),
 cand AS (
   SELECT n.doc_id AS doc_id, i.doc_id AS dup_of,
          n.frame_idx - i.frame_idx AS delta

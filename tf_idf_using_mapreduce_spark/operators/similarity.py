@@ -488,10 +488,17 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
         else:
             model = KMeans(k=min(N_CENTROIDS, n), seed=42,
                            featuresCol="features").fit(feats)
-            _anchor_cache_put(key, [
+            anchors = [
                 {"v": [float(x) for x in c], "nrm": math.sqrt(float(sum(x * x for x in c)))}
                 for c in model.clusterCenters()
-            ])
+            ]
+            # unknown corpus identity (sig None): serve the fresh model but
+            # never memoize — a (…, None) entry can't be read back (the
+            # lookup short-circuits on sig) and would only evict a live
+            # dir's entry at the cache cap. Mirrors _anchor_rows.
+            if sig is None:
+                return _ivf_search(_vectors(spark, sf_dir), anchors, k)
+            _anchor_cache_put(key, anchors)
     return _ivf_search(_vectors(spark, sf_dir), _ANCHOR_CACHE[key], k)
 
 
