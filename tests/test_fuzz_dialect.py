@@ -144,6 +144,12 @@ def _fuzz_rows(n: int = 120, seed: int = 20260813):
     # propagate NULL through the shared expressions identically (verified)
     rows.append((len(rows), None, "en", "src0", 0))
     rows.append((len(rows), "plain words here", None, "src1", 16))
+    # NULL source (r11 advice): a real group in every source-grouped census —
+    # pins that engine and oracle agree on NULL grouping keys AND that the
+    # BPE mixture plan's census join is null-safe (a plain equi-join would
+    # silently drop this group and re-weight every unnamed source). id 1000
+    # sits above the loop's id range so this row adds NO new dup-id shape.
+    rows.append((1000, "null source words alpha beta", "en", None, 28))
     # NOTE (load-bearing): the loop below restarts ids at len(_EDGE_TEXTS),
     # so the two appended rows' ids (22, 23) are DUPLICATED with different
     # texts — dirty-data shape that real lakes have and the uniform fixture

@@ -462,7 +462,18 @@ def mixture_plan_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.select("source").groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"))
-    per = n_docs.join(per_tok, "source").select("source", "n_docs", "n_tokens")
+    # null-SAFE equi-join (r11 advice): a NULL source is a real group in the
+    # word-basis plan's plain groupBy, so the census join must not drop it —
+    # a plain equi-join never matches NULL keys and would silently shrink
+    # t_total and re-weight every unnamed source on dirty corpora
+    # both census frames derive from the same `docs` lineage, so the join
+    # condition needs string aliases to disambiguate the two `source` columns
+    per = (
+        n_docs.alias("nd")
+        .join(per_tok.alias("pt"),
+              F.col("nd.source").eqNullSafe(F.col("pt.source")))
+        .select(F.col("nd.source").alias("source"), "n_docs", "n_tokens")
+    )
     return _mixture_plan_of(per)
 
 
@@ -484,7 +495,7 @@ per_tok AS (
 nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
 per AS (
   SELECT nd.source, nd.n_docs, pt.n_tokens
-  FROM nd JOIN per_tok pt ON pt.source = nd.source
+  FROM nd JOIN per_tok pt ON pt.source IS NOT DISTINCT FROM nd.source
 ),
 {_mixture_tail_sql()}
 """

@@ -300,16 +300,10 @@ register("mixture_plan_bpe", _rel6.mixture_plan_bpe, _rel6.mixture_plan_bpe_orac
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 11 (r10 ADVICE): the span-side of the excision join carries an
-    # explicit F.broadcast hint — results identical, plan contract changed
-    "dedup_substring_apply",
-    # round 11 (r10 ADVICE + verdict #5): the anchor cache is keyed by
-    # corpus identity (_corpus_signature) and skips the memo on unknown
-    # identity — the quantizer-derivation code path changed for every
-    # md5-anchor consumer; re-verify the cheapest oracled one plus the
-    # rows-only kmeans twin
-    "ann_topk_ivf",
-    "ann_topk_ivf_kmeans",
+    # round 12 (r11 ADVICE): the BPE mixture census join went null-safe
+    # (eqNullSafe / IS NOT DISTINCT FROM) in both engine and oracle —
+    # results identical on NULL-free corpora, but the expression changed
+    "mixture_plan_bpe",
 })
 
 
