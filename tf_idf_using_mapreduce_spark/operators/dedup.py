@@ -892,14 +892,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
     sig = minhash_signatures(sets).localCheckpoint(eager=False)
-    n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
-        for b in range(n_bands)
-    )
-    bands = sig.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_sig")
+    bands = _lsh_band_table(sig)
     is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
     idx_bands = _drop_hot_buckets(bands.where(~is_new), ["band", "band_sig"], LSH_BUCKET_CAP)
     new_bands = bands.where(is_new).withColumnRenamed("doc_id", "new_id")
@@ -908,6 +901,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("new_id").alias("doc_id"), F.col("doc_id").alias("dup_of"))
         .distinct()
     )
+    return _jaccard_confirm(cand, sets)
+
+
+def _lsh_band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig): the MinHash LSH band table of a signature
+    frame — the write-once index state of the incremental family (shared by
+    :func:`dedup_incremental` and the persisted twin, which materializes it
+    on disk via operators/persisted.py)."""
+    n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
+        for b in range(n_bands)
+    )
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
+
+
+def _jaccard_confirm(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of a candidate-pair frame against the
+    shingle sets: keeps (doc_id, dup_of, jaccard) at or above
+    JACCARD_THRESHOLD — the shared confirm stage of the incremental MinHash
+    family (in-memory and persisted twins)."""
     sa = sets.select(F.col("doc_id").alias("doc_id"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
     return (

@@ -266,19 +266,21 @@ def _anchor_cache_put(key, value) -> None:
     _ANCHOR_CACHE[key] = value
 
 
-def _corpus_signature(sf_dir: str):
+def _corpus_signature(sf_dir: str, table: str = "embeddings.parquet"):
     """Cheap corpus-identity component for the anchor-cache key: the
-    (relative path, size, mtime) of every file behind ``embeddings.parquet``
-    under ``sf_dir`` — no Spark scan, one ``stat`` per file. A dir whose
-    CONTENTS change between calls in one session (the empty-then-populated
-    transition, a daily-refresh warehouse) therefore maps to a NEW cache key
-    and re-derives its quantizer instead of serving stale anchors (round-10
-    residual: path-only keys pinned the first probe for the session).
-    Non-local / unreadable layouts return ``None``, which callers treat as
-    "identity unknown — do not memoize"."""
+    (relative path, size, mtime) of every file behind ``table`` (default
+    ``embeddings.parquet``) under ``sf_dir`` — no Spark scan, one ``stat``
+    per file. A dir whose CONTENTS change between calls in one session (the
+    empty-then-populated transition, a daily-refresh warehouse) therefore
+    maps to a NEW cache key and re-derives its quantizer instead of serving
+    stale anchors (round-10 residual: path-only keys pinned the first probe
+    for the session). Non-local / unreadable layouts return ``None``, which
+    callers treat as "identity unknown — do not memoize". The persisted
+    dedup indexes (operators/persisted.py) key their on-disk tables with the
+    same function over ``documents.parquet``."""
     import os
 
-    root = os.path.join(sf_dir, "embeddings.parquet")
+    root = os.path.join(sf_dir, table)
     try:
         if os.path.isfile(root):
             st = os.stat(root)

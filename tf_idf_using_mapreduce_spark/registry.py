@@ -22,6 +22,7 @@ from tf_idf_using_mapreduce_spark.operators import curation as _cur
 from tf_idf_using_mapreduce_spark.operators import packing as _pack
 from tf_idf_using_mapreduce_spark.operators import pretrain as _pre
 from tf_idf_using_mapreduce_spark.operators import multimodal as _mm
+from tf_idf_using_mapreduce_spark.operators import persisted as _pers
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
 from tf_idf_using_mapreduce_spark.streaming import corpus as _stream_corpus
@@ -292,6 +293,14 @@ register("documents_stream_chunk_dedup", _stream_corpus.documents_stream_chunk_d
          _pack.DOC_CHUNK_DEDUP_ORACLE)
 register("mixture_plan_bpe", _rel6.mixture_plan_bpe, _rel6.mixture_plan_bpe_oracle())
 
+# -- round 12: persisted-index incremental tier ------------------------------
+# same oracles as the in-memory twins — bucket pruning is lossless by
+# construction, so the on-disk probe must be value-identical
+register("dedup_incremental_persisted", _pers.dedup_incremental_persisted,
+         _dedup.DEDUP_INCREMENTAL_ORACLE)
+register("dedup_incremental_bloom_persisted", _pers.dedup_incremental_bloom_persisted,
+         _dedup.DEDUP_INCREMENTAL_BLOOM_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
@@ -304,6 +313,10 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # (eqNullSafe / IS NOT DISTINCT FROM) in both engine and oracle —
     # results identical on NULL-free corpora, but the expression changed
     "mixture_plan_bpe",
+    # round 12: band-table/confirm stages factored into _lsh_band_table /
+    # _jaccard_confirm for the persisted twin — value-identical refactor,
+    # re-verify anyway
+    "dedup_incremental",
 })
 
 
