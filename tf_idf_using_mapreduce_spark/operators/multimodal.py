@@ -62,15 +62,135 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------- #
+# REAL container decode (stdlib-only): the "swap the stub" demonstration.
+#
+# The decode seam was designed so a real decoder drops in without moving any
+# Spark-side plumbing. These two decoders prove it with PUBLIC formats the
+# stdlib can parse — RIFF/WAVE PCM (`wave`) and PNG grayscale scanlines
+# (`zlib` + the RFC 2083 filter algebra) — no new dependencies. Payloads that
+# sniff as a real container decode for real; everything else falls through to
+# the deterministic letters-bytes stub, which keeps every ORACLED query
+# byte-identical (the oracled payload convention is pure [a-z] bytes, which
+# can never carry a RIFF/PNG magic). tests/test_multimodal.py pushes a real
+# WAV and a re-encoded PNG through the same mapInPandas seams and near-dups
+# them.
+# --------------------------------------------------------------------------- #
+
+def _wav_signal(payload: bytes):
+    """8-bit signal stream of a RIFF/WAVE PCM payload (first channel, int16
+    or uint8 samples mapped to 0..255), or ``None`` when the payload is not
+    a parseable WAV. The fingerprinter consumes sign-of-first-difference, so
+    8-bit amplitude resolution preserves exactly what it measures."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, ValueError, struct.error):
+        return None
+    if sw == 2:
+        a = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+        a = (a + 32768) >> 8
+    elif sw == 1:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:
+        return None
+    if nch > 1:
+        a = a[: len(a) // nch * nch].reshape(-1, nch)[:, 0]
+    return bytes(a.astype(np.uint8))
+
+
+def _png_gray(payload: bytes):
+    """(pixels, width, height) of an 8-bit grayscale PNG — stdlib zlib
+    inflate + the five RFC 2083 scanline filters — or ``None`` when the
+    payload is not a parseable grayscale PNG. Reference implementation (pure
+    Python per-pixel unfilter): correctness-first, used at fixture scale; a
+    hot path would swap in PIL through this same seam."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import zlib
+
+    try:
+        pos, width, height, idat = 8, None, None, b""
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+            typ = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if typ == b"IHDR":
+                width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+                if bit_depth != 8 or color_type != 0:
+                    return None  # only 8-bit grayscale is in scope
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if width is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        if len(raw) != (width + 1) * height:
+            return None
+        out = bytearray()
+        prev = bytes(width)
+        for y in range(height):
+            ft = raw[y * (width + 1)]
+            line = bytearray(raw[y * (width + 1) + 1:(y + 1) * (width + 1)])
+            if ft == 1:    # Sub
+                for x in range(1, width):
+                    line[x] = (line[x] + line[x - 1]) & 0xFF
+            elif ft == 2:  # Up
+                for x in range(width):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(width):
+                    left = line[x - 1] if x else 0
+                    line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(width):
+                    a = line[x - 1] if x else 0
+                    b = prev[x]
+                    c = prev[x - 1] if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            elif ft != 0:  # 0 = None
+                return None
+            out += line
+            prev = bytes(line)
+        return bytes(out), width, height
+    except (zlib.error, struct.error, IndexError, ValueError):
+        return None
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, list[float], tuple[int, ...]]:
-    """STUB decoder — deterministic pseudo-decode. A real implementation
-    (PIL.Image.open / torchaudio.load / frame sampling) goes here; the
-    container has no media libraries, so features derive from md5 bytes.
+    """Payload decoder behind the feature seam. REAL containers decode with
+    the stdlib (PNG → true dimensions + features over the decoded pixels;
+    WAV → (n_samples, 1) + features over the decoded signal); anything else
+    takes the deterministic letters/text-bytes STUB (md5-derived
+    pseudo-features) that keeps the query oracle-checkable — utf-8 text can
+    never parse as a RIFF/PNG container, so the oracled rows always stub.
 
     Returns (width, height, float features, raw uint32 feature words). The
     raw words are the exact-integer form the registry-facing query exposes so
     the result is both hashable and recomputable by the DuckDB oracle.
     """
+    png = _png_gray(payload)
+    if png is not None:
+        pixels, width, height = png
+        raw = struct.unpack(">4I", hashlib.md5(pixels).digest())
+        return width, height, [x / 2**31 - 1.0 for x in raw], raw
+    wav = _wav_signal(payload)
+    if wav is not None:
+        raw = struct.unpack(">4I", hashlib.md5(wav).digest())
+        return len(wav), 1, [x / 2**31 - 1.0 for x in raw], raw
     digest = hashlib.md5(payload).digest()
     width = 32 + digest[0] % 224          # fake dimensions
     height = 32 + digest[1] % 224
@@ -174,13 +294,17 @@ PHASH_BANDS = 4
 
 
 def _phash64(payload: bytes) -> tuple[int, int]:
-    """STUB perceptual hash — aHash over a deterministic fake luma grid. A
-    real implementation decodes pixels (PIL) and block-averages the 8x8
-    grayscale raster; the container has no media libraries, so the "luma
-    sequence" is the payload's byte values, which preserves the property a
-    perceptual hash needs and an md5-derived fake destroys: NEARBY payloads
-    produce NEARBY grids (a re-encode that perturbs a few bytes flips a few
-    grid cells, not all 64).
+    """Perceptual hash (aHash) over the payload's luma sequence. A REAL
+    grayscale PNG payload decodes with the stdlib (:func:`_png_gray`) and
+    hashes its actual pixels — the "swap the stub" path, exercised by
+    tests/test_multimodal.py near-dupping a re-encoded PNG. Anything else
+    takes the STUB luma sequence: the payload's raw byte values (the
+    container has no PIL; the oracled payload convention is pure [a-z]
+    bytes, which can never sniff as PNG, so oracle parity is untouched).
+    Both paths preserve the property a perceptual hash needs and an
+    md5-derived fake destroys: NEARBY payloads produce NEARBY grids (a
+    re-encode that perturbs a few bytes flips a few grid cells, not all
+    64).
 
     Grid cell j averages byte slice [j*n//64, (j+1)*n//64); bit j is set
     iff cell mean > whole-payload mean, compared exactly via integer
@@ -194,6 +318,9 @@ def _phash64(payload: bytes) -> tuple[int, int]:
     to n ~ 10^8 bytes), so the scalar spec above is computed bit-for-bit."""
     import numpy as np
 
+    png = _png_gray(payload)
+    if png is not None:
+        payload = png[0]  # hash the DECODED pixels, not the container bytes
     n = len(payload)
     v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     total = int(v.sum())
@@ -237,13 +364,13 @@ cps AS (
 )"""
 
 
-def image_phash_df(docs: DataFrame) -> DataFrame:
-    """DF-level core of :func:`image_phash_table`: payload synthesis + Arrow-
-    batched decode/hash over a (doc_id, text) frame. Stateless map-only, so
-    the IDENTICAL expression tree + ``mapInPandas`` seam also runs under
-    Structured Streaming (``streaming/corpus.py:documents_stream_phash``) —
-    ingest-time perceptual indexing with zero shuffle and no state store."""
-    payloads = _payload_frame(docs, PHASH_MIN_BYTES)
+def phash_frames(payloads: DataFrame) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo) over ANY ``(doc_id, payload binary)`` frame —
+    THE image decode seam: Arrow-batched ``mapInPandas`` around
+    :func:`_phash64`. The oracled letters-payload table
+    (:func:`image_phash_df`) and the real-binary path (a production image
+    table; tests/test_multimodal.py pushes genuine PNGs here) run this exact
+    function — swapping the stub for a real decoder moves nothing else."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,6 +382,15 @@ def image_phash_df(docs: DataFrame) -> DataFrame:
             })
 
     return payloads.mapInPandas(decode, "doc_id long, ph_hi long, ph_lo long")
+
+
+def image_phash_df(docs: DataFrame) -> DataFrame:
+    """DF-level core of :func:`image_phash_table`: payload synthesis + Arrow-
+    batched decode/hash over a (doc_id, text) frame. Stateless map-only, so
+    the IDENTICAL expression tree + ``mapInPandas`` seam also runs under
+    Structured Streaming (``streaming/corpus.py:documents_stream_phash``) —
+    ingest-time perceptual indexing with zero shuffle and no state store."""
+    return phash_frames(_payload_frame(docs, PHASH_MIN_BYTES))
 
 
 def image_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +420,15 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate): a re-encoded image lands within a few flipped grid bits, so
     every such pair shares >= 1 exact band by pigeonhole and is verified by
     two ``bit_count(xor)``s — never an all-pairs join."""
+    ph = image_phash_table(spark, sf_dir).localCheckpoint(eager=False)
+    return phash_near_dup_pairs(ph)
+
+
+def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) over ANY ``(doc_id, ph_hi, ph_lo)`` hash
+    table — the banded pair stage of :func:`dedup_image_phash`, shared with
+    the real-binary path (tests near-dup genuine re-encoded PNGs through
+    :func:`phash_frames` + this)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import (
         LSH_BUCKET_CAP,
         _band_key,
@@ -293,7 +438,6 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ordered_pairs_expr,
     )
 
-    ph = image_phash_table(spark, sf_dir).localCheckpoint(eager=False)
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
         for b in range(PHASH_BANDS)
@@ -520,15 +664,19 @@ AUDIO_MIN_ALIGNED = 8
 
 
 def _audio_fingerprints(payload: bytes) -> list[int]:
-    """STUB frame fingerprinter — sign-of-first-difference over each
-    ``AUDIO_FRAME_BYTES`` window at ``AUDIO_HOP_BYTES`` hop. A real
-    implementation decodes PCM (torchaudio) and takes the sign pattern of
-    band-energy differences per FFT frame (Chromaprint's bit layout); the
-    container has no audio libraries, so the "signal" is the payload's byte
-    stream. The stub preserves the two properties the matcher needs and an
-    md5-derived fake destroys: IDENTICAL windows produce identical
-    fingerprints, and a localized byte edit perturbs only the <= 2 frames
-    whose windows overlap it.
+    """Frame fingerprinter — sign-of-first-difference over each
+    ``AUDIO_FRAME_BYTES`` window at ``AUDIO_HOP_BYTES`` hop. A REAL
+    RIFF/WAVE PCM payload decodes with the stdlib (:func:`_wav_signal`) and
+    fingerprints its actual sample stream — the "swap the stub" path,
+    exercised by tests/test_multimodal.py near-dupping an edited WAV copy.
+    Anything else fingerprints the raw payload bytes as the signal (no
+    torchaudio in the container; the oracled letters-bytes payloads can
+    never sniff as RIFF, so oracle parity is untouched). A full production
+    decoder takes the sign pattern of band-energy differences per FFT frame
+    (Chromaprint's bit layout) through this same seam. Both paths preserve
+    the two properties the matcher needs and an md5-derived fake destroys:
+    IDENTICAL windows produce identical fingerprints, and a localized edit
+    perturbs only the <= 2 frames whose windows overlap it.
 
     Bit j of frame i is set iff byte[i*hop + j + 1] > byte[i*hop + j]
     (31 bits per frame — collision probability across a corpus of ~1e5
@@ -540,6 +688,9 @@ def _audio_fingerprints(payload: bytes) -> list[int]:
     implementation in tests/test_multimodal.py."""
     import numpy as np
 
+    wav = _wav_signal(payload)
+    if wav is not None:
+        payload = wav  # fingerprint the DECODED signal, not container bytes
     a = np.frombuffer(payload, dtype=np.uint8)
     n = len(a)
     if n < AUDIO_FRAME_BYTES:
@@ -567,7 +718,15 @@ def audio_fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         bytes_per_partition=128 * 1024,
     )
-    payloads = _payload_frame(docs, AUDIO_FRAME_BYTES)
+    return audio_fp_frames(_payload_frame(docs, AUDIO_FRAME_BYTES))
+
+
+def audio_fp_frames(payloads: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fh) over ANY ``(doc_id, payload binary)`` frame —
+    THE audio decode seam: Arrow-batched ``mapInPandas`` around
+    :func:`_audio_fingerprints`. The oracled letters-payload table and the
+    real-binary path (a production audio table; tests/test_multimodal.py
+    pushes genuine WAVs here) run this exact function."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -594,13 +753,21 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE materialization, mirrored in the oracle); the vote histogram is a
     second small shuffle on (doc_a, doc_b, delta) whose input is candidate
     mass, not corpus mass. Never an all-pairs join."""
+    return audio_align_pairs(audio_fingerprint_table(spark, sf_dir))
+
+
+def audio_align_pairs(fps: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, delta, n_aligned) over ANY ``(doc_id, frame_idx, fh)``
+    fingerprint table — the inverted-index + offset-vote stage of
+    :func:`dedup_audio_fingerprint`, shared with the real-binary path (tests
+    near-dup a genuinely edited WAV through :func:`audio_fp_frames` +
+    this)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import (
         LSH_BUCKET_CAP,
         _drop_hot_buckets,
         _ordered_pairs_expr,
     )
 
-    fps = audio_fingerprint_table(spark, sf_dir)
     buck = _drop_hot_buckets(fps, ["fh"], LSH_BUCKET_CAP)
     pairs = (
         buck.groupBy("fh")

@@ -317,6 +317,20 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # _jaccard_confirm for the persisted twin — value-identical refactor,
     # re-verify anyway
     "dedup_incremental",
+    # round 12: real-container sniff added to _phash64/_audio_fingerprints/
+    # _decode_payload and the frame/pair stages factored for the real-binary
+    # path — letters payloads can't sniff as media so results are identical,
+    # but every consumer's expression changed; re-verify the modality tier
+    "multimodal_phash",
+    "multimodal_features",
+    "multimodal_meta",
+    "multimodal_audio_fp",
+    "dedup_image_phash",
+    "dedup_image_phash_incremental",
+    "dedup_audio_fingerprint",
+    "dedup_audio_fingerprint_incremental",
+    "documents_stream_phash",
+    "neardup_modality_agreement",
 })
 
 
