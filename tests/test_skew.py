@@ -99,3 +99,89 @@ def test_simhash_hot_bucket_capped(spark, tmp_path):
     # same token bag -> identical sketch -> hamming 0, cold 2-member buckets
     assert (1002, 1003) in pairs
     assert len(pairs) < 50
+
+
+# --------------------------------------------------------------------------- #
+# Skew-JOIN twins (round 12): AQE runtime split vs compile-time salting on a
+# deliberately hot join key — the power-user ⨝ dimension shape.
+# --------------------------------------------------------------------------- #
+
+_SKEW_JOIN_CONFS = {
+    # force a sort-merge join and make the hot partition qualify at test
+    # scale (production thresholds are 256MB-class; the data here is MBs)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def _write_hot_user_events(spark, tmp_path) -> str:
+    """500k events where ONE power user owns 90% of the rows — the
+    deliberately hot join key. Deterministic (seeded)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(1 if rng.random() < 0.9 else rng.randint(2, 400),
+             rng.choice(["click", "view", "purchase"]),
+             round(rng.uniform(0, 10), 3))
+            for _ in range(500_000)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "user_id long, event_type string, value double") \
+        .repartition(16).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+def _with_confs(spark, confs):
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return prev
+
+
+def test_aqe_splits_hot_join_partition_and_salted_twin_matches(spark, tmp_path):
+    from tf_idf_using_mapreduce_spark.operators import relational as rel
+
+    d = _write_hot_user_events(spark, tmp_path)
+    prev = _with_confs(spark, _SKEW_JOIN_CONFS)
+    try:
+        plain = rel.events_segment_revenue(spark, d)
+        got = {tuple(r) for r in plain.collect()}
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        # the runtime split happened: the SMJ is marked and the hot side's
+        # shuffle read was re-chunked
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+
+        salted = rel.events_segment_revenue_salted(spark, d)
+        got_salted = {tuple(r) for r in salted.collect()}
+        assert got_salted == got  # value-identical twins
+        splan = salted._jdf.queryExecution().executedPlan().toString()
+        # the salt is IN the join key, so no single task owns the hot user
+        assert "_salt" in splan, splan
+    finally:
+        _with_confs(spark, prev)
+    # the hot user really is heavy-segment: sanity that the scenario bites
+    assert any(r[0] == "heavy" for r in got)
+
+
+def test_skew_twins_match_oracle_on_hot_corpus(spark, tmp_path):
+    """Dialect parity survives the adversarial key distribution, not just
+    the uniform fixture."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.canon import canon_rows
+
+    d = _write_hot_user_events(spark, tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    ddf = con.sql(e.oracle_sql()["events_segment_revenue"]).df()
+    con.close()
+    for name in ("events_segment_revenue", "events_segment_revenue_salted"):
+        spdf = e.queries()[name](spark, d).toPandas()
+        assert sorted(spdf.columns) == sorted(ddf.columns), name
+        assert canon_rows(spdf) == canon_rows(ddf), name

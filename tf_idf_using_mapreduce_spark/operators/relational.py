@@ -809,6 +809,92 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_segment_dim(ev: DataFrame) -> DataFrame:
+    """(user_id, segment): the per-user dimension of the skew-join twins —
+    'heavy' when the user's event count reaches 2× the per-user average
+    (exact: integer counts averaged in double, both engines IEEE-identical),
+    else 'light'. O(users) rows: a dimension, not a fact.
+
+    MATERIALIZED (``localCheckpoint``), and that is load-bearing for the AQE
+    twin: ``OptimizeSkewedJoin`` can only split a sort-merge join whose
+    children are bare shuffle reads it can re-chunk/duplicate. Left in-plan,
+    the dim side of the join is an Aggregate ABOVE its shuffle read (the
+    groupBy's own partitioning feeds the join with no second exchange), the
+    pattern doesn't match, and the hot fact partition never splits —
+    measured, not theorized (round 12). Production reads the dimension from
+    a table, which is the same leaf shape the checkpoint produces."""
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    stats = per.agg(F.avg("n_ev").alias("avg_ev"))
+    return per.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        F.when(F.col("n_ev") >= 2 * F.col("avg_ev"), F.lit("heavy"))
+        .otherwise(F.lit("light")).alias("segment"),
+    ).localCheckpoint(eager=False)
+
+
+def _segment_rollup(joined: DataFrame) -> DataFrame:
+    # deliberately NO countDistinct(user_id) here: a distinct aggregate whose
+    # keys include the join key makes the join's hashpartitioning
+    # load-bearing (the distinct-dedup stage reuses it, exchange elided), so
+    # AQE must refuse to split the skewed partition — the split would break
+    # the clustering guarantee. Per-segment user counts belong on the
+    # DIMENSION side (O(users)), not the fact rollup. Measured (round 12).
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def events_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, event_type, n_events, sum_value): the fact ⨝ dimension join
+    on a key whose real-world distribution is SKEWED — event streams
+    concentrate on power users, so the heavy user's partition dwarfs the
+    rest when the dimension is too large to broadcast and the join
+    sort-merges. This declarative form is the AQE twin: at run time adaptive
+    execution detects the oversized partition and splits it across tasks,
+    duplicating the matching dim partition (``spark.sql.adaptive.skewJoin.
+    enabled``, on in the session factory — tests/test_skew.py pins the
+    ``SortMergeJoin(skew=true)`` / ``AQEShuffleRead skewed`` markers in the
+    final plan on a deliberately hot key, and tools/skew_bench.py measures
+    the split). Two structural preconditions for the runtime split, both
+    measured in round 12 and documented at the helpers: the dimension must
+    be a materialized leaf (``_user_segment_dim``) and the rollup must not
+    anchor the join's partitioning with a distinct aggregate on the join
+    key (``_segment_rollup``). The salted twin
+    (:func:`events_segment_revenue_salted`) is the compile-time fallback
+    for joins AQE can't re-plan; identical results, same oracle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    return _segment_rollup(ev.join(_user_segment_dim(ev), "user_id"))
+
+
+def events_segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted twin of :func:`events_segment_revenue`: each fact row gets a
+    random salt and the dimension explodes ``n_salts``× so the hot user's
+    rows spread over ``n_salts`` tasks regardless of runtime re-planning
+    (``functions.skew.salted_broadcast_left``). Value-identical — the salt
+    only changes partitioning — so the twins share one oracle."""
+    from tf_idf_using_mapreduce_spark.functions.skew import salted_broadcast_left
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    joined = salted_broadcast_left(ev, _user_segment_dim(ev), "user_id", n_salts=8)
+    return _segment_rollup(joined)
+
+
+EVENTS_SEGMENT_REVENUE_ORACLE = """
+WITH per AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id),
+st AS (SELECT avg(n_ev) AS avg_ev FROM per),
+dim AS (
+  SELECT user_id,
+         CASE WHEN n_ev >= 2 * avg_ev THEN 'heavy' ELSE 'light' END AS segment
+  FROM per, st
+)
+SELECT d.segment, e.event_type, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
 # `ts IS NOT NULL` pins the engines' shared event-time rule: a NULL event
 # time has no window — Spark's window()/session_window()/watermark all drop
 # such rows (batch and streaming alike), so the oracle must too (found by

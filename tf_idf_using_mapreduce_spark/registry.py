@@ -301,6 +301,12 @@ register("dedup_incremental_persisted", _pers.dedup_incremental_persisted,
 register("dedup_incremental_bloom_persisted", _pers.dedup_incremental_bloom_persisted,
          _dedup.DEDUP_INCREMENTAL_BLOOM_ORACLE)
 
+# -- round 12: skew-join twins (AQE runtime split vs compile-time salting) ---
+register("events_segment_revenue", _rel.events_segment_revenue,
+         _rel.EVENTS_SEGMENT_REVENUE_ORACLE)
+register("events_segment_revenue_salted", _rel.events_segment_revenue_salted,
+         _rel.EVENTS_SEGMENT_REVENUE_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------

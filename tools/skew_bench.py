@@ -366,6 +366,68 @@ def main() -> int:
         }
     }
 
+    # skew-JOIN twins (round 12): a fact ⨝ dimension join where ONE power
+    # user owns 90% of the fact rows — the hot-key shape AQE's runtime
+    # skew-join split and the salted twin both exist for. Three cells on the
+    # same data: AQE split ON (the production posture; the final plan's
+    # skew=true marker is recorded, not assumed), split OFF (the unmitigated
+    # baseline — one task owns the hot partition), and the compile-time
+    # salted twin. Broadcast is disabled so the join actually sort-merges
+    # (the dimension is "too big to broadcast" at 100 TB user counts);
+    # thresholds are scaled to the harness data exactly as in
+    # tests/test_skew.py.
+    import random as _random
+
+    from tf_idf_using_mapreduce_spark.operators import relational as rel
+
+    _rng = _random.Random(7)
+    _ev_rows = [(1 if _rng.random() < 0.9 else _rng.randint(2, 400),
+                 _rng.choice(["click", "view", "purchase"]),
+                 round(_rng.uniform(0, 10), 3))
+                for _ in range(500_000)]
+    join_dir = os.path.join(out_dir, "skew_join")
+    spark.createDataFrame(
+        _ev_rows, "user_id long, event_type string, value double"
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(join_dir, "events.parquet"))
+    _join_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    _prev_confs = {k: spark.conf.get(k) for k in _join_confs}
+    _prev_confs["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled")
+    try:
+        for k, v in _join_confs.items():
+            spark.conf.set(k, v)
+        join_cells: dict[str, dict] = {}
+        for label, skew_on, fn in (
+            ("aqe_split", "true", rel.events_segment_revenue),
+            ("unmitigated", "false", rel.events_segment_revenue),
+            ("salted", "false", rel.events_segment_revenue_salted),
+        ):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            best, plan = float("inf"), ""
+            for _ in range(2):
+                t0 = time.time()
+                q = fn(spark, join_dir)
+                n_rows = len(q.collect())
+                best = min(best, time.time() - t0)
+                plan = q._jdf.queryExecution().executedPlan().toString()
+            join_cells[label] = {
+                "sec": round(best, 3),
+                "rows": n_rows,
+                "skew_split_in_plan": "SortMergeJoin(skew=true)" in plan,
+                "salted_key_in_plan": "_salt" in plan,
+            }
+        results["events_segment_revenue"] = join_cells
+    finally:
+        for k, v in _prev_confs.items():
+            spark.conf.set(k, v)
+
     knn_cap = sim.KNN_LSH_BUCKET_CAP
     for label, cap, reps in (("capped", knn_cap, 2), ("uncapped", 1 << 60, 1)):
         sim.KNN_LSH_BUCKET_CAP = cap
