@@ -1009,12 +1009,15 @@ def _bloom_positions(h: str) -> list:
     ]
 
 
-def _bloom_split_and_prune(spark: SparkSession, sf_dir: str):
+def _bloom_split_and_prune(spark: SparkSession, sf_dir: str, occupied=None):
     """(batch, idx, occupied, pruned) — the batch/index split, the index's
     occupied-position set, and the bloom-pruned batch. The single source of
     truth for the filter chain: :func:`dedup_incremental_bloom` builds its
     confirm join on it, and the skew bench measures ITS selectivity (so the
-    bench can never silently drift from the operator's filter)."""
+    bench can never silently drift from the operator's filter). Pass
+    ``occupied`` to prune against an EXTERNAL (persisted) position set —
+    the write-once production form (operators/persisted.py); by default the
+    set derives from the index split in-plan."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("h")
     )
@@ -1025,11 +1028,12 @@ def _bloom_split_and_prune(spark: SparkSession, sf_dir: str):
     # bounded by BLOOM_BITS rows regardless of index size. Lineage cut:
     # BLOOM_HASHES broadcast consumers below must not re-scan the index to
     # rebuild the same set
-    occupied = (
-        idx.select(F.explode(F.array(*_bloom_positions("h"))).alias("pos"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if occupied is None:
+        occupied = (
+            idx.select(F.explode(F.array(*_bloom_positions("h"))).alias("pos"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     pruned = batch
     for seed in range(BLOOM_HASHES):
         probe = F.pmod(F.xxhash64(F.col("h"), F.lit(seed)), F.lit(BLOOM_BITS))

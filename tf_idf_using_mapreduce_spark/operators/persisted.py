@@ -85,10 +85,13 @@ def _bb(*key_cols: str):
     ).cast("int")
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build):
+def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
+                  bucketed: bool = True):
     """Materialize the ``kind`` index for ``sf_dir``'s corpus identity once;
     return the table name, or ``None`` when identity is unknown (caller
-    derives the index in-plan instead)."""
+    derives the index in-plan instead). ``bucketed=False`` writes a plain
+    managed table (the bloom position set — one int column bounded by
+    BLOOM_BITS rows, broadcast whole at probe time, nothing to prune)."""
     sig = _corpus_signature(sf_dir, "documents.parquet")
     if sig is None:
         return None
@@ -109,8 +112,11 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build):
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         loc = os.path.join(warehouse.removeprefix("file:"), name)
         shutil.rmtree(loc, ignore_errors=True)
-    write_bucketed_table(build(), name, ["bb"], n_buckets=N_INDEX_BUCKETS,
-                         sort_cols=["bb"])
+    if bucketed:
+        write_bucketed_table(build(), name, ["bb"], n_buckets=N_INDEX_BUCKETS,
+                             sort_cols=["bb"])
+    else:
+        build().write.mode("overwrite").format("parquet").saveAsTable(name)
     _BUILT[name] = sig
     return name
 
@@ -129,12 +135,22 @@ def _pruned_scan(spark: SparkSession, name: str | None, build,
 def dedup_incremental_bloom_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, dup_of, is_dup): ``dedup_incremental_bloom`` probing the
     PERSISTED md5 index — same batch split, same bloom pre-probe, same
-    report contract and oracle; the index side is the write-once bucketed
-    table instead of a per-run derivation. Daily cost: batch hashes +
-    bloom pruning map-side, ONE bounded collect of the pruned batch's
-    distinct bucket keys, then a broadcast confirm join against only the
-    selected buckets of the on-disk index."""
-    batch, idx, _occupied, pruned = _bloom_split_and_prune(spark, sf_dir)
+    report contract and oracle; BOTH pieces of index state live on disk —
+    the md5 hash table (bucketed) AND the bloom occupied-position set (a
+    plain table, ≤ BLOOM_BITS ints, appended per batch in production) — so
+    a daily run scans the historical corpus ZERO times. Daily cost: batch
+    hashes + bloom pruning map-side against the persisted position set, ONE
+    bounded collect of the pruned batch's distinct bucket keys, then a
+    broadcast confirm join against only the selected buckets of the on-disk
+    index."""
+    occ_name = _ensure_index(
+        spark, sf_dir, "bloomocc",
+        lambda: _bloom_split_and_prune(spark, sf_dir)[2],
+        bucketed=False,
+    )
+    occ = spark.table(occ_name) if occ_name is not None else None
+    batch, idx, _occupied, pruned = _bloom_split_and_prune(spark, sf_dir,
+                                                           occupied=occ)
     name = _ensure_index(
         spark, sf_dir, "hash", lambda: idx.withColumn("bb", _bb("h"))
     )

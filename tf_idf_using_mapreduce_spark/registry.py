@@ -323,6 +323,9 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # _jaccard_confirm for the persisted twin — value-identical refactor,
     # re-verify anyway
     "dedup_incremental",
+    # round 12: _bloom_split_and_prune gained the optional external
+    # occupied-set parameter (persisted twin) — default path identical
+    "dedup_incremental_bloom",
     # round 12: real-container sniff added to _phash64/_audio_fingerprints/
     # _decode_payload and the frame/pair stages factored for the real-binary
     # path — letters payloads can't sniff as media so results are identical,
