@@ -133,3 +133,18 @@ def test_bpe_fertility_semantics(spark):
     assert row["fertility"] == round(row["n_subwords"] / row["n_words"], 6)
     assert row["vocab_words"] == 31 and row["fused_words"] == 2
     assert 1.0 < row["chars_per_subword"] < 8.0
+
+
+def test_bpe_source_fertility_consistent_with_corpus(spark):
+    """The n-weighted mean of per-source fertility equals the corpus-level
+    fertility, and the subword masses sum to the corpus census."""
+    from tf_idf_using_mapreduce_spark.operators import bpe as b
+
+    per = b.bpe_source_fertility(spark, SF_SMOKE).collect()
+    corpus = b.bpe_fertility(spark, SF_SMOKE).collect()[0]
+    assert sum(r["n_words"] for r in per) == corpus["n_words"]
+    assert sum(r["n_subwords"] for r in per) == corpus["n_subwords"]
+    assert abs(sum(r["n_subwords"] for r in per) / sum(r["n_words"] for r in per)
+               - corpus["fertility"]) < 1e-6
+    for r in per:
+        assert r["fertility"] >= 1.0  # a word is at least one subword

@@ -97,6 +97,12 @@ FUZZ_QUERIES = [
     "doc_chunk_dedup",
     "source_quality_rollup",
     "mixture_plan_bpe",
+    # round-12: the dedup-adjusted mixture census meets the duplicate-id /
+    # duplicate-text / NULL-source shapes; the per-source fertility rollup
+    # pushes OOV/unicode words through the recursive segmentation per
+    # source group (incl. the NULL-source group)
+    "mixture_plan_dedup",
+    "bpe_source_fertility",
 ]
 
 _EDGE_TEXTS = [

@@ -238,3 +238,31 @@ def test_mixture_plan_bpe_budgets_in_subword_tokens(spark):
         assert r["n_tokens"] == expect[s]
         assert r["n_tokens"] >= word[s]["n_tokens"]
         assert r["target_weight"] == word[s]["target_weight"]
+
+
+def test_mixture_plan_dedup_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "mixture_plan_dedup")
+
+
+def test_mixture_plan_dedup_discounts_boilerplate(spark, tmp_path):
+    """A source whose mass is duplicate boilerplate keeps only its unique
+    census after dedup — its sample_rate RISES relative to the raw plan's
+    (fewer survivor tokens chasing the same unnamed-mass weight), while an
+    all-unique source's census is untouched."""
+    rows = [(i, "dup boiler plate text copy " * 10, "spam") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} alpha beta gamma delta", "clean")
+             for i in range(10)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .coalesce(1).write.parquet(f"{d}/documents.parquet")
+    raw = {r["source"]: r for r in rel.mixture_plan(spark, d).collect()}
+    dd = {r["source"]: r for r in rel.mixture_plan_dedup(spark, d).collect()}
+    # the 40 identical spam docs collapse to ONE survivor
+    assert raw["spam"]["n_docs"] == 40 and dd["spam"]["n_docs"] == 1
+    assert dd["spam"]["n_tokens"] * 40 == raw["spam"]["n_tokens"]
+    # the unique source's census is untouched
+    assert dd["clean"]["n_docs"] == raw["clean"]["n_docs"] == 10
+    assert dd["clean"]["n_tokens"] == raw["clean"]["n_tokens"]
+    # and the dedup plan upsamples the deduped spam slice harder to hit the
+    # same unnamed-mass share (sample_rate is per-token of the census)
+    assert dd["spam"]["sample_rate"] > raw["spam"]["sample_rate"]

@@ -237,3 +237,63 @@ SELECT CAST(sum(n) AS BIGINT) AS n_words,
          AS chars_per_subword
 FROM joined
 """
+
+
+def bpe_source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_words, n_subwords, fertility, chars_per_subword): the
+    tokenizer-fit report PER SOURCE — :func:`bpe_fertility`'s corpus-level
+    metrics broken out by provenance. This is the table a data team reads
+    when a tokenizer trained on one mix meets a new source: a source whose
+    fertility is far above the corpus mean is paying more context-window
+    per word (OOV-ish vocabulary, different language/register), which
+    distorts token budgets (``mixture_plan_bpe``) and packing efficiency
+    for that slice. Same machinery as the BPE census: ONE word-count
+    shuffle keyed (source, word) — vocabulary×sources-sized, lineage-cut —
+    the broadcast dictionary prices each distinct word once, and the
+    rollup is O(sources). NULL source is a real group (plain groupBy on
+    both engines — the r11-advice contract)."""
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    swc = (
+        docs.select("source", F.explode(F.expr(WORD_TOKENS)).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dic = bpe_dictionary_of(swc).select("word", "k")
+    joined = swc.join(F.broadcast(dic), "word").select(
+        "source", "n", "k", F.expr("length(word)").alias("chars")
+    )
+    return joined.groupBy("source").agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.col("k")).alias("n_subwords"),
+        F.round(
+            F.sum(F.col("n") * F.col("k")).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("n") * F.col("chars")).cast("double")
+            / F.sum(F.col("n") * F.col("k")).cast("double"), 6
+        ).alias("chars_per_subword"),
+    )
+
+
+def bpe_source_fertility_oracle() -> str:
+    return f"""
+WITH RECURSIVE sw AS (
+  SELECT source, unnest({WORD_TOKENS}) AS word FROM documents
+),
+swc AS (SELECT source, word, count(*) AS n FROM sw GROUP BY source, word),
+wc AS (SELECT DISTINCT word FROM swc),
+{bpe_seg_ctes()},
+joined AS (
+  SELECT s.source, s.n, len(f.syms) AS k, length(s.word) AS chars
+  FROM swc s JOIN bpe_final f USING (word)
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * k) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n * k) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS fertility,
+       round(CAST(sum(n * chars) AS DOUBLE) / CAST(sum(n * k) AS DOUBLE), 6)
+         AS chars_per_subword
+FROM joined
+GROUP BY source
+"""

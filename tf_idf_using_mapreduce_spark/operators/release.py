@@ -501,6 +501,51 @@ per AS (
 """
 
 
+def mixture_plan_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, target_weight, sample_rate, epochs):
+    :func:`mixture_plan` with the per-source census over EXACT-DEDUP
+    SURVIVORS (keep-first md5 election, the ``dedup_exact`` contract) — the
+    recipe the run should actually consume: raw token mass overweights any
+    source whose bulk is duplicate boilerplate (crawl mirrors, syndicated
+    text), so a raw-census plan assigns it a lower sample_rate than its
+    UNIQUE content deserves and upsamples unique-heavy sources too little.
+    Same weight/rate/epoch arithmetic (:func:`_mixture_plan_of`), same
+    oracle tail; only the census input changes: one md5 hash census elects
+    survivors (the ``release_manifest`` composition pattern), one
+    doc_id semi-join keeps them, one aggregate to O(sources) rows. Scale
+    shape: the dedup shuffle is the same uniform-key exchange
+    ``dedup_exact`` pays; everything after is dimension-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    survivors = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(survivors, "doc_id")
+    per = (
+        kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(f"size({_TOKENS})")).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    return _mixture_plan_of(per)
+
+
+def mixture_plan_dedup_oracle() -> str:
+    return f"""
+WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+kept AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN surv USING (doc_id)),
+per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+  FROM kept GROUP BY source
+  HAVING sum(len({_TOKENS})) > 0
+),
+{_mixture_tail_sql()}
+"""
+
+
 # --------------------------------------------------------------------------- #
 # composed release manifest (curate → dedup → split, per split × source)
 # --------------------------------------------------------------------------- #

@@ -260,6 +260,8 @@ from tf_idf_using_mapreduce_spark.operators import bpe as _bpe
 register("bpe_token_counts", _bpe.bpe_token_counts, _bpe.bpe_token_counts_oracle())
 register("pack_sequences_bpe", _bpe.pack_sequences_bpe, _bpe.pack_sequences_bpe_oracle())
 register("bpe_fertility", _bpe.bpe_fertility, _bpe.bpe_fertility_oracle())
+register("bpe_source_fertility", _bpe.bpe_source_fertility,  # round 12
+         _bpe.bpe_source_fertility_oracle())
 
 # -- round 11: image-side near-dup over the multimodal payloads --------------
 register("multimodal_phash", _mm.image_phash_table, _mm.multimodal_phash_oracle())
@@ -306,6 +308,10 @@ register("events_segment_revenue", _rel.events_segment_revenue,
          _rel.EVENTS_SEGMENT_REVENUE_ORACLE)
 register("events_segment_revenue_salted", _rel.events_segment_revenue_salted,
          _rel.EVENTS_SEGMENT_REVENUE_ORACLE)
+
+# -- round 12: dedup-adjusted mixture + per-source tokenizer fit -------------
+register("mixture_plan_dedup", _rel6.mixture_plan_dedup,
+         _rel6.mixture_plan_dedup_oracle())
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
