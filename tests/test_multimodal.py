@@ -556,3 +556,90 @@ def test_real_wav_near_dup_through_mapinpandas_seam(spark):
     assert (0, 1, 0) in pairs, pairs
     assert pairs[(0, 1, 0)] >= 100      # most of the 124 frames still vote
     assert not any(2 in (a, b) for a, b, _ in pairs)  # the other track is clean
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Valid GIF LZW stream via the classic no-compression trick: emit only
+    literal codes at ``min_code_size + 1`` bits, inserting CLEAR before the
+    growing table would widen the code — every decoder accepts it."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    codes = [clear]
+    since_clear = 0
+    for b in indices:
+        if since_clear >= 250:   # table would reach 2**9 soon: reset
+            codes.append(clear)
+            since_clear = 0
+        codes.append(b)
+        since_clear += 1
+    codes.append(eoi)
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(frames: list[bytes], width: int, height: int) -> bytes:
+    """A genuine multi-frame GIF89a (stdlib-only): 256-entry grayscale
+    global palette (r=g=b=i, so decoded luma == the index byte), full-screen
+    non-interlaced frames."""
+    import struct as _struct
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])          # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for frame in frames:
+        out += b"\x2C" + _struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += bytes([8])                       # LZW min code size
+        data = _gif_lzw_encode(frame)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _gif_frame(f: int, width: int = 64, height: int = 64, base: int = 0) -> bytes:
+    return bytes((x * 7 + y * 3 + 17 * f + base) % 251
+                 for y in range(height) for x in range(width))
+
+
+def test_gif_stdlib_decode_roundtrip():
+    frames = [_gif_frame(f) for f in range(3)]
+    gif = _make_gif(frames, 64, 64)
+    decoded = mm._gif_gray_frames(gif)
+    assert decoded is not None and decoded == frames
+    assert mm._gif_gray_frames(b"plain letters payload") is None
+    # keyframes: one per frame, hashed over the REAL pixels
+    keys = mm._video_keyframes(gif)
+    assert [k[0] for k in keys] == [0, 1, 2]
+    assert keys[0][1:] == mm._phash64(frames[0])
+
+
+def test_real_gif_recut_near_dup_through_mapinpandas_seam(spark):
+    frames = [_gif_frame(f) for f in range(12)]
+    recut = list(reversed(frames[2:]))           # drop 2 scenes, reverse order
+    other = [_gif_frame(f, base=120) for f in range(12)]
+    payloads = spark.createDataFrame(
+        [(0, bytearray(_make_gif(frames, 64, 64))),
+         (1, bytearray(_make_gif(recut, 64, 64))),
+         (2, bytearray(_make_gif(other, 64, 64)))],
+        "doc_id long, payload binary",
+    )
+    vfh = mm.video_keyframe_frames(payloads)  # the SAME seam as the oracled table
+    pairs = {(r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_union"])
+             for r in mm.video_set_pairs(vfh).collect()}
+    # the re-cut shares 10 of 12 scenes: Jaccard 10/12 >= 1/2, found once;
+    # the unrelated video pairs with nothing
+    assert pairs == {(0, 1): (10, 12)}, pairs

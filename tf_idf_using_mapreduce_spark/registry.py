@@ -346,6 +346,11 @@ FORCE_FRESH: frozenset[str] = frozenset({
     "dedup_audio_fingerprint_incremental",
     "documents_stream_phash",
     "neardup_modality_agreement",
+    # round 12 (second pass): GIF sniff in _video_keyframes + the video
+    # frame/pair stages factored for the real-binary path
+    "multimodal_video_frames",
+    "dedup_video_frames",
+    "dedup_video_frames_incremental",
 })
 
 
