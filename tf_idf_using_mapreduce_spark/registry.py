@@ -336,9 +336,12 @@ FORCE_FRESH: frozenset[str] = frozenset({
     # _decode_payload and the frame/pair stages factored for the real-binary
     # path — letters payloads can't sniff as media so results are identical,
     # but every consumer's expression changed; re-verify the modality tier
+    # (multimodal_meta is NOT here: its expression is pure Column API —
+    # md5/octet_length over with_payload — and never touches the decode
+    # seam, so it is unchanged; keeping it out leaves window room for the
+    # full round-8-stale tier to rotate in)
     "multimodal_phash",
     "multimodal_features",
-    "multimodal_meta",
     "multimodal_audio_fp",
     "dedup_image_phash",
     "dedup_image_phash_incremental",
