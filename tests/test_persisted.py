@@ -149,3 +149,13 @@ def test_index_rebuilds_when_corpus_identity_changes(spark, tmp_path):
     out2 = {tuple(r) for r in
             persisted.dedup_incremental_bloom_persisted(spark, d).collect()}
     assert (0, None, False) in out2
+    # and the superseded generation's warehouse location was reclaimed:
+    # exactly ONE live index per (kind, corpus path), not one per refresh
+    import glob
+    import hashlib
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path_key = hashlib.md5(os.path.abspath(d).encode("utf-8")).hexdigest()[:10]
+    for kind in ("hash", "bloomocc"):
+        live = glob.glob(os.path.join(warehouse, f"graft_idx_{kind}_{path_key}_*"))
+        assert len(live) == 1, live

@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from tf_idf_using_mapreduce_spark.functions.skew import (
+    SKEW_JOIN_DEMO_CONFS,
+    hot_user_event_rows,
     salted_broadcast_left,
     salted_count,
     salted_count_distinct,
@@ -106,30 +108,18 @@ def test_simhash_hot_bucket_capped(spark, tmp_path):
 # deliberately hot join key — the power-user ⨝ dimension shape.
 # --------------------------------------------------------------------------- #
 
-_SKEW_JOIN_CONFS = {
-    # force a sort-merge join and make the hot partition qualify at test
-    # scale (production thresholds are 256MB-class; the data here is MBs)
-    "spark.sql.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
-    "spark.sql.adaptive.coalescePartitions.enabled": "false",
-}
+# ONE shared definition with tools/skew_bench.py (functions/skew.py), so the
+# bench measures exactly the configuration this test pins
+_SKEW_JOIN_CONFS = SKEW_JOIN_DEMO_CONFS
 
 
 def _write_hot_user_events(spark, tmp_path) -> str:
     """500k events where ONE power user owns 90% of the rows — the
-    deliberately hot join key. Deterministic (seeded)."""
-    import random
-
-    rng = random.Random(7)
-    rows = [(1 if rng.random() < 0.9 else rng.randint(2, 400),
-             rng.choice(["click", "view", "purchase"]),
-             round(rng.uniform(0, 10), 3))
-            for _ in range(500_000)]
+    deliberately hot join key (shared generator; deterministic)."""
     d = str(tmp_path)
-    spark.createDataFrame(rows, "user_id long, event_type string, value double") \
-        .repartition(16).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        hot_user_event_rows(), "user_id long, event_type string, value double"
+    ).repartition(16).write.parquet(f"{d}/events.parquet")
     return d
 
 

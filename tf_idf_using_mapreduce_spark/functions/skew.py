@@ -57,3 +57,36 @@ def salted_broadcast_left(big: DataFrame, small: DataFrame, key: str,
         "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
     )
     return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# skew-JOIN demonstration fixtures — ONE definition shared by the plan test
+# (tests/test_skew.py) and the measurement harness (tools/skew_bench.py), so
+# the bench always measures exactly the configuration the test pins (the
+# same no-silent-drift rule as dedup._bloom_split_and_prune).
+# ---------------------------------------------------------------------------
+
+# force a sort-merge join and make the hot partition qualify at test scale
+# (production thresholds are 256MB-class; the demo data is MBs)
+SKEW_JOIN_DEMO_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def hot_user_event_rows(n: int = 500_000, hot_share: float = 0.9,
+                        n_users: int = 400, seed: int = 7) -> list:
+    """(user_id, event_type, value) rows where user 1 owns ``hot_share`` of
+    the stream — the deliberately hot join key. Deterministic (seeded)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (1 if rng.random() < hot_share else rng.randint(2, n_users),
+         rng.choice(["click", "view", "purchase"]),
+         round(rng.uniform(0, 10), 3))
+        for _ in range(n)
+    ]

@@ -133,6 +133,8 @@ def _png_gray(payload: bytes):
                 width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
                 if bit_depth != 8 or color_type != 0:
                     return None  # only 8-bit grayscale is in scope
+                if width == 0 or height == 0:
+                    return None  # degenerate 0-dim image: undecodable
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
@@ -237,6 +239,8 @@ def _gif_gray_frames(payload: bytes):
         return None
     try:
         width, height = struct.unpack("<HH", payload[6:10])
+        if width == 0 or height == 0:
+            return None  # degenerate 0-dim screen: undecodable
         flags = payload[10]
         pos = 13
         gct = None
@@ -289,12 +293,21 @@ def _gif_gray_frames(payload: bytes):
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, list[float], tuple[int, ...]]:
-    """Payload decoder behind the feature seam. REAL containers decode with
-    the stdlib (PNG → true dimensions + features over the decoded pixels;
-    WAV → (n_samples, 1) + features over the decoded signal); anything else
-    takes the deterministic letters/text-bytes STUB (md5-derived
-    pseudo-features) that keeps the query oracle-checkable — utf-8 text can
-    never parse as a RIFF/PNG container, so the oracled rows always stub.
+    """Payload decoder behind the feature seam. A REAL grayscale PNG decodes
+    with the stdlib (true dimensions + features over the decoded pixels);
+    anything else takes the deterministic text-bytes STUB (md5-derived
+    pseudo-features) that keeps the query oracle-checkable.
+
+    ONLY the PNG sniff is safe here, and deliberately so: this function's
+    oracled consumers (``multimodal_features``/``multimodal_feature_vectors``)
+    feed RAW document text as the payload, and the PNG magic's lead byte
+    0x89 is a UTF-8 continuation byte — impossible as the first byte of any
+    valid UTF-8 string — so no text row can ever take the real path. A
+    RIFF/WAVE container, by contrast, is expressible as valid UTF-8 (ASCII
+    magics + NUL bytes), so a WAV sniff here could silently desynchronize a
+    dirty-lake text row from the oracle's unconditional stub (r12
+    self-review); real audio flows through :func:`_audio_fingerprints`,
+    whose letters-only oracled payloads are immune.
 
     Returns (width, height, float features, raw uint32 feature words). The
     raw words are the exact-integer form the registry-facing query exposes so
@@ -305,10 +318,6 @@ def _decode_payload(payload: bytes) -> tuple[int, int, list[float], tuple[int, .
         pixels, width, height = png
         raw = struct.unpack(">4I", hashlib.md5(pixels).digest())
         return width, height, [x / 2**31 - 1.0 for x in raw], raw
-    wav = _wav_signal(payload)
-    if wav is not None:
-        raw = struct.unpack(">4I", hashlib.md5(wav).digest())
-        return len(wav), 1, [x / 2**31 - 1.0 for x in raw], raw
     digest = hashlib.md5(payload).digest()
     width = 32 + digest[0] % 224          # fake dimensions
     height = 32 + digest[1] % 224
@@ -411,7 +420,7 @@ PHASH_HAMMING_THRESHOLD = 3
 PHASH_BANDS = 4
 
 
-def _phash64(payload: bytes) -> tuple[int, int]:
+def _phash64(payload: bytes) -> tuple[int, int] | None:
     """Perceptual hash (aHash) over the payload's luma sequence. A REAL
     grayscale PNG payload decodes with the stdlib (:func:`_png_gray`) and
     hashes its actual pixels — the "swap the stub" path, exercised by
@@ -433,12 +442,22 @@ def _phash64(payload: bytes) -> tuple[int, int]:
     Numpy-vectorized (frombuffer + reduceat) because this IS the hot decode
     path — the audio/video stubs in this file made the same call for the
     same reason; all arithmetic stays exact int64 (max sum·n ≈ 255·n², safe
-    to n ~ 10^8 bytes), so the scalar spec above is computed bit-for-bit."""
+    to n ~ 10^8 bytes), so the scalar spec above is computed bit-for-bit.
+
+    Returns ``None`` when the luma sequence is shorter than the 64-cell
+    grid (a sub-64-pixel real image, or a sub-64-byte raw payload on the
+    real-binary path): there is no grid, and ``reduceat`` over repeated
+    slice starts would manufacture phantom cell sums (near-all-ones garbage
+    hashes that band-collide every tiny image with every other — r12
+    self-review). The ORACLED letters path never sees this: its payloads
+    are pre-filtered at ``PHASH_MIN_BYTES`` and can't sniff as containers."""
     import numpy as np
 
     png = _png_gray(payload)
     if png is not None:
         payload = png[0]  # hash the DECODED pixels, not the container bytes
+    if len(payload) < PHASH_PIXELS:
+        return None
     n = len(payload)
     v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     total = int(v.sum())
@@ -492,12 +511,18 @@ def phash_frames(payloads: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = [_phash64(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].values,
-                "ph_hi": [h for h, _ in hashes],
-                "ph_lo": [l for _, l in hashes],
-            })
+            ids: list[int] = []
+            his: list[int] = []
+            los: list[int] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                hl = _phash64(bytes(p))
+                if hl is None:
+                    continue  # sub-grid payload: no hash, row dropped (the
+                    # same rule the letters path applies via PHASH_MIN_BYTES)
+                ids.append(doc_id)
+                his.append(hl[0])
+                los.append(hl[1])
+            yield pd.DataFrame({"doc_id": ids, "ph_hi": his, "ph_lo": los})
 
     return payloads.mapInPandas(decode, "doc_id long, ph_hi long, ph_lo long")
 
@@ -1010,7 +1035,8 @@ def _video_keyframes(payload: bytes) -> list[tuple[int, int, int]]:
 
     gif = _gif_gray_frames(payload)
     if gif is not None:
-        return [(i, *_phash64(frame)) for i, frame in enumerate(gif)]
+        hashed = ((i, _phash64(frame)) for i, frame in enumerate(gif))
+        return [(i, hl[0], hl[1]) for i, hl in hashed if hl is not None]
     a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = len(a)
     if n < VIDEO_FRAME_BYTES:

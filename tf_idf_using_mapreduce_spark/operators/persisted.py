@@ -95,23 +95,32 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
     sig = _corpus_signature(sf_dir, "documents.parquet")
     if sig is None:
         return None
-    key = hashlib.md5(
-        repr((os.path.abspath(sf_dir), sig)).encode("utf-8")
-    ).hexdigest()[:12]
-    name = f"graft_idx_{kind}_{key}"
+    path_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")).hexdigest()[:10]
+    sig_key = hashlib.md5(repr(sig).encode("utf-8")).hexdigest()[:10]
+    # path and signature hash SEPARATELY so superseded index generations of
+    # the same corpus path are recognizable and reclaimed below — without
+    # that, a daily-refresh warehouse leaks one full index copy per kind per
+    # refresh (r12 self-review)
+    name = f"graft_idx_{kind}_{path_key}_{sig_key}"
     if _BUILT.get(name) == sig and spark.catalog.tableExists(name):
         return name
-    if not spark.catalog.tableExists(name):
-        # a previous SESSION may have left the managed location behind (the
-        # local in-memory catalog forgets tables at exit, the files remain).
-        # Identical name ⇒ identical corpus identity, but the bucketing
-        # metadata died with the catalog, so reclaim the location and
-        # rebuild; a metastore-backed production catalog never hits this.
-        import shutil
+    import glob
+    import shutil
 
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc = os.path.join(warehouse.removeprefix("file:"), name)
-        shutil.rmtree(loc, ignore_errors=True)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for stale in glob.glob(
+        os.path.join(warehouse, f"graft_idx_{kind}_{path_key}_*")
+    ):
+        # superseded generation of THIS (kind, corpus path) — or, when the
+        # names match, a previous session's leftover whose bucketing
+        # metadata died with the in-memory catalog. Drop the catalog entry
+        # if present, then reclaim the location; a metastore-backed
+        # production catalog replaces this with a real DROP TABLE.
+        stale_name = os.path.basename(stale)
+        spark.sql(f"DROP TABLE IF EXISTS {stale_name}")
+        _BUILT.pop(stale_name, None)
+        shutil.rmtree(stale, ignore_errors=True)
     if bucketed:
         write_bucketed_table(build(), name, ["bb"], n_buckets=N_INDEX_BUCKETS,
                              sort_cols=["bb"])

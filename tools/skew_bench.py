@@ -376,27 +376,18 @@ def main() -> int:
     # (the dimension is "too big to broadcast" at 100 TB user counts);
     # thresholds are scaled to the harness data exactly as in
     # tests/test_skew.py.
-    import random as _random
-
+    from tf_idf_using_mapreduce_spark.functions.skew import (
+        SKEW_JOIN_DEMO_CONFS,
+        hot_user_event_rows,
+    )
     from tf_idf_using_mapreduce_spark.operators import relational as rel
 
-    _rng = _random.Random(7)
-    _ev_rows = [(1 if _rng.random() < 0.9 else _rng.randint(2, 400),
-                 _rng.choice(["click", "view", "purchase"]),
-                 round(_rng.uniform(0, 10), 3))
-                for _ in range(500_000)]
     join_dir = os.path.join(out_dir, "skew_join")
     spark.createDataFrame(
-        _ev_rows, "user_id long, event_type string, value double"
+        hot_user_event_rows(), "user_id long, event_type string, value double"
     ).repartition(16).write.mode("overwrite").parquet(
         os.path.join(join_dir, "events.parquet"))
-    _join_confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
+    _join_confs = SKEW_JOIN_DEMO_CONFS
     _prev_confs = {k: spark.conf.get(k) for k in _join_confs}
     _prev_confs["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
         "spark.sql.adaptive.skewJoin.enabled")
