@@ -643,3 +643,52 @@ def test_real_gif_recut_near_dup_through_mapinpandas_seam(spark):
     # the re-cut shares 10 of 12 scenes: Jaccard 10/12 >= 1/2, found once;
     # the unrelated video pairs with nothing
     assert pairs == {(0, 1): (10, 12)}, pairs
+
+
+# --------------------------------------------------------------------------- #
+# Decoder robustness (r12 self-review follow-up): a production binary column
+# carries arbitrary junk — truncated containers, bit-flipped headers, random
+# bytes. Every decode seam must treat ALL of it as either a valid decode or
+# "not this format" (stub/skip), NEVER an exception: one malformed payload
+# must not kill a 100 TB near-dup job's task.
+# --------------------------------------------------------------------------- #
+
+def _assert_seams_never_raise(payload: bytes) -> None:
+    ph = mm._phash64(payload)
+    assert ph is None or (isinstance(ph, tuple) and len(ph) == 2)
+    assert isinstance(mm._audio_fingerprints(payload), list)
+    assert isinstance(mm._video_keyframes(payload), list)
+    w, h, feats, raw = mm._decode_payload(payload)
+    assert isinstance(w, int) and isinstance(h, int) and len(raw) == 4
+
+
+def test_decoders_survive_random_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def run(payload):
+        _assert_seams_never_raise(payload)
+
+    run()
+
+
+def test_decoders_survive_corrupted_real_containers():
+    """Every truncation point and a sweep of single-byte corruptions of
+    genuine PNG/WAV/GIF payloads: decode fully, or return None/[]/stub —
+    never raise."""
+    pix = _gradient_pixels(16, 16)
+    png = _make_png(pix, 16, 16, 0)
+    wav = _make_wav([((i * 977) % 20000) - 10000 for i in range(200)])
+    gif = _make_gif([_gif_frame(f, 16, 16) for f in range(2)], 16, 16)
+    for base in (png, wav, gif):
+        for cut in range(0, len(base), 7):
+            _assert_seams_never_raise(base[:cut])
+        for pos in range(0, len(base), 11):
+            corrupted = base[:pos] + bytes([base[pos] ^ 0xFF]) + base[pos + 1:]
+            _assert_seams_never_raise(corrupted)
+    # magic-only prefixes (headers with nothing behind them)
+    for stub in (b"\x89PNG\r\n\x1a\n", b"RIFF\x00\x00\x00\x00WAVE", b"GIF89a",
+                 b"GIF89a\x10\x00\x10\x00", b"RIFF", b"\x89PNG"):
+        _assert_seams_never_raise(stub)
