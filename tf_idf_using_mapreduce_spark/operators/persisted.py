@@ -108,24 +108,30 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
     import glob
     import shutil
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for stale in glob.glob(
-        os.path.join(warehouse, f"graft_idx_{kind}_{path_key}_*")
-    ):
-        # superseded generation of THIS (kind, corpus path) — or, when the
-        # names match, a previous session's leftover whose bucketing
-        # metadata died with the in-memory catalog. Drop the catalog entry
-        # if present, then reclaim the location; a metastore-backed
-        # production catalog replaces this with a real DROP TABLE.
-        stale_name = os.path.basename(stale)
-        spark.sql(f"DROP TABLE IF EXISTS {stale_name}")
-        _BUILT.pop(stale_name, None)
-        shutil.rmtree(stale, ignore_errors=True)
-    if bucketed:
-        write_bucketed_table(build(), name, ["bb"], n_buckets=N_INDEX_BUCKETS,
-                             sort_cols=["bb"])
-    else:
-        build().write.mode("overwrite").format("parquet").saveAsTable(name)
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for stale in glob.glob(
+            os.path.join(warehouse, f"graft_idx_{kind}_{path_key}_*")
+        ):
+            # superseded generation of THIS (kind, corpus path) — or, when
+            # the names match, a previous session's leftover whose bucketing
+            # metadata died with the in-memory catalog. Drop the catalog
+            # entry if present, then reclaim the location; a metastore-backed
+            # production catalog replaces this with a real DROP TABLE.
+            stale_name = os.path.basename(stale)
+            spark.sql(f"DROP TABLE IF EXISTS {stale_name}")
+            _BUILT.pop(stale_name, None)
+            shutil.rmtree(stale, ignore_errors=True)
+        if bucketed:
+            write_bucketed_table(build(), name, ["bb"],
+                                 n_buckets=N_INDEX_BUCKETS, sort_cols=["bb"])
+        else:
+            build().write.mode("overwrite").format("parquet").saveAsTable(name)
+    except Exception:
+        # persistence unavailable (read-only warehouse, exotic catalog):
+        # correctness over convenience — the caller derives the index
+        # in-plan, exactly like the unknown-identity path
+        return None
     _BUILT[name] = sig
     return name
 
