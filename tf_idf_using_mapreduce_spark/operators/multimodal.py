@@ -133,6 +133,9 @@ def _png_gray(payload: bytes):
                 width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
                 if bit_depth != 8 or color_type != 0:
                     return None  # only 8-bit grayscale is in scope
+                if len(data) >= 13 and data[12] != 0:
+                    return None  # Adam7 interlacing out of scope (explicit,
+                    # not the coincidental decompressed-length mismatch)
                 if width == 0 or height == 0:
                     return None  # degenerate 0-dim image: undecodable
             elif typ == b"IDAT":

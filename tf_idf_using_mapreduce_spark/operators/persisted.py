@@ -108,8 +108,17 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
     import glob
     import shutil
 
+    from pyspark.errors import AnalysisException
+
     try:
         warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        # SINGLE-WRITER ASSUMPTION (r12 ADVICE): the reclaim below globs the
+        # shared warehouse dir and drops/rmtree's every superseded generation
+        # of this (kind, corpus path). A CONCURRENT session still probing an
+        # older generation would lose its files mid-query. Fine for the
+        # one-session test harness; a multi-writer production deployment
+        # replaces this with the metastore's transactional DROP (or skips
+        # reclaim while a lease/marker shows a live reader).
         for stale in glob.glob(
             os.path.join(warehouse, f"graft_idx_{kind}_{path_key}_*")
         ):
@@ -127,10 +136,21 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
                                  n_buckets=N_INDEX_BUCKETS, sort_cols=["bb"])
         else:
             build().write.mode("overwrite").format("parquet").saveAsTable(name)
-    except Exception:
+    except (OSError, AnalysisException) as exc:
         # persistence unavailable (read-only warehouse, exotic catalog):
         # correctness over convenience — the caller derives the index
-        # in-plan, exactly like the unknown-identity path
+        # in-plan, exactly like the unknown-identity path. NARROW on
+        # purpose (r12 ADVICE): a genuine bug in the writer/reclaim must
+        # surface, not silently degrade every run to in-plan derivation;
+        # the expected environmental failures are IO and catalog/analysis.
+        import warnings
+
+        warnings.warn(
+            f"persisted index {name} unavailable ({type(exc).__name__}: {exc}); "
+            "falling back to in-plan index derivation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     _BUILT[name] = sig
     return name

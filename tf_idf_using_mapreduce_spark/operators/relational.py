@@ -839,9 +839,17 @@ def _segment_rollup(joined: DataFrame) -> DataFrame:
     # AQE must refuse to split the skewed partition — the split would break
     # the clustering guarantee. Per-segment user counts belong on the
     # DIMENSION side (O(users)), not the fact rollup. Measured (round 12).
+    # EXACT sum basis (r12 ADVICE): a double sum over ~450k skewed rows is
+    # order-dependent, and the twins (AQE split vs salted) deliberately
+    # produce DIFFERENT partitionings — accumulated FP error could straddle
+    # the round(...,6) boundary and flake the twin/oracle parity. Summing
+    # decimal(18,6) is exact and order-independent (each value rounds to 6dp
+    # identically in Spark and DuckDB — no double is ever exactly on a .5e-6
+    # tie); one cast back to double at the end keeps the output schema.
     return joined.groupBy("segment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double").alias("sum_value"),
     )
 
 
@@ -889,7 +897,7 @@ dim AS (
   FROM per, st
 )
 SELECT d.segment, e.event_type, count(*) AS n_events,
-       round(sum(e.value), 6) AS sum_value
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON d.user_id = e.user_id
 GROUP BY 1, 2
 """

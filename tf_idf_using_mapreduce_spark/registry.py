@@ -321,39 +321,28 @@ register("mixture_plan_dedup", _rel6.mixture_plan_dedup,
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 12 (r11 ADVICE): the BPE mixture census join went null-safe
-    # (eqNullSafe / IS NOT DISTINCT FROM) in both engine and oracle —
-    # results identical on NULL-free corpora, but the expression changed
-    "mixture_plan_bpe",
-    # round 12: band-table/confirm stages factored into _lsh_band_table /
-    # _jaccard_confirm for the persisted twin — value-identical refactor,
-    # re-verify anyway
-    "dedup_incremental",
-    # round 12: _bloom_split_and_prune gained the optional external
-    # occupied-set parameter (persisted twin) — default path identical
-    "dedup_incremental_bloom",
-    # round 12: real-container sniff added to _phash64/_audio_fingerprints/
-    # _decode_payload and the frame/pair stages factored for the real-binary
-    # path — letters payloads can't sniff as media so results are identical,
-    # but every consumer's expression changed; re-verify the modality tier
-    # (multimodal_meta is NOT here: its expression is pure Column API —
-    # md5/octet_length over with_payload — and never touches the decode
-    # seam, so it is unchanged; keeping it out leaves window room for the
-    # full round-8-stale tier to rotate in)
+    # round 13 (r12 ADVICE): the skew-twin rollup's sum moved to an exact
+    # decimal(18,6) basis (order-independent across partitionings) — both
+    # the Spark expression AND the shared oracle changed
+    "events_segment_revenue",
+    "events_segment_revenue_salted",
+    # round 13 (r12 ADVICE): _ensure_index's fallback narrowed from bare
+    # Exception to (OSError, AnalysisException) + warning — the persistence
+    # plumbing both twins run through changed; results identical, re-verify
+    "dedup_incremental_persisted",
+    "dedup_incremental_bloom_persisted",
+    # round 13 (r12 ADVICE): explicit Adam7 interlace rejection in
+    # _png_gray — unreachable for fixture letters payloads (no PNG magic)
+    # and pinned by the real-PNG pytest tier, but these four consume the
+    # decoder directly, so their pandas stage changed; re-verify.
+    # documents_stream_phash / neardup_modality_agreement are NOT here:
+    # they compose the already-forced phash stages with no decoder path of
+    # their own — excluded to leave window room for the round-9-stale
+    # rotation tier (the r12 multimodal_meta precedent).
     "multimodal_phash",
     "multimodal_features",
-    "multimodal_audio_fp",
     "dedup_image_phash",
     "dedup_image_phash_incremental",
-    "dedup_audio_fingerprint",
-    "dedup_audio_fingerprint_incremental",
-    "documents_stream_phash",
-    "neardup_modality_agreement",
-    # round 12 (second pass): GIF sniff in _video_keyframes + the video
-    # frame/pair stages factored for the real-binary path
-    "multimodal_video_frames",
-    "dedup_video_frames",
-    "dedup_video_frames_incremental",
 })
 
 
