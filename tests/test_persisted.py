@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
-from tf_idf_using_mapreduce_spark.operators import dedup, persisted
+from tf_idf_using_mapreduce_spark.operators import dedup, multimodal, persisted
 
 
 def _rows(df):
@@ -38,8 +38,10 @@ def _table_location(spark, name: str) -> str:
     [
         (persisted.dedup_incremental_persisted, dedup.dedup_incremental, "band"),
         (persisted.dedup_incremental_bloom_persisted, dedup.dedup_incremental_bloom, "hash"),
+        (persisted.dedup_image_phash_incremental_persisted,
+         multimodal.dedup_image_phash_incremental, "phband"),
     ],
-    ids=["band", "hash"],
+    ids=["band", "hash", "phband"],
 )
 def test_persisted_twin_matches_in_memory(spark, persisted_fn, memory_fn, kind):
     got = _rows(persisted_fn(spark, SF_SMOKE))
@@ -101,6 +103,55 @@ def test_band_persisted_plan_prunes_buckets_and_never_reshuffles_index(spark, pl
     assert not re.search(r"hashpartitioning\(band#", plan), plan
     assert not re.search(r"hashpartitioning\(band_sig#", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.fixture(scope="module")
+def phash_plan_dir(spark, tmp_path_factory):
+    """Long-letter payload corpus (>= PHASH_MIN_BYTES after stripping to
+    [a-z]) whose batch split (doc_id % 5 == 0) holds one exact payload dup
+    of an indexed doc and one novel doc — the phash probe is non-empty and
+    touches far fewer bucket keys than there are buckets."""
+    d = str(tmp_path_factory.mktemp("phash_plan"))
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "calm river carries autumn leaves past the old stone bridge")
+    rows = [(0, base), (1, base),
+            (5, "entirely novel imagery of glaciers carving silent valleys "
+                "beneath a violet sky where migrating cranes trace slow arcs")]
+    for i in range(2, 10):
+        if i == 5:
+            continue
+        rows.append((i, f"distinct indexed payload number {i} woven from its own "
+                        "unrepeated phrases about harbors markets orchards and trains "
+                        f"variant {'x' * i}"))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_phash_persisted_plan_prunes_buckets_and_never_reshuffles_index(spark, phash_plan_dir):
+    """The persisted tier is GENERIC: the image-modality index (aHash through
+    the decode seam, SimHash band layout) rides the same write-once /
+    bucket-prune / broadcast-probe machinery — same plan markers as the
+    MinHash/md5 twins, and the probe really matches the index."""
+    df = persisted.dedup_image_phash_incremental_persisted(spark, phash_plan_dir)
+    got = {(r[0], r[1]) for r in df.collect()}
+    assert (0, 1) in got  # exact payload dup: hamming 0 against the index
+    assert all(doc == 0 for doc, _ in got)  # novel batch doc matched nothing
+    plan = _executed_plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning on the index scan:\n{plan}"
+    selected, total = int(m.group(1)), int(m.group(2))
+    assert total == persisted.N_INDEX_BUCKETS
+    # 2 batch docs × 4 bands = ≤ 8 probe keys over 16 buckets: pruning bites
+    # (deterministic corpus + hash, so no flake)
+    assert selected < total, plan
+    # the index side is only scanned + broadcast-joined — never reshuffled
+    assert not re.search(r"hashpartitioning\(band#", plan), plan
+    assert not re.search(r"hashpartitioning\(bkey#", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # parity with the in-memory twin on the same corpus
+    want = _rows(multimodal.dedup_image_phash_incremental(spark, phash_plan_dir))
+    assert _rows(df) == want
 
 
 def test_bucket_files_partition_key_space_measured_with_pyarrow(spark):

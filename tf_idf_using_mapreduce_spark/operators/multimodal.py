@@ -570,6 +570,25 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(ph)
 
 
+def phash_banded(ph: DataFrame) -> DataFrame:
+    """(doc_id, ph_hi, ph_lo, band, bkey): the 4×16-bit SimHash banding of a
+    perceptual-hash table — the shared candidate-key stage of the batch pair
+    operator, the incremental probe, and its persisted twin
+    (operators/persisted.py). One definition so the band layout cannot
+    silently diverge between the index that is WRITTEN and the batch that
+    PROBES it."""
+    from tf_idf_using_mapreduce_spark.operators.dedup import _band_key
+
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
+        for b in range(PHASH_BANDS)
+    )
+    return ph.select(
+        "doc_id", "ph_hi", "ph_lo",
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
+    ).select("doc_id", "ph_hi", "ph_lo", "bb.band", "bb.bkey")
+
+
 def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
     """(doc_a, doc_b, hamming) over ANY ``(doc_id, ph_hi, ph_lo)`` hash
     table — the banded pair stage of :func:`dedup_image_phash`, shared with
@@ -577,22 +596,13 @@ def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
     :func:`phash_frames` + this)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import (
         LSH_BUCKET_CAP,
-        _band_key,
         _drop_hot_buckets,
         _earlier_band_mismatch,
         _hamming64_spark,
         _ordered_pairs_expr,
     )
 
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
-        for b in range(PHASH_BANDS)
-    )
-    banded = ph.select(
-        "doc_id", "ph_hi", "ph_lo",
-        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
-    ).select("doc_id", "ph_hi", "ph_lo", "bb.band", "bb.bkey")
-    banded = _drop_hot_buckets(banded, ["band", "bkey"], LSH_BUCKET_CAP)
+    banded = _drop_hot_buckets(phash_banded(ph), ["band", "bkey"], LSH_BUCKET_CAP)
     pairs = (
         banded.groupBy("band", "bkey")
         .agg(F.expr("array_sort(array_distinct(collect_list(struct(doc_id, ph_hi, ph_lo))))").alias("ds"))
@@ -712,20 +722,12 @@ def dedup_image_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     from tf_idf_using_mapreduce_spark.operators.dedup import (
         INCR_BATCH_MOD,
         LSH_BUCKET_CAP,
-        _band_key,
         _drop_hot_buckets,
         _hamming64_spark,
     )
 
     ph = image_phash_table(spark, sf_dir).localCheckpoint(eager=False)
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'bkey', {_band_key('ph_hi', 'ph_lo', b)})"
-        for b in range(PHASH_BANDS)
-    )
-    banded = ph.select(
-        "doc_id", "ph_hi", "ph_lo",
-        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
-    ).select("doc_id", "ph_hi", "ph_lo", "bb.band", "bb.bkey")
+    banded = phash_banded(ph)
     is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
     idx = _drop_hot_buckets(banded.where(~is_new), ["band", "bkey"], LSH_BUCKET_CAP)
     new = banded.where(is_new).select(

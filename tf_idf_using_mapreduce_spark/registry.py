@@ -302,6 +302,13 @@ register("dedup_incremental_persisted", _pers.dedup_incremental_persisted,
          _dedup.DEDUP_INCREMENTAL_ORACLE)
 register("dedup_incremental_bloom_persisted", _pers.dedup_incremental_bloom_persisted,
          _dedup.DEDUP_INCREMENTAL_BLOOM_ORACLE)
+# round 13: the persisted tier proven GENERIC — a different modality (image
+# payloads through the real-decoder seam), hash (64-bit aHash) and band
+# layout (4×16-bit SimHash bands) through the same write-once/bucket-prune/
+# broadcast-probe helpers, same oracle as the in-memory twin
+register("dedup_image_phash_incremental_persisted",
+         _pers.dedup_image_phash_incremental_persisted,
+         _mm.dedup_image_phash_incremental_oracle())
 
 # -- round 12: skew-join twins (AQE runtime split vs compile-time salting) ---
 register("events_segment_revenue", _rel.events_segment_revenue,
