@@ -1,0 +1,101 @@
+"""Date-partitioned fact layout: oracle parity, plan-asserted partition
+pruning (static ``PartitionFilters`` and the runtime ``dynamicpruning``
+subquery), and the directory contract MEASURED from the written layout with
+``os.listdir`` — the partitioned twin of test_persisted.py's
+``SelectedBucketsCount`` discipline."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import partitioned, persisted
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize AQE so the plan shows the real scan nodes
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _table_location(spark, name: str) -> str:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    loc = next(r["data_type"] for r in rows if r["col_name"] == "Location")
+    return loc.removeprefix("file:")
+
+
+def _fact_table_name() -> str:
+    return next(n for n in persisted._BUILT
+                if n.startswith("graft_idx_events_by_date_"))
+
+
+def test_static_query_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_daily_partitioned")
+
+
+def test_dpp_query_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_daily_partitioned_dpp")
+
+
+def test_partitioned_layout_directory_contract(spark):
+    """The written layout IS one directory per day: 30 ``event_date=`` dirs
+    for the 30-day fixture, each holding parquet files only for its day."""
+    partitioned._events_fact(spark, SF_SMOKE)  # ensure built
+    loc = _table_location(spark, _fact_table_name())
+    part_dirs = sorted(d for d in os.listdir(loc) if d.startswith("event_date="))
+    assert len(part_dirs) == 30, part_dirs
+    assert part_dirs[0] == "event_date=2024-01-01"
+    assert part_dirs[-1] == "event_date=2024-01-30"
+
+
+def test_static_partition_pruning_in_plan_and_file_index(spark):
+    """A literal day window resolves at PLAN time: the scan node carries
+    PartitionFilters on event_date and its file index lists exactly the 7
+    matching directories — out of the 30 that exist on disk."""
+    df = partitioned.events_daily_partitioned(spark, SF_SMOKE)
+    assert df.count() > 0
+    plan = _executed_plan(df)
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "events_by_date" in l)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "event_date" in m.group(1), scan
+    assert ">=" in m.group(1) and "<=" in m.group(1), m.group(1)
+    # the measured skip: 7 of 30 partition directories in the file index
+    assert "InMemoryFileIndex(7 paths)" in scan, scan
+    # and no row-level date filtering remains — the directories did the work
+    assert re.search(r"DataFilters: \[\]", scan), scan
+
+
+def test_dynamic_partition_pruning_in_plan_and_file_index(spark):
+    """The dim-driven day set exists only at RUN time: the fact scan's
+    partition filters carry a ``dynamicpruning`` subquery fed by the join's
+    reused broadcast, and the post-execution file index holds the 4
+    directories the dim selected (day-of-month % 7 == 3 → 3/10/17/24)."""
+    df = partitioned.events_daily_partitioned_dpp(spark, SF_SMOKE)
+    assert df.count() > 0
+    plan = _executed_plan(df)
+    assert "dynamicpruning" in plan, plan
+    assert re.search(r"Subquery(Adaptive)?Broadcast dynamicpruning", plan), plan
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "events_by_date" in l)
+    assert "InMemoryFileIndex(4 paths)" in scan, scan
+
+
+def test_unknown_identity_falls_back_in_plan(spark, tmp_path):
+    """A corpus with no readable identity (no events.parquet) derives the
+    same expressions in-plan... and a KNOWN corpus at a fresh path builds a
+    fresh table whose results match the in-plan derivation exactly."""
+    d = str(tmp_path)
+    rows = [(1, "2024-01-03 10:00:00", 7, "view", 1.25, "{}"),
+            (2, "2024-01-10 11:00:00", 7, "click", 2.50, "{}"),
+            (3, "2024-01-11 12:00:00", 8, "view", 4.00, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double, props string"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = {tuple(r) for r in
+           partitioned.events_daily_partitioned_dpp(spark, d).collect()}
+    # only the two day%7==3 dates (3rd and 10th) survive the dim filter
+    assert out == {("view", 1, 1, 1.25), ("click", 1, 1, 2.5)}

@@ -1,0 +1,158 @@
+"""Date-partitioned fact layout: directory-partition pruning, static and
+dynamic — the first read lever a 100 TB deployment reaches for.
+
+The reference's unit of scan IS a directory (``DocumentFreq.java:145`` /
+``IDF.java:201`` point a job at an input dir; ``README.md:12-18`` chains jobs
+through output directories) — Hive-style partitioning is that idea made
+declarative: the writer lays the fact table out as one directory per
+partition value (``DataFrameWriter.partitionBy``), and the reader's planner
+— not its tasks — decides which directories exist for a query. Two levers,
+one per query here:
+
+- **static pruning** (:func:`events_daily_partitioned`): a LITERAL predicate
+  on the partition column resolves at plan time; the scan's file index lists
+  only the matching ``event_date=...`` directories (``PartitionFilters`` on
+  the scan node, partition-directory count measured in
+  tests/test_partitioned.py with plain ``os.listdir`` — the house rule:
+  measured, not assumed). At 100 TB a day-window query reads days, not the
+  table.
+
+- **dynamic partition pruning** (:func:`events_daily_partitioned_dpp`): the
+  partition filter is NOT known at plan time — it is the join-key set of a
+  filtered DIMENSION (the TPC-DS ``date_dim`` shape). Catalyst inserts a
+  ``dynamicpruning`` subquery into the fact scan's partition filters and
+  REUSES the join's broadcast of the dim side to evaluate it
+  (``SubqueryBroadcast dynamicpruning#N`` in the executed plan, pinned by
+  the tests), so the fact side still reads only the matching directories —
+  the one Catalyst read-path feature the repo had not yet exercised
+  (r12 verdict #1).
+
+Layout tables are materialized once per corpus identity through the same
+write-once machinery as the persisted dedup indexes
+(``persisted._ensure_index`` keyed on ``events.parquet``'s file signature);
+unknown identity falls back to deriving the same expressions in-plan —
+results identical, only the pruning evidence disappears (correctness over
+convenience). Both rollups use the exact decimal(18,6) sum basis (the r12
+ADVICE rule): order-independent across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tf_idf_using_mapreduce_spark.operators.persisted import _ensure_index
+from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+# the static query's literal day window (the driver fixtures' events span
+# 2024-01-01..2024-01-30 at every SF; 7 of the 30 partition directories)
+PART_DATE_LO = "2024-01-08"
+PART_DATE_HI = "2024-01-14"
+# the DPP dim filter: day-of-month % 7 == 3 → dates 3/10/17/24 (4 of 30).
+# Pure integer arithmetic on day(…) — identical in Spark and DuckDB (unlike
+# dayofweek, whose numbering differs between the engines).
+DPP_DOM_MOD = 7
+DPP_DOM_EQ = 3
+
+def _sum_value():
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double").alias("sum_value")
+    )
+
+
+def _fact_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact expression the partitioned table materializes: events plus
+    its partition column ``event_date = to_date(ts)`` (NULL ts → NULL date →
+    the Hive default partition, dropped by every date predicate on both
+    engines)."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts"))
+
+
+def _events_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date-partitioned events fact — from the write-once partitioned
+    table when corpus identity is known, else the in-plan expression."""
+    name = _ensure_index(
+        spark, sf_dir, "events_by_date", lambda: _fact_df(spark, sf_dir),
+        source_table="events.parquet", partition_cols=["event_date"],
+    )
+    return spark.table(name) if name is not None else _fact_df(spark, sf_dir)
+
+
+def _date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date): the date dimension, persisted as a plain table (tens of
+    rows per month of data — metadata-scale, broadcast whole). Production
+    ships a ``date_dim`` with calendar attributes; deriving it from the fact
+    at build time keeps the fixture self-contained."""
+    build = lambda: _fact_df(spark, sf_dir).select("event_date").distinct()  # noqa: E731
+    name = _ensure_index(spark, sf_dir, "date_dim", build, bucketed=False,
+                         source_table="events.parquet")
+    return spark.table(name) if name is not None else build()
+
+
+def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, event_type, n_events, sum_value): daily rollup over a
+    LITERAL day window, read from the date-partitioned fact — the planner
+    lists only the 7 matching ``event_date=...`` directories
+    (``PartitionFilters`` on the scan; directory count measured in the
+    tests). The rollup itself is one partial-aggregated hash aggregation;
+    the scan does no row-level filtering at all — every surviving row is in
+    the window by virtue of its directory."""
+    fact = _events_fact(spark, sf_dir)
+    return (
+        fact.where(F.col("event_date").between(PART_DATE_LO, PART_DATE_HI))
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
+    )
+
+
+EVENTS_DAILY_PARTITIONED_ORACLE = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{PART_DATE_LO}' AND DATE '{PART_DATE_HI}'
+GROUP BY 1, 2
+"""
+
+
+def events_daily_partitioned_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, n_days, sum_value): the same fact, but the day
+    set comes from a FILTERED DIMENSION (day-of-month % 7 == 3), so the
+    partition filter exists only at run time — dynamic partition pruning:
+    the executed plan carries a ``dynamicpruning`` subquery inside the fact
+    scan's partition filters, fed by the REUSED broadcast of the dim side,
+    and the fact reads 4 of the 30 directories (both pinned in
+    tests/test_partitioned.py). This is the TPC-DS fact ⨝ date_dim shape —
+    at 100 TB it is the difference between scanning the quarter the
+    dashboard asked about and scanning the decade the table holds."""
+    fact = _events_fact(spark, sf_dir)
+    sel = _date_dim(spark, sf_dir).where(
+        F.dayofmonth("event_date") % DPP_DOM_MOD == DPP_DOM_EQ)
+    return (
+        fact.join(sel, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_date").alias("n_days"),
+            _sum_value(),
+        )
+    )
+
+
+EVENTS_DAILY_PARTITIONED_DPP_ORACLE = f"""
+WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date
+             FROM events WHERE ts IS NOT NULL),
+sel AS (SELECT event_date FROM dim
+        WHERE day(event_date) % {DPP_DOM_MOD} = {DPP_DOM_EQ})
+SELECT e.event_type, count(*) AS n_events,
+       count(DISTINCT CAST(e.ts AS DATE)) AS n_days,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM events e JOIN sel s ON CAST(e.ts AS DATE) = s.event_date
+GROUP BY 1
+"""

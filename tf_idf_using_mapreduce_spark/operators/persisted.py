@@ -86,13 +86,19 @@ def _bb(*key_cols: str):
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
-                  bucketed: bool = True):
+                  bucketed: bool = True,
+                  source_table: str = "documents.parquet",
+                  partition_cols: list[str] | None = None):
     """Materialize the ``kind`` index for ``sf_dir``'s corpus identity once;
     return the table name, or ``None`` when identity is unknown (caller
     derives the index in-plan instead). ``bucketed=False`` writes a plain
     managed table (the bloom position set — one int column bounded by
-    BLOOM_BITS rows, broadcast whole at probe time, nothing to prune)."""
-    sig = _corpus_signature(sf_dir, "documents.parquet")
+    BLOOM_BITS rows, broadcast whole at probe time, nothing to prune).
+    ``partition_cols`` writes a directory-partitioned layout instead
+    (``partitionBy`` — the operators/partitioned.py fact tables), repartitioned
+    on the partition columns first so each partition directory gets few,
+    large files rather than one file per task per partition."""
+    sig = _corpus_signature(sf_dir, source_table)
     if sig is None:
         return None
     path_key = hashlib.md5(
@@ -131,7 +137,11 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
             spark.sql(f"DROP TABLE IF EXISTS {stale_name}")
             _BUILT.pop(stale_name, None)
             shutil.rmtree(stale, ignore_errors=True)
-        if bucketed:
+        if partition_cols:
+            (build().repartition(*partition_cols)
+             .write.mode("overwrite").format("parquet")
+             .partitionBy(*partition_cols).saveAsTable(name))
+        elif bucketed:
             write_bucketed_table(build(), name, ["bb"],
                                  n_buckets=N_INDEX_BUCKETS, sort_cols=["bb"])
         else:

@@ -320,6 +320,14 @@ register("events_segment_revenue_salted", _rel.events_segment_revenue_salted,
 register("mixture_plan_dedup", _rel6.mixture_plan_dedup,
          _rel6.mixture_plan_dedup_oracle())
 
+# -- round 13: date-partitioned fact layout — static + dynamic pruning -------
+from tf_idf_using_mapreduce_spark.operators import partitioned as _part  # noqa: E402
+
+register("events_daily_partitioned", _part.events_daily_partitioned,
+         _part.EVENTS_DAILY_PARTITIONED_ORACLE)
+register("events_daily_partitioned_dpp", _part.events_daily_partitioned_dpp,
+         _part.EVENTS_DAILY_PARTITIONED_DPP_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
