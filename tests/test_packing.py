@@ -454,3 +454,78 @@ def test_doc_chunk_dedup_is_idempotent(spark, tmp_path):
     same = {r["doc_id"]: r["clean_text"] for r in again.collect()}
     orig = {r["doc_id"]: r["text"] for r in first.collect()}
     assert same == orig
+
+
+# --------------------------------------------------------------------------- #
+# small-file compaction round trip + writer footer reports
+# --------------------------------------------------------------------------- #
+
+
+def test_compaction_roundtrip_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "compaction_roundtrip")
+
+
+def test_compaction_layout_measured_with_pyarrow(spark):
+    """The fragment → compact round trip, measured from the footers: the
+    fragmented copy really is FRAG_FILES tiny files, the rewrite collapses
+    them to the byte-sized count, every output file is under the target,
+    and the ROWS are identical frame-for-frame with the original."""
+    from tf_idf_using_mapreduce_spark.operators.persisted import _BUILT
+    from tf_idf_using_mapreduce_spark.sources.corpus import (
+        file_size_histogram,
+        parquet_file_stats,
+        table_location,
+    )
+
+    pk.compaction_roundtrip(spark, SF_SMOKE).collect()
+    frag = next(n for n in _BUILT if n.startswith("graft_idx_docs_frag_"))
+    comp = next(n for n in _BUILT if n.startswith("graft_idx_docs_compact_"))
+    frag_stats = parquet_file_stats(table_location(spark, frag))
+    comp_stats = parquet_file_stats(table_location(spark, comp))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    # fragmented layout: one file per synthetic ingest task
+    assert len(frag_stats) == pk.FRAG_FILES
+    assert sum(s["rows"] for s in frag_stats) == n_docs
+    # compacted layout: the byte-derived count (1 at fixture scale), every
+    # file under the target, rows conserved
+    total_frag_bytes = sum(s["bytes"] for s in frag_stats)
+    assert len(comp_stats) == pk._compact_file_count(total_frag_bytes)
+    assert all(s["bytes"] <= pk.COMPACT_TARGET_MB * 1024 * 1024 * 2
+               for s in comp_stats)
+    assert sum(s["rows"] for s in comp_stats) == n_docs
+    # the histogram collapses: fragmented mass spreads below the compacted
+    # bucket; after the rewrite everything sits in >= the largest frag bucket
+    frag_hist = file_size_histogram(frag_stats)
+    comp_hist = file_size_histogram(comp_stats)
+    assert max(comp_hist) >= max(frag_hist)
+    assert sum(comp_hist.values()) < sum(frag_hist.values())
+    # value identity at ROW level, not just the oracled census
+    orig = {tuple(r) for r in docs.collect()}
+    assert {tuple(r) for r in spark.table(comp).collect()} == orig
+
+
+def test_compact_file_count_sized_from_bytes():
+    mb = 1024 * 1024
+    assert pk._compact_file_count(1) == 1
+    assert pk._compact_file_count(128 * mb) == 1
+    assert pk._compact_file_count(128 * mb + 1) == 2
+    assert pk._compact_file_count(10 * 128 * mb, target_mb=128) == 10
+    assert pk._compact_file_count(512 * mb, target_mb=64) == 8
+
+
+def test_layout_writers_return_footer_reports(spark, tmp_path):
+    """zorder_write and write_bucketed_table hand back the pyarrow footer
+    report of what they just wrote — small-files health is part of the
+    write's contract, not a separate audit."""
+    from tf_idf_using_mapreduce_spark.sources.corpus import write_bucketed_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    zstats = pk.zorder_write(li, "l_partkey", "l_suppkey",
+                             str(tmp_path / "z"), n_files=8)
+    assert sum(s["rows"] for s in zstats) == li.count()
+    assert all(s["bytes"] > 0 and s["row_groups"] >= 1 for s in zstats)
+    bstats = write_bucketed_table(li.withColumn("bb", F.pmod("l_partkey", F.lit(4))),
+                                  "graft_test_report_tbl", ["bb"], n_buckets=4)
+    assert sum(s["rows"] for s in bstats) == li.count()
+    spark.sql("DROP TABLE IF EXISTS graft_test_report_tbl")

@@ -634,7 +634,7 @@ ZORDER_LAYOUT_ORACLE = _zorder_oracle()
 
 
 def zorder_write(df: DataFrame, col_x: str, col_y: str, out_dir: str,
-                 n_files: int = 16) -> None:
+                 n_files: int = 16) -> list[dict]:
     """Write ``df`` as parquet physically CLUSTERED on the Morton value of
     (``col_x``, ``col_y``) — the production form of :func:`zorder_layout`:
     ``repartitionByRange`` on the z-value (contiguous z-ranges per output
@@ -643,7 +643,9 @@ def zorder_write(df: DataFrame, col_x: str, col_y: str, out_dir: str,
     bounds come from the same single-row broadcast aggregate as the report
     form. Downstream, a predicate on EITHER column skips all files whose
     footer rectangle misses it — measured by tests/test_packing.py reading
-    the written footers directly (pyarrow), not assumed."""
+    the written footers directly (pyarrow), not assumed. Returns the
+    written files' footer report (``sources.corpus.parquet_file_stats``) —
+    clustering quality AND small-files health in one write."""
     # dunder-prefixed internals: a caller's df may legitimately carry
     # columns named gx/zval/max_x — never clobber or drop user data
     bounds = df.agg(
@@ -666,3 +668,98 @@ def zorder_write(df: DataFrame, col_x: str, col_y: str, out_dir: str,
               "__zorder_max_x", "__zorder_max_y")
         .write.mode("overwrite").parquet(out_dir)
     )
+    from tf_idf_using_mapreduce_spark.sources.corpus import parquet_file_stats
+
+    return parquet_file_stats(out_dir)
+
+
+# --------------------------------------------------------------------------- #
+# small-file compaction (OPTIMIZE-style table rewrite)
+# --------------------------------------------------------------------------- #
+
+# deliberate fragmentation level for the round-trip fixture (one file per
+# task of a wide ingest job — the pathological layout streaming ingest
+# produces) and the rewrite's target file size
+FRAG_FILES = 48
+COMPACT_TARGET_MB = 128
+
+
+def _compact_file_count(total_bytes: int, target_mb: int = COMPACT_TARGET_MB) -> int:
+    """Output file count for a compaction rewrite: sized from the source
+    files' ON-DISK bytes (compressed in ≈ compressed out for a same-codec
+    rewrite), never from row counts — row width varies 1000× across tables."""
+    import math as _math
+
+    return max(1, _math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+
+def _fragmented_docs(spark: SparkSession, sf_dir: str):
+    """A write-once, deliberately over-fragmented copy of ``documents``
+    (FRAG_FILES tiny files — the shape a per-task streaming ingest leaves
+    behind), keyed by corpus identity like every persisted layout."""
+    from tf_idf_using_mapreduce_spark.operators.persisted import _ensure_index
+
+    def writer(df: DataFrame, name: str) -> None:
+        (df.repartition(FRAG_FILES)
+         .write.mode("overwrite").format("parquet").saveAsTable(name))
+
+    return _ensure_index(spark, sf_dir, "docs_frag",
+                         lambda: load_table(spark, sf_dir, "documents"),
+                         writer=writer)
+
+
+def _compacted_docs(spark: SparkSession, sf_dir: str):
+    """The OPTIMIZE-style rewrite of :func:`_fragmented_docs`: the same rows,
+    re-laid-out into ``ceil(on-disk bytes / COMPACT_TARGET_MB)`` files. A
+    pure layout operation — no predicate, no projection — so the rewrite
+    must be value-identical (the oracle checks it against the ORIGINAL
+    table, not the fragmented copy: two layout hops, zero data drift)."""
+    from tf_idf_using_mapreduce_spark.operators.persisted import _ensure_index
+
+    frag = _fragmented_docs(spark, sf_dir)
+    if frag is None:
+        return None
+
+    def writer(df: DataFrame, name: str) -> None:
+        total = sum(
+            _file_split_stats(p.removeprefix("file:"))[0]
+            for p in df.inputFiles()
+            if p.startswith(("file:", "/"))
+        )
+        n = _compact_file_count(total)
+        df.repartition(n).write.mode("overwrite").format("parquet").saveAsTable(name)
+
+    return _ensure_index(spark, sf_dir, "docs_compact",
+                         lambda: spark.table(frag), writer=writer)
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_chars, n_distinct_texts): per-source content
+    census read from the COMPACTED documents table — the end of a
+    fragment → compact round trip (48 tiny files → target-sized files,
+    tests/test_packing.py measures both layouts' footers with pyarrow).
+    The oracle computes the same census from the pristine ``documents``
+    view, so a green row proves the OPTIMIZE-style rewrite preserved every
+    row's content through two physical re-layouts: count, total characters,
+    and the distinct md5 content-hash census all survive. At 100 TB this is
+    the maintenance job that keeps scan cost proportional to DATA size, not
+    to the ingest job's task count (small files = per-file open/footer/
+    schedule overhead dominating the read)."""
+    name = _compacted_docs(spark, sf_dir)
+    docs = (spark.table(name) if name is not None
+            else load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .alias("n_distinct_texts"),
+    )
+
+
+COMPACTION_ROUNDTRIP_ORACLE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       count(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY 1
+"""

@@ -88,7 +88,8 @@ def _bb(*key_cols: str):
 def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
                   bucketed: bool = True,
                   source_table: str = "documents.parquet",
-                  partition_cols: list[str] | None = None):
+                  partition_cols: list[str] | None = None,
+                  writer=None):
     """Materialize the ``kind`` index for ``sf_dir``'s corpus identity once;
     return the table name, or ``None`` when identity is unknown (caller
     derives the index in-plan instead). ``bucketed=False`` writes a plain
@@ -97,7 +98,10 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
     ``partition_cols`` writes a directory-partitioned layout instead
     (``partitionBy`` — the operators/partitioned.py fact tables), repartitioned
     on the partition columns first so each partition directory gets few,
-    large files rather than one file per task per partition."""
+    large files rather than one file per task per partition. ``writer``
+    overrides the physical write entirely — ``writer(df, name)`` must
+    ``saveAsTable(name)`` (the compaction tier's file-count-controlled
+    layouts, operators/packing.py)."""
     sig = _corpus_signature(sf_dir, source_table)
     if sig is None:
         return None
@@ -137,7 +141,9 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
             spark.sql(f"DROP TABLE IF EXISTS {stale_name}")
             _BUILT.pop(stale_name, None)
             shutil.rmtree(stale, ignore_errors=True)
-        if partition_cols:
+        if writer is not None:
+            writer(build(), name)
+        elif partition_cols:
             (build().repartition(*partition_cols)
              .write.mode("overwrite").format("parquet")
              .partitionBy(*partition_cols).saveAsTable(name))

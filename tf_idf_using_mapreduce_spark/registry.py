@@ -328,6 +328,10 @@ register("events_daily_partitioned", _part.events_daily_partitioned,
 register("events_daily_partitioned_dpp", _part.events_daily_partitioned_dpp,
          _part.EVENTS_DAILY_PARTITIONED_DPP_ORACLE)
 
+# -- round 13: OPTIMIZE-style small-file compaction, value-identity oracled --
+register("compaction_roundtrip", _pack.compaction_roundtrip,
+         _pack.COMPACTION_ROUNDTRIP_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------

@@ -205,9 +205,58 @@ def compact_parquet(spark: "SparkSession", src_dir: str, dst_dir: str,
     return n_files
 
 
+def table_location(spark: "SparkSession", table: str) -> str:
+    """Filesystem location of a managed table (the layout tests' and
+    reports' entry point into the physical files)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    loc = next(r["data_type"] for r in rows if r["col_name"] == "Location")
+    return loc.removeprefix("file:")
+
+
+def parquet_file_stats(path: str) -> list[dict]:
+    """Per-file parquet footer stats under ``path`` (recursive):
+    ``{"file", "bytes", "rows", "row_groups"}`` per data file — the house
+    measurement method (read the written footers with pyarrow, don't trust
+    the plan) behind the small-files reports the layout writers return. At
+    100 TB this is the table-maintenance signal: a scan pays per-file
+    open/footer/schedule overhead, so thousands of KB-sized files mean the
+    table needs compaction (:func:`operators.packing.compaction_roundtrip`)
+    regardless of how good its clustering is."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+        for fn in sorted(filenames):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, fn)
+            md = pq.ParquetFile(p).metadata
+            out.append({
+                "file": os.path.relpath(p, path),
+                "bytes": os.stat(p).st_size,
+                "rows": md.num_rows,
+                "row_groups": md.num_row_groups,
+            })
+    return out
+
+
+def file_size_histogram(stats: list[dict]) -> dict[int, int]:
+    """Power-of-two file-size histogram of a :func:`parquet_file_stats`
+    report: {upper-bound bytes → file count}. A healthy table's mass sits in
+    one or two adjacent buckets near the target file size; a long low tail
+    is the compaction signal."""
+    hist: dict[int, int] = {}
+    for s in stats:
+        ub = 1
+        while ub < s["bytes"]:
+            ub <<= 1
+        hist[ub] = hist.get(ub, 0) + 1
+    return dict(sorted(hist.items()))
+
+
 def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
                          n_buckets: int = 8, sort_cols: list[str] | None = None,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite") -> list[dict]:
     """Bucketed managed table — the CO-LOCATED JOIN layout: two tables
     bucketed the same way on the join key hash-partition identically at
     WRITE time, so a join between them needs NO exchange on either side
@@ -215,12 +264,15 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
     recurring fact-fact join on the bucketing key from the single largest
     shuffle in the pipeline into a zip of pre-sorted buckets; the cost is
     paid once at ingest. ``sort_cols`` additionally pre-sorts within each
-    bucket so the join skips its sort step too."""
+    bucket so the join skips its sort step too. Returns the written files'
+    footer report (:func:`parquet_file_stats`) so the caller can check the
+    layout's small-files health, not just its bucketing."""
     w = df.repartition(n_buckets, *bucket_cols).write.mode(mode).format("parquet")
     w = w.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+    return parquet_file_stats(table_location(df.sparkSession, table))
 
 
 @lru_cache(maxsize=1)
