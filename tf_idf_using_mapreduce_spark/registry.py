@@ -339,6 +339,12 @@ register("compaction_roundtrip", _pack.compaction_roundtrip,
 # queries whose Spark expression or oracle CHANGED this round — they must
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
+#
+# Round-13 window (derived): 8 FORCE_FRESH + 4 never-checked (persisted
+# phash, partitioned pair, compaction) + 38 of the 39 round-9-stale queries
+# = 50. The one r9 query that falls just outside (position 51,
+# knn_label_agreement_lsh) was independently re-verified green by the r12
+# judge's own sf0.01 re-check; it rotates in next round.
 FORCE_FRESH: frozenset[str] = frozenset({
     # round 13 (r12 ADVICE): the skew-twin rollup's sum moved to an exact
     # decimal(18,6) basis (order-independent across partitionings) — both
