@@ -99,3 +99,89 @@ def test_unknown_identity_falls_back_in_plan(spark, tmp_path):
            partitioned.events_daily_partitioned_dpp(spark, d).collect()}
     # only the two day%7==3 dates (3rd and 10th) survive the dim filter
     assert out == {("view", 1, 1, 1.25), ("click", 1, 1, 2.5)}
+
+
+def test_stream_partitioned_sink_matches_oracle(spark):
+    """The ingest-time partitioned layout (writeStream.partitionBy) feeds the
+    same rollup to the same oracle as the batch twin."""
+    assert_query_matches_oracle(spark, "events_stream_daily_partitioned")
+
+
+def test_stream_partitioned_sink_lays_out_directories(spark, tmp_path):
+    """The streamed sink really is one directory per day — measured from the
+    written layout, and value-identical to the batch source."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_partitioned_sink,
+    )
+
+    sink = str(tmp_path / "stream_part")
+    part = (read_events_stream(spark, SF_SMOKE, watermark=None)
+            .select("ts", "event_type", "value")
+            .withColumn("event_date", F.to_date("ts")))
+    run_stream_to_partitioned_sink(part, sink, ["event_date"])
+    dirs = sorted(d for d in os.listdir(sink) if d.startswith("event_date="))
+    assert len(dirs) == 30, dirs
+    n = spark.read.parquet(sink).count()
+    from tf_idf_using_mapreduce_spark.sources.corpus import load_table
+
+    assert n == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_partition_overwrite_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_daily_partition_overwrite")
+
+
+def test_overwrite_touches_only_target_partition(spark, tmp_path):
+    """Dynamic partition overwrite is SURGICAL: the corrected day's directory
+    is rewritten, every other directory's files are byte-for-byte untouched
+    (same names, same mtimes) — snapshotted across the overwrite."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        overwrite_day_partitions,
+    )
+    from tf_idf_using_mapreduce_spark.sources.corpus import table_location
+
+    name = "graft_test_overwrite_tbl"
+    rows = [(i, f"2024-01-{d:02d} 10:00:00", 1.0 * i, "view")
+            for i, d in enumerate([3, 3, 4, 5, 5, 5], start=1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double, event_type string"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "value",
+                 "event_type", "to_date(ts) event_date")
+    (df.repartition("event_date").write.mode("overwrite").format("parquet")
+     .partitionBy("event_date").saveAsTable(name))
+    try:
+        loc = table_location(spark, name)
+
+        def snapshot():
+            out = {}
+            for d in os.listdir(loc):
+                if not d.startswith("event_date="):
+                    continue
+                p = os.path.join(loc, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p) if not f.startswith(("_", "."))
+                )
+            return out
+
+        before = snapshot()
+        assert set(before) == {"event_date=2024-01-03", "event_date=2024-01-04",
+                               "event_date=2024-01-05"}
+        corr = df.where(F.col("event_date") == "2024-01-04") \
+                 .withColumn("value", F.col("value") * 2)
+        overwrite_day_partitions(spark, name, corr)
+        after = snapshot()
+        # untouched days: identical file names AND mtimes
+        for d in ("event_date=2024-01-03", "event_date=2024-01-05"):
+            assert after[d] == before[d], d
+        # the corrected day was rewritten
+        assert after["event_date=2024-01-04"] != before["event_date=2024-01-04"]
+        got = {(r["event_id"], r["value"]) for r in spark.table(name).collect()}
+        assert got == {(1, 1.0), (2, 2.0), (3, 6.0), (4, 4.0), (5, 5.0), (6, 6.0)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -92,15 +92,11 @@ def _date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name) if name is not None else build()
 
 
-def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_date, event_type, n_events, sum_value): daily rollup over a
-    LITERAL day window, read from the date-partitioned fact — the planner
-    lists only the 7 matching ``event_date=...`` directories
-    (``PartitionFilters`` on the scan; directory count measured in the
-    tests). The rollup itself is one partial-aggregated hash aggregation;
-    the scan does no row-level filtering at all — every surviving row is in
-    the window by virtue of its directory."""
-    fact = _events_fact(spark, sf_dir)
+def daily_window_rollup(fact: DataFrame) -> DataFrame:
+    """(event_date, event_type, n_events, sum_value) over the literal day
+    window — shared by the batch partitioned query and its streaming-sink
+    twin (streaming/events.py), so the two cannot drift from the one
+    oracle."""
     return (
         fact.where(F.col("event_date").between(PART_DATE_LO, PART_DATE_HI))
         .groupBy(
@@ -109,6 +105,17 @@ def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
     )
+
+
+def events_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, event_type, n_events, sum_value): daily rollup over a
+    LITERAL day window, read from the date-partitioned fact — the planner
+    lists only the 7 matching ``event_date=...`` directories
+    (``PartitionFilters`` on the scan; directory count measured in the
+    tests). The rollup itself is one partial-aggregated hash aggregation;
+    the scan does no row-level filtering at all — every surviving row is in
+    the window by virtue of its directory."""
+    return daily_window_rollup(_events_fact(spark, sf_dir))
 
 
 EVENTS_DAILY_PARTITIONED_ORACLE = f"""
@@ -155,4 +162,89 @@ SELECT e.event_type, count(*) AS n_events,
        CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
 FROM events e JOIN sel s ON CAST(e.ts AS DATE) = s.event_date
 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------- #
+# dynamic partition overwrite: the surgical single-day backfill
+# --------------------------------------------------------------------------- #
+
+# the day whose facts arrive corrected after the backfill (doubling is EXACT
+# in IEEE doubles — a power-of-two scale only moves the exponent — so the
+# corrected values carry zero float noise into either engine)
+CORR_DATE = "2024-01-10"
+
+
+def overwrite_day_partitions(spark: SparkSession, table: str,
+                             corrected: DataFrame) -> None:
+    """Replace ONLY the partitions present in ``corrected`` inside the
+    date-partitioned ``table`` — ``partitionOverwriteMode=dynamic``, the
+    lake maintenance primitive for late corrections: at 100 TB a one-day
+    fix rewrites one directory, not the table (every other directory's
+    files are untouched on disk — tests/test_partitioned.py snapshots
+    file names AND mtimes across the overwrite to prove it). The session
+    conf is scoped to the write and restored."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        # insertInto is POSITIONAL: align to the table's column order
+        # (saveAsTable moved the partition column last)
+        corrected.select(*spark.table(table).columns) \
+            .write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _corrected_expr(fact: DataFrame) -> DataFrame:
+    """The correction as a plain expression (the in-plan fallback and the
+    oracle's CASE): CORR_DATE's values doubled, every other day untouched."""
+    return fact.withColumn(
+        "value",
+        F.when(F.col("event_date") == CORR_DATE, F.col("value") * 2)
+        .otherwise(F.col("value")),
+    )
+
+
+def _events_fact_corrected(spark: SparkSession, sf_dir: str):
+    """The partitioned fact AFTER the single-day backfill: full write, then
+    ``overwrite_day_partitions`` with CORR_DATE's corrected rows — built
+    once per corpus identity so the query measures the READ, while the
+    write-path surgery itself is exercised (and physically asserted) by the
+    tests."""
+
+    def writer(df: DataFrame, name: str) -> None:
+        (df.repartition("event_date")
+         .write.mode("overwrite").format("parquet")
+         .partitionBy("event_date").saveAsTable(name))
+        corr = _corrected_expr(df.where(F.col("event_date") == CORR_DATE))
+        overwrite_day_partitions(spark, name, corr)
+
+    return _ensure_index(spark, sf_dir, "events_by_date_corr",
+                         lambda: _fact_df(spark, sf_dir),
+                         source_table="events.parquet", writer=writer)
+
+
+def events_daily_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, event_type, n_events, sum_value): the daily rollup read
+    AFTER a dynamic-partition-overwrite backfill corrected one day in place
+    — same literal window as :func:`events_daily_partitioned`, so the green
+    row proves the overwrite changed EXACTLY the corrected day's numbers
+    and left every other day bit-identical (the oracle applies the
+    correction as a CASE on the pristine events view)."""
+    name = _events_fact_corrected(spark, sf_dir)
+    fact = (spark.table(name) if name is not None
+            else _corrected_expr(_fact_df(spark, sf_dir)))
+    return daily_window_rollup(fact)
+
+
+EVENTS_DAILY_PARTITION_OVERWRITE_ORACLE = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(CASE WHEN CAST(ts AS DATE) = DATE '{CORR_DATE}'
+                                THEN value * 2 ELSE value END
+                           AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{PART_DATE_LO}' AND DATE '{PART_DATE_HI}'
+GROUP BY 1, 2
 """

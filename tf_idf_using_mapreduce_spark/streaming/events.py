@@ -387,3 +387,74 @@ WITH both_starts AS (
 SELECT window_start, event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM both_starts GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------- #
+# streaming partitioned FILE sink: ingest-time lake layout
+# --------------------------------------------------------------------------- #
+
+
+def run_stream_to_partitioned_sink(stream_df: DataFrame, path: str,
+                                   partition_cols: list[str],
+                                   timeout_s: int = 120,
+                                   state_partitions: int | None = STATE_PARTITIONS) -> None:
+    """Drive a finite stream to completion into a Hive-PARTITIONED parquet
+    file sink (``writeStream.partitionBy`` — append mode, the only mode a
+    file sink supports). Same hung-stream deadline discipline as
+    :func:`run_stream_to_memory`: a query still active at the deadline is
+    stopped and RAISED, never returned as a partial directory."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="graft_stream_ckpt_"))
+            .partitionBy(*partition_cols)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        deadline = time.time() + timeout_s
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"streaming file-sink query to {path!r} still active after "
+                f"{timeout_s}s; directory is partial — refusing to return it"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def events_stream_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, event_type, n_events, sum_value): the date-partitioned
+    lake layout written AT INGEST TIME — the events stream lands straight
+    into ``event_date=...`` directories (``writeStream.partitionBy``, a
+    stateless map-only projection: no watermark, no state store, zero
+    shuffle at any landing rate), and the day-window rollup then reads the
+    streamed layout through the SAME partition-pruned scan and shared
+    rollup as the batch twin (``operators/partitioned.py:
+    daily_window_rollup``), under the same oracle. At 100 TB this is the
+    ingest architecture the batch tier assumes: the crawler's stream IS the
+    partitioned table — no nightly re-layout job between landing and
+    query. A NULL event time lands in the Hive default partition and is
+    dropped by every date predicate on both engines, the engine-wide
+    event-time rule."""
+    import tempfile
+
+    stream = read_events_stream(spark, sf_dir, watermark=None)
+    part = stream.select("ts", "event_type", "value").withColumn(
+        "event_date", F.to_date("ts"))
+    sink = tempfile.mkdtemp(prefix="graft_stream_part_")
+    run_stream_to_partitioned_sink(part, sink, ["event_date"])
+    from tf_idf_using_mapreduce_spark.operators.partitioned import daily_window_rollup
+
+    return daily_window_rollup(spark.read.parquet(sink))
