@@ -348,6 +348,12 @@ register("events_stream_daily_partitioned", _stream.events_stream_daily_partitio
 register("events_daily_partition_overwrite", _part.events_daily_partition_overwrite,
          _part.EVENTS_DAILY_PARTITION_OVERWRITE_ORACLE)
 
+# -- round 13 (second pass): ingest data-contract audit ----------------------
+from tf_idf_using_mapreduce_spark.operators import contracts as _contracts  # noqa: E402
+
+register("data_contract_audit", _contracts.data_contract_audit,
+         _contracts.data_contract_audit_oracle())
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
