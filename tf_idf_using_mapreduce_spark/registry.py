@@ -362,11 +362,15 @@ register("data_contract_audit", _contracts.data_contract_audit,
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-13 window (derived): 8 FORCE_FRESH + 4 never-checked (persisted
-# phash, partitioned pair, compaction) + 38 of the 39 round-9-stale queries
-# = 50. The one r9 query that falls just outside (position 51,
-# knn_label_agreement_lsh) was independently re-verified green by the r12
-# judge's own sf0.01 re-check; it rotates in next round.
+# Round-13 window (derived): 8 FORCE_FRESH + 7 never-checked (persisted
+# phash, partitioned static/DPP/stream-sink/overwrite, compaction, contract
+# audit) + 35 of the 39 round-9-stale queries = 50. The four r9 queries that
+# fall just outside are tfidf_mllib (rows-only; its value gate is the
+# overlap twin), tfidf_mllib_topk_overlap, rrf_fusion_topk, and
+# knn_label_agreement_lsh — the latter three were independently re-verified
+# green by the r12 judge's own sf0.01 re-check (the dataset_card tiebreak
+# nudge below keeps the un-re-checked queries inside the window); all four
+# rotate in next round.
 FORCE_FRESH: frozenset[str] = frozenset({
     # round 13 (r12 ADVICE): the skew-twin rollup's sum moved to an exact
     # decimal(18,6) basis (order-independent across partitionings) — both
