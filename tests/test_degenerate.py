@@ -151,3 +151,18 @@ def test_empty_corpus_grand_total_values(spark, empty_corpus):
     [row] = rollup_customer_geo(spark, d).collect()
     assert (row["r_name"], row["n_name"], row["n_customers"]) == ("ALL", "ALL", 0)
     assert row["total_acctbal"] is None
+
+
+def test_empty_corpus_stream_partitioned_sink_reads_back_empty(spark, empty_corpus):
+    """Failure class pinned in round 13: an EMPTY stream writes no files into
+    the partitioned file sink, and a schema-less read-back of the bare sink
+    dir fails inference instead of returning the empty frame the oracle
+    returns. The query must hand back zero rows with its stable schema."""
+    from tf_idf_using_mapreduce_spark.streaming.events import (
+        events_stream_daily_partitioned,
+    )
+
+    d, _con = empty_corpus
+    df = events_stream_daily_partitioned(spark, d)
+    assert df.columns == ["event_date", "event_type", "n_events", "sum_value"]
+    assert df.count() == 0

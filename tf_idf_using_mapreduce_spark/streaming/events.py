@@ -457,4 +457,10 @@ def events_stream_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFra
     run_stream_to_partitioned_sink(part, sink, ["event_date"])
     from tf_idf_using_mapreduce_spark.operators.partitioned import daily_window_rollup
 
-    return daily_window_rollup(spark.read.parquet(sink))
+    # explicit schema: an EMPTY stream writes no files, and a schema-less
+    # read of the bare sink dir would fail inference instead of returning
+    # the empty frame the oracle returns (empty-corpus sweep, round 13)
+    fact = spark.read.schema(
+        "ts timestamp, event_type string, value double, event_date date"
+    ).parquet(sink)
+    return daily_window_rollup(fact)
