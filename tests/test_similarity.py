@@ -559,3 +559,63 @@ def test_diverse_sample_keeps_most_prototypical_member(spark):
     for cid, r in top.items():
         assert r["aff"] == assigned[cid]["aff"]
         assert r["vec_id"] == assigned[cid]["vec_id"]
+
+
+# --------------------------------------------------------------------------- #
+# PQ ANN (round 13)
+# --------------------------------------------------------------------------- #
+
+
+def test_pq_recall_meets_floor_and_twin_is_green(spark):
+    from tests.conftest import SF_CHECK, assert_query_matches_oracle
+
+    row = sim.ann_topk_pq_recall(spark, SF_CHECK).collect()[0]
+    assert row["recall_ok"] == 1, row
+    assert row["n_true"] > 0
+    assert_query_matches_oracle(spark, "ann_topk_pq_recall")
+
+
+def test_pq_is_deterministic_and_shaped_like_bruteforce(spark):
+    a = {tuple(r) for r in sim.ann_topk_pq(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in sim.ann_topk_pq(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+    exact = sim.ann_topk_bruteforce(spark, SF_SMOKE)
+    assert sim.ann_topk_pq(spark, SF_SMOKE).columns == exact.columns
+    # per-query result counts match the exact searcher's (full k per query)
+    import collections
+
+    per_q = collections.Counter(q for q, *_ in a)
+    exact_per_q = collections.Counter(
+        r["query_id"] for r in exact.collect())
+    assert per_q == exact_per_q
+
+
+def test_pq_rerank_scores_are_exact_cosines(spark):
+    """The re-rank stage must emit EXACT cosine values: every (query,
+    neighbor, cos_sim) the PQ search returns appears with the identical
+    score in the exact all-pairs scoring (PQ may pick different neighbors —
+    that is recall — but never a wrong score)."""
+    from pyspark.sql import functions as F
+
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.ann_topk_bruteforce(spark, SF_SMOKE, k=10**6).collect()
+    }
+    for r in sim.ann_topk_pq(spark, SF_SMOKE).collect():
+        assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"], r
+
+
+def test_pq_empty_and_tiny_corpora(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = str(tmp_path)
+    # empty embeddings
+    pq_.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.string()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }), f"{d}/embeddings.parquet")
+    assert sim.ann_topk_pq(spark, d).count() == 0
+    row = sim.ann_topk_pq_recall(spark, d).collect()[0]
+    assert (row["n_true"], row["recall_ok"]) == (0, 1)

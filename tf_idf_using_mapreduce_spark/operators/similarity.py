@@ -1422,3 +1422,180 @@ SELECT label, vec_id, cos_centroid, CAST(rk AS BIGINT) AS rk FROM (
   FROM scored
 ) ranked WHERE rk <= {OUTLIER_K}
 """
+
+
+# --------------------------------------------------------------------------- #
+# product quantization (PQ) ANN: compressed-domain search + exact re-rank
+# --------------------------------------------------------------------------- #
+#
+# The missing member of the ANN family (brute / sign-LSH / IVF / IVF-kmeans
+# above): at 100 TB the EMBEDDINGS THEMSELVES stop fitting — 1e10 × 1024-dim
+# float32 is ~40 TB — and the published answer (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011; the Faiss IVFPQ +
+# refine pattern) is to hold an M-byte CODE per vector instead (64× smaller
+# here), scan codes with asymmetric distance (ADC: per-query M×K lookup
+# tables, no decompression), and spend exact-distance work only on a
+# SHORTLIST the code scan selected. Codebooks are classic coordinator state
+# (M × K × dim/M floats — kilobytes), trained once on a BOUNDED sample
+# (Faiss trains on ~1M of 1e10) and broadcast; the code column is write-once
+# index state exactly like the MinHash band table.
+
+PQ_M = 8            # subspaces (64-dim fixture vectors → 8 dims each)
+PQ_K = 16           # centroids per subspace → one 4-bit code each, M bytes/vec
+PQ_TRAIN_CAP = 4096  # bounded driver-side training sample
+PQ_SHORTLIST_FLOOR = 50
+PQ_SHORTLIST_FRAC = 0.05  # shortlist = max(floor, frac·n): tracks corpus size
+RECALL_FLOOR_PQ = 0.5
+
+
+def _pq_lloyd(X, k: int, seed: int):
+    """Deterministic Lloyd k-means (seeded init, fixed 20 iterations) — the
+    subspace trainer. numpy-only so training is reproducible across hosts;
+    empty cells keep their previous centroid (standard small-sample Lloyd)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(20):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """M per-subspace codebooks trained on a bounded deterministic sample of
+    the UNIT-NORMALIZED corpus (md5-ordered — the `_anchor_rows` sampling
+    rule, so the sample is engine-reproducible), memoized per corpus
+    identity like every quantizer in this module. ``None`` on an empty
+    corpus."""
+    import numpy as np
+
+    sig = _corpus_signature(sf_dir)
+    key = (sf_dir, "pq", sig)
+    if sig is None or key not in _ANCHOR_CACHE:
+        rows = (
+            _vectors(spark, sf_dir)
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(PQ_TRAIN_CAP)
+            .select(F.expr("transform(v, x -> x / nrm)").alias("u"))
+            .collect()
+        )
+        if not rows:
+            books = None
+        else:
+            X = np.stack([np.asarray(r["u"], dtype=np.float64) for r in rows])
+            d = X.shape[1] // PQ_M
+            books = [_pq_lloyd(X[:, m * d:(m + 1) * d], PQ_K, seed=m)
+                     for m in range(PQ_M)]
+        if sig is None:
+            return books
+        _anchor_cache_put(key, books)
+    return _ANCHOR_CACHE[key]
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): PQ ANN with exact re-rank —
+    encode every vector to M sub-codes, scan the CODES with per-query ADC
+    lookup tables (one Arrow-batched numpy pass: encode + table lookup, the
+    `_ivf_assign` convention — higher-order array exprs don't codegen),
+    keep a size-derived shortlist per query (max(50, 5% of n) — fixed
+    shortlists go quadratic-blind as n grows), then compute EXACT cosine
+    only on the shortlist and emit the final top-k. Rows-only check
+    (trained codebooks aren't SQL-expressible); the oracled value gate is
+    :func:`ann_topk_pq_recall`, same discipline as the IVF-kmeans twin.
+
+    Scale shape: the ADC pass reads only (vec_id, code) — at 1e10 vectors
+    that is the M-byte column, not the 4 KB embedding; the shortlist join
+    back to full vectors is a broadcast of ~queries × shortlist ids; exact
+    work is O(queries × shortlist), independent of corpus size."""
+    import math
+
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    empty = "query_id long, neighbor_id long, cos_sim double, rk int"
+    if books is None:
+        return spark.createDataFrame([], empty)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    qrows = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nrm").collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    d = len(qrows[0]["v"]) // PQ_M
+    # per-query ADC tables: dt[m][j] = ||q_m - c_mj||² over the unit vectors
+    qdata = []
+    for r in qrows:
+        q = np.asarray(r["v"], dtype=np.float64) / r["nrm"]
+        dt = [[float(((books[m][j] - q[m * d:(m + 1) * d]) ** 2).sum())
+               for j in range(len(books[m]))] for m in range(PQ_M)]
+        qdata.append((r["vec_id"], r["v"], float(r["nrm"]), dt))
+    B = [np.asarray(b) for b in books]
+    DT = {qid: np.asarray(dt) for qid, _v, _n, dt in qdata}
+    qids = np.asarray(sorted(DT))
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            V = V / pdf["nrm"].to_numpy(dtype=np.float64)[:, None]
+            codes = np.stack([
+                ((V[:, None, m * d:(m + 1) * d] - B[m][None, :, :]) ** 2)
+                .sum(-1).argmin(1)
+                for m in range(PQ_M)
+            ], axis=1)                                    # rows × M
+            out_v, out_q, out_d = [], [], []
+            for qid in qids:
+                ad = DT[qid][np.arange(PQ_M)[None, :], codes].sum(1)
+                out_v.append(pdf["vec_id"].to_numpy())
+                out_q.append(np.full(len(pdf), qid))
+                out_d.append(ad)
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_v),
+                "query_id": np.concatenate(out_q),
+                "adist": np.concatenate(out_d),
+            })
+
+    adist = vecs.mapInPandas(adc, "vec_id long, query_id long, adist double") \
+        .where(F.col("vec_id") != F.col("query_id"))
+    n = load_table(spark, sf_dir, "embeddings").count()
+    shortlist = max(PQ_SHORTLIST_FLOOR, math.ceil(PQ_SHORTLIST_FRAC * n))
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    short = (
+        adist.withColumn("rk_s", F.row_number().over(ws))
+        .where(F.col("rk_s") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, v, nrm) for qid, v, nrm, _dt in qdata],
+        "query_id long, qv array<double>, qn double",
+    )
+    cos = F.round(
+        F.expr(spark_dot("v", "qv")) / (F.col("nrm") * F.col("qn")), COS_ROUND)
+    reranked = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return reranked.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ann_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated recall of the PQ + exact-re-rank search vs brute force
+    (the shortlist is what loses truth rows; re-ranking is exact, so recall
+    == the exact top-k's coverage by the ADC shortlist)."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_topk_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_twin(approx, exact, RECALL_FLOOR_PQ)
