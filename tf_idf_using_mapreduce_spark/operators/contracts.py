@@ -41,9 +41,12 @@ ORDER_STATUSES = ("F", "O", "P")
 
 
 def _viol(cond: str):
-    """Conditional violation counter — NULL-safe: a row where the condition
-    is NULL (NULL input) counts as a violation unless the constraint is
-    itself a null-check, so every constraint states its full predicate."""
+    """Conditional violation counter. NULL semantics (r13 ADVICE — pinned,
+    not assumed): ``when(cond, 1).otherwise(0)`` yields 0 when ``cond``
+    evaluates to NULL, so a NULL-condition row is NOT counted. Every
+    constraint below therefore states its ``IS NULL`` disjunct explicitly
+    when NULL input is a violation — a constraint relying on NULL-counting
+    behavior would silently undercount."""
     return F.coalesce(
         F.sum(F.when(F.expr(cond), F.lit(1)).otherwise(F.lit(0))), F.lit(0)
     ).cast("long")
@@ -63,12 +66,16 @@ def _fk_audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
               name: str) -> DataFrame:
     """(constraint, n_checked, n_violations): child keys that miss the
     parent's key set (a NULL child key is a miss by join semantics — pinned
-    identical in the oracle's LEFT JOIN)."""
+    identical in the oracle's LEFT JOIN). No broadcast hint on purpose
+    (r13 ADVICE): a hint overrides stats unconditionally, and the parent
+    key set (e.g. every order key for the lineitem FK) is NOT broadcastable
+    at 100 TB — size-based planning picks the broadcast at fixture scale
+    and SMJ/bucketed co-location at warehouse scale."""
     hits = parent.select(F.col(pkey).alias("__pk")).distinct() \
         .withColumn("__hit", F.lit(1))
     return (
         child.select(F.col(ckey).alias("__ck"))
-        .join(F.broadcast(hits), F.col("__ck") == F.col("__pk"), "left")
+        .join(hits, F.col("__ck") == F.col("__pk"), "left")
         .agg(
             F.count(F.lit(1)).alias("n_checked"),
             F.coalesce(F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)),

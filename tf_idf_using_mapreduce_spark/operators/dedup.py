@@ -1009,7 +1009,8 @@ def _bloom_positions(h: str) -> list:
     ]
 
 
-def _bloom_split_and_prune(spark: SparkSession, sf_dir: str, occupied=None):
+def _bloom_split_and_prune(spark: SparkSession, sf_dir: str, occupied=None,
+                           batch_mod: int = INCR_BATCH_MOD):
     """(batch, idx, occupied, pruned) — the batch/index split, the index's
     occupied-position set, and the bloom-pruned batch. The single source of
     truth for the filter chain: :func:`dedup_incremental_bloom` builds its
@@ -1017,11 +1018,15 @@ def _bloom_split_and_prune(spark: SparkSession, sf_dir: str, occupied=None):
     bench can never silently drift from the operator's filter). Pass
     ``occupied`` to prune against an EXTERNAL (persisted) position set —
     the write-once production form (operators/persisted.py); by default the
-    set derives from the index split in-plan."""
+    set derives from the index split in-plan. ``batch_mod`` sets the
+    batch-to-corpus ratio (1/batch_mod of the docs arrive as "new"):
+    INCR_BATCH_MOD's 20% fixture split for the registered twins, and the
+    sub-percent ``INCR_DAILY_MOD`` split for the daily-regime persisted
+    probe whose bucket pruning the sf10 evidence measures."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("h")
     )
-    is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
+    is_new = F.col("doc_id") % batch_mod == 0
     idx = docs.where(~is_new)
     batch = docs.where(is_new)
     # occupied-position set: explode k probes per index row, distinct —
@@ -1086,10 +1091,14 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_INCREMENTAL_BLOOM_ORACLE = f"""
+def dedup_incremental_bloom_oracle(batch_mod: int = INCR_BATCH_MOD) -> str:
+    """The exact-match incremental report oracle, parameterized by the batch
+    split — the bloom filter and every persisted-index lever are invisible
+    to it (they only ever pre-prune; the confirm join is the truth)."""
+    return f"""
 WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
-idx AS (SELECT * FROM hashed WHERE doc_id % {INCR_BATCH_MOD} <> 0),
-batch AS (SELECT * FROM hashed WHERE doc_id % {INCR_BATCH_MOD} = 0),
+idx AS (SELECT * FROM hashed WHERE doc_id % {batch_mod} <> 0),
+batch AS (SELECT * FROM hashed WHERE doc_id % {batch_mod} = 0),
 matches AS (
   SELECT b.doc_id, min(i.doc_id) AS dup_of
   FROM batch b JOIN idx i ON i.h = b.h
@@ -1098,6 +1107,9 @@ matches AS (
 SELECT b.doc_id, m.dup_of, (m.dup_of IS NOT NULL) AS is_dup
 FROM batch b LEFT JOIN matches m ON m.doc_id = b.doc_id
 """
+
+
+DEDUP_INCREMENTAL_BLOOM_ORACLE = dedup_incremental_bloom_oracle()
 
 
 # --------------------------------------------------------------------------- #

@@ -361,6 +361,13 @@ register("data_contract_audit", _contracts.data_contract_audit,
 register("ann_topk_pq", _sim.ann_topk_pq)  # rows-only: value check = recall twin below
 register("ann_topk_pq_recall", _sim.ann_topk_pq_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 
+# -- round 14: the daily-regime persisted probe (sub-percent batch against
+# the derived-law bucket space — the configuration whose sf10 bucket
+# pruning the evidence measures, r13 verdict #1)
+register("dedup_incremental_bloom_persisted_daily",
+         _pers.dedup_incremental_bloom_persisted_daily,
+         _dedup.dedup_incremental_bloom_oracle(_pers.INCR_DAILY_MOD))
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
@@ -369,40 +376,33 @@ register("ann_topk_pq_recall", _sim.ann_topk_pq_recall, _sim.ANN_RECALL_TWIN_ORA
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-13 window (derived): 8 FORCE_FRESH + 9 never-checked (persisted
-# phash, partitioned static/DPP/stream-sink/overwrite, compaction, contract
-# audit, PQ + its recall twin) + 33 of the 39 round-9-stale queries = 50.
-# The six r9 queries that fall just outside — events_sliding_windows,
-# dataset_card, tfidf_mllib (rows-only; its value gate is the overlap twin),
-# tfidf_mllib_topk_overlap, rrf_fusion_topk, knn_label_agreement_lsh — are
-# the conscious cost of landing nine new capabilities in one round: the
-# last three were independently re-verified green by the r12 judge's own
-# sf0.01 re-check, all six were green in THIS round's full local sf0.01 +
-# sf0.1 sweeps (SCALE.md round-13 pre-flight), and the derived rotation
-# makes them the stalest tier next round, so they refresh first in r14.
+# Round-14 window (derived): 11 FORCE_FRESH + the never-checked round-14
+# queries (daily persisted probe, IVFPQ + its recall twin, schema
+# evolution) + the stalest prior tiers fill the rest of the 50.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 13 (r12 ADVICE): the skew-twin rollup's sum moved to an exact
-    # decimal(18,6) basis (order-independent across partitionings) — both
-    # the Spark expression AND the shared oracle changed
-    "events_segment_revenue",
-    "events_segment_revenue_salted",
-    # round 13 (r12 ADVICE): _ensure_index's fallback narrowed from bare
-    # Exception to (OSError, AnalysisException) + warning — the persistence
-    # plumbing both twins run through changed; results identical, re-verify
+    # round 14 (r13 verdict #2): the six queries whose latest driver
+    # evidence is round 9 — the derived staleness sort would float them
+    # first anyway, but the verdict asked for a guarantee, so they are
+    # pinned ahead of everything (all six were green in the r13 judge's /
+    # this round's local re-checks; the driver rows should now say so)
+    "events_sliding_windows",
+    "dataset_card",
+    "knn_label_agreement_lsh",
+    "rrf_fusion_topk",
+    "tfidf_mllib_topk_overlap",
+    "tfidf_mllib",
+    # round 14 (r13 verdict #1): bucket-key space and physical bucket count
+    # now DERIVED from corpus size (_derive_bb_space) — the persisted
+    # twins' index layout changed; results identical by construction
+    # (pruning is lossless at any keyspace), re-verify
     "dedup_incremental_persisted",
     "dedup_incremental_bloom_persisted",
-    # round 13 (r12 ADVICE): explicit Adam7 interlace rejection in
-    # _png_gray — unreachable for fixture letters payloads (no PNG magic)
-    # and pinned by the real-PNG pytest tier, but these four consume the
-    # decoder directly, so their pandas stage changed; re-verify.
-    # documents_stream_phash / neardup_modality_agreement are NOT here:
-    # they compose the already-forced phash stages with no decoder path of
-    # their own — excluded to leave window room for the round-9-stale
-    # rotation tier (the r12 multimodal_meta precedent).
-    "multimodal_phash",
-    "multimodal_features",
-    "dedup_image_phash",
-    "dedup_image_phash_incremental",
+    "dedup_image_phash_incremental_persisted",
+    # round 14 (r13 ADVICE): streamed partitioned sink memoized per corpus
+    # identity (no more per-call temp copies); FK audit's broadcast hint
+    # dropped in favor of stats-based planning — both expressions changed
+    "events_stream_daily_partitioned",
+    "data_contract_audit",
 })
 
 
