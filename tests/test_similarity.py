@@ -619,3 +619,78 @@ def test_pq_empty_and_tiny_corpora(spark, tmp_path):
     assert sim.ann_topk_pq(spark, d).count() == 0
     row = sim.ann_topk_pq_recall(spark, d).collect()[0]
     assert (row["n_true"], row["recall_ok"]) == (0, 1)
+
+
+# --------------------------------------------------------------------------- #
+# IVFPQ ANN (round 14): the two halves composed
+# --------------------------------------------------------------------------- #
+
+
+def test_ivfpq_recall_meets_floor_and_twin_is_green(spark):
+    from tests.conftest import SF_CHECK, assert_query_matches_oracle
+
+    row = sim.ann_topk_ivfpq_recall(spark, SF_CHECK).collect()[0]
+    assert row["recall_ok"] == 1, row
+    assert row["n_true"] > 0
+    assert_query_matches_oracle(spark, "ann_topk_ivfpq_recall")
+
+
+def test_ivfpq_is_deterministic_and_shaped_like_bruteforce(spark):
+    a = {tuple(r) for r in sim.ann_topk_ivfpq(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in sim.ann_topk_ivfpq(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) > 0
+    assert sim.ann_topk_ivfpq(spark, SF_SMOKE).columns == \
+        sim.ann_topk_bruteforce(spark, SF_SMOKE).columns
+
+
+def test_ivfpq_rerank_scores_are_exact_cosines(spark):
+    """Every (query, neighbor, cos_sim) IVFPQ returns appears with the
+    identical score in exact all-pairs scoring — cell+code approximation
+    may pick different neighbors (that is recall), never a wrong score."""
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.ann_topk_bruteforce(spark, SF_SMOKE, k=10**6).collect()
+    }
+    for r in sim.ann_topk_ivfpq(spark, SF_SMOKE).collect():
+        assert exact_scores[(r["query_id"], r["neighbor_id"])] == r["cos_sim"], r
+
+
+def test_ivfpq_candidates_come_from_probed_cells_only(spark):
+    """IVFPQ must be a strict subset of what scanning the probed cells can
+    yield: every returned neighbor's cell is in its query's probe set
+    (computed independently here from the same derived-width quantizer)."""
+    import numpy as np
+
+    n = sim.load_table(spark, SF_SMOKE, "embeddings").count()
+    anchors = sim._anchor_rows(spark, SF_SMOKE, sim._derive_ivf_cells(n))
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+    rows = sim._vectors(spark, SF_SMOKE).collect()
+    cid = {}
+    probes = {}
+    for r in rows:
+        v = np.asarray(r["v"], dtype=np.float64)
+        aff = np.round((A @ v) / (an * r["nrm"]), sim.COS_ROUND)
+        order = np.lexsort((np.arange(len(aff)), -aff))
+        cid[r["vec_id"]] = int(order[0])
+        if r["vec_id"] < sim.N_QUERIES:
+            probes[r["vec_id"]] = {int(c) for c in order[:sim.N_PROBE]}
+    out = sim.ann_topk_ivfpq(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert cid[r["neighbor_id"]] in probes[r["query_id"]], r
+
+
+def test_ivfpq_empty_and_tiny_corpora(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = str(tmp_path)
+    pq_.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.string()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }), f"{d}/embeddings.parquet")
+    assert sim.ann_topk_ivfpq(spark, d).count() == 0
+    row = sim.ann_topk_ivfpq_recall(spark, d).collect()[0]
+    assert (row["n_true"], row["recall_ok"]) == (0, 1)

@@ -1568,6 +1568,19 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     adist = vecs.mapInPandas(adc, "vec_id long, query_id long, adist double") \
         .where(F.col("vec_id") != F.col("query_id"))
     n = load_table(spark, sf_dir, "embeddings").count()
+    return _pq_shortlist_rerank(spark, vecs, adist, n, qdata, k)
+
+
+def _pq_shortlist_rerank(spark: SparkSession, vecs: DataFrame,
+                         adist: DataFrame, n: int, qdata: list,
+                         k: int) -> DataFrame:
+    """The shared PQ search tail (plain PQ and IVFPQ): size-derived
+    shortlist over the ADC distances (max(50, 5%·n) — fixed shortlists go
+    quadratic-blind as n grows), then EXACT cosine only on the shortlist
+    ids (a broadcast of ~queries × shortlist rows back onto the vector
+    table) and the final top-k window."""
+    import math
+
     shortlist = max(PQ_SHORTLIST_FLOOR, math.ceil(PQ_SHORTLIST_FRAC * n))
     ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
     short = (
@@ -1599,3 +1612,112 @@ def ann_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_topk_pq(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_twin(approx, exact, RECALL_FLOOR_PQ)
+
+
+# IVFPQ loses from BOTH levers (a truth row in an unprobed cell, a truth row
+# outside the ADC shortlist), so its floor sits at the IVF tier's, not PQ's.
+RECALL_FLOOR_IVFPQ = 0.3
+
+
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): IVF + PQ composed — the actual
+    Faiss IVFPQ index shape (Jégou et al. 2011 §V; non-residual encoding,
+    Faiss's ``by_residual=false`` configuration), built from the two halves
+    that already exist separately: the derived-width md5-anchor coarse
+    quantizer (:func:`_derive_ivf_cells` cells, the ``_ivf_assign`` law)
+    bounds WHICH vectors each query scans, and the per-subspace PQ codebooks
+    (:func:`_pq_codebooks`) bound the BYTES per scanned vector. One
+    Arrow-batched pass assigns each corpus vector its cell and its M-byte
+    code and emits ADC distances ONLY against the queries probing that cell
+    (queries × probe-sets ride the task closure — bounded coordinator
+    state, the anchor discipline); the shared PQ tail then shortlists and
+    exact-re-ranks. Rows-only check (trained codebooks aren't
+    SQL-expressible); the oracled value gate is
+    :func:`ann_topk_ivfpq_recall`, the IVF-kmeans/PQ discipline.
+
+    Scale shape — the index a 1e10-vector deployment runs: per query the
+    scan touches nprobe/k_cells of the corpus (4/16 at fixture floor,
+    64/65536 in a production config) and reads M bytes per touched vector,
+    not the 4 KB embedding; exact work is O(queries × shortlist). Against
+    the same fixture, plain PQ reads every code and plain IVF reads full
+    vectors in probed cells — this reads codes in probed cells only."""
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    empty = "query_id long, neighbor_id long, cos_sim double, rk int"
+    if books is None:
+        return spark.createDataFrame([], empty)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    anchors = _anchor_rows(spark, sf_dir, _derive_ivf_cells(n))
+    if not anchors:
+        return spark.createDataFrame([], empty)
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    qrows = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nrm").collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    d = len(qrows[0]["v"]) // PQ_M
+    # driver-side per-query state: the N_PROBE nearest cells (same rounded
+    # affinity + lowest-cid tiebreak as _ivf_assign) and the ADC tables
+    qdata, probes = [], {}
+    for r in qrows:
+        q = np.asarray(r["v"], dtype=np.float64)
+        aff = np.round((A @ q) / (an * r["nrm"]), COS_ROUND)
+        # stable argsort on (-aff, cid): lowest cid wins ties, like the SQL
+        order = np.lexsort((np.arange(len(aff)), -aff))
+        probes[r["vec_id"]] = set(int(c) for c in order[:N_PROBE])
+        u = q / r["nrm"]
+        dt = [[float(((books[m][j] - u[m * d:(m + 1) * d]) ** 2).sum())
+               for j in range(len(books[m]))] for m in range(PQ_M)]
+        qdata.append((r["vec_id"], r["v"], float(r["nrm"]), dt))
+    B = [np.asarray(b) for b in books]
+    DT = {qid: np.asarray(dt) for qid, _v, _n, dt in qdata}
+    qids = sorted(DT)
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cid = np.round((V @ A.T) / np.outer(nrm, an), COS_ROUND).argmax(1)
+            U = V / nrm[:, None]
+            codes = np.stack([
+                ((U[:, None, m * d:(m + 1) * d] - B[m][None, :, :]) ** 2)
+                .sum(-1).argmin(1)
+                for m in range(PQ_M)
+            ], axis=1)                                    # rows × M
+            ids = pdf["vec_id"].to_numpy()
+            out_v, out_q, out_d = [], [], []
+            for qid in qids:
+                mask = np.isin(cid, list(probes[qid]))    # probed cells only
+                if not mask.any():
+                    continue
+                ad = DT[qid][np.arange(PQ_M)[None, :], codes[mask]].sum(1)
+                out_v.append(ids[mask])
+                out_q.append(np.full(int(mask.sum()), qid))
+                out_d.append(ad)
+            if not out_v:
+                continue
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_v),
+                "query_id": np.concatenate(out_q),
+                "adist": np.concatenate(out_d),
+            })
+
+    adist = vecs.mapInPandas(adc, "vec_id long, query_id long, adist double") \
+        .where(F.col("vec_id") != F.col("query_id"))
+    return _pq_shortlist_rerank(spark, vecs, adist, n, qdata, k)
+
+
+def ann_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated recall of the composed IVFPQ search vs brute force."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_topk_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_twin(approx, exact, RECALL_FLOOR_IVFPQ)

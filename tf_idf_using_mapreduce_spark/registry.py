@@ -368,6 +368,12 @@ register("dedup_incremental_bloom_persisted_daily",
          _pers.dedup_incremental_bloom_persisted_daily,
          _dedup.dedup_incremental_bloom_oracle(_pers.INCR_DAILY_MOD))
 
+# -- round 14: IVFPQ — the two existing halves composed into the Faiss
+# index shape (cells bound the scan, codes bound the bytes); rows-only
+# main gated by the oracled recall twin, the PQ/IVF-kmeans discipline
+register("ann_topk_ivfpq", _sim.ann_topk_ivfpq)  # rows-only: value check = recall twin below
+register("ann_topk_ivfpq_recall", _sim.ann_topk_ivfpq_recall, _sim.ANN_RECALL_TWIN_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
