@@ -185,3 +185,101 @@ def test_overwrite_touches_only_target_partition(spark, tmp_path):
         assert got == {(1, 1.0), (2, 2.0), (3, 6.0), (4, 4.0), (5, 5.0), (6, 6.0)}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --------------------------------------------------------------------------- #
+# schema evolution (round 14)
+# --------------------------------------------------------------------------- #
+
+
+def test_schema_evolution_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_daily_schema_evolution")
+
+
+def test_schema_evolution_null_channel_shape(spark):
+    """Channel is populated for exactly the post-cut days plus the
+    backfilled day, NULL for all other history — per-day, from the table."""
+    rows = {r["event_date"]: r for r in
+            partitioned.events_daily_schema_evolution(spark, SF_SMOKE).collect()}
+    assert len(rows) == 30
+    for day, r in rows.items():
+        if day >= partitioned.EVO_DATE or day == partitioned.EVO_BACKFILL_DATE:
+            assert r["n_with_channel"] == r["n_events"], r
+            assert 0 < r["n_web"] < r["n_events"], r  # both channels occur
+        else:
+            assert r["n_with_channel"] == 0, r
+            assert r["n_web"] == 0, r
+
+
+def test_alter_add_columns_is_metadata_only_and_backfill_is_surgical(spark, tmp_path):
+    """The lifecycle's physical contract, measured: (1) ALTER TABLE ADD
+    COLUMNS rewrites NO files (every pre-cut directory identical by name AND
+    mtime), (2) appending post-cut days touches no pre-cut directory,
+    (3) the backfill rewrites exactly its own day."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        overwrite_day_partitions,
+    )
+    from tf_idf_using_mapreduce_spark.sources.corpus import table_location
+
+    name = "graft_test_evo_tbl"
+    rows = [(i, f"2024-01-{d:02d} 10:00:00", i * 1.0, "view", i)
+            for i, d in enumerate([3, 4, 5, 16, 17], start=1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double, event_type string,"
+              " user_id long"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "value",
+                 "event_type", "user_id", "to_date(ts) event_date")
+    pre = df.where(F.col("event_date") < "2024-01-16")
+    post = df.where(F.col("event_date") >= "2024-01-16")
+    (pre.repartition("event_date").write.mode("overwrite").format("parquet")
+     .partitionBy("event_date").saveAsTable(name))
+    try:
+        loc = table_location(spark, name)
+
+        def snapshot():
+            out = {}
+            for d in os.listdir(loc):
+                if not d.startswith("event_date="):
+                    continue
+                p = os.path.join(loc, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p) if not f.startswith(("_", "."))
+                )
+            return out
+
+        base = snapshot()
+        assert set(base) == {"event_date=2024-01-03", "event_date=2024-01-04",
+                             "event_date=2024-01-05"}
+        # (1) the ALTER is metadata-only
+        spark.sql(f"ALTER TABLE {name} ADD COLUMNS (channel STRING)")
+        assert snapshot() == base
+        # (2) appending post-cut days leaves every pre-cut dir untouched
+        (post.withColumn("channel", F.lit("web"))
+         .select(*spark.table(name).columns)
+         .write.mode("append").insertInto(name))
+        after_append = snapshot()
+        for d in base:
+            assert after_append[d] == base[d], d
+        assert "event_date=2024-01-16" in after_append
+        # old rows read back with NULL channel under the evolved schema
+        got = {(r["event_id"], r["channel"])
+               for r in spark.table(name).collect()}
+        assert (1, None) in got and (4, "web") in got
+        # (3) the backfill rewrites exactly its own day
+        backfill = (pre.where(F.col("event_date") == "2024-01-04")
+                    .withColumn("channel", F.lit("app")))
+        overwrite_day_partitions(spark, name, backfill)
+        after_backfill = snapshot()
+        for d in ("event_date=2024-01-03", "event_date=2024-01-05",
+                  "event_date=2024-01-16", "event_date=2024-01-17"):
+            assert after_backfill[d] == after_append[d], d
+        assert after_backfill["event_date=2024-01-04"] != \
+            after_append["event_date=2024-01-04"]
+        got = {(r["event_id"], r["channel"])
+               for r in spark.table(name).collect()}
+        assert (2, "app") in got and (1, None) in got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -248,3 +248,124 @@ FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '{PART_DATE_LO}' AND DATE '{PART_DATE_HI}'
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------- #
+# schema evolution: ADD COLUMNS on a partitioned fact — the remaining lake
+# maintenance primitive after overwrite + compaction (r13 verdict #5)
+# --------------------------------------------------------------------------- #
+
+# the schema cut: days before this were ingested WITHOUT the ``channel``
+# column; days from this one on carry it
+EVO_DATE = "2024-01-16"
+# the one historical day backfilled WITH the new column after the evolution
+# (via the same dynamic-partition-overwrite surgery as the correction tier)
+EVO_BACKFILL_DATE = "2024-01-05"
+
+
+def _channel_col():
+    """The evolved column's derivation — deterministic from row data so the
+    oracle can replay it as a CASE on the pristine view. A NULL user_id
+    falls to 'app' on both engines (NULL % 2 = 0 is NULL → otherwise/ELSE)."""
+    return (
+        F.when(F.col("user_id") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("app"))
+    )
+
+
+def _evolved_expr(fact: DataFrame) -> DataFrame:
+    """The evolved table as a plain expression (the in-plan fallback and the
+    oracle's CASE): channel exists for post-cut days and the backfilled day,
+    NULL for every other historical day."""
+    return fact.withColumn(
+        "channel",
+        F.when(
+            (F.col("event_date") >= EVO_DATE)
+            | (F.col("event_date") == EVO_BACKFILL_DATE),
+            _channel_col(),
+        ),
+    )
+
+
+def _events_fact_evolved(spark: SparkSession, sf_dir: str):
+    """The partitioned fact across a SCHEMA CUT, built once per corpus
+    identity: (1) pre-cut days land under the original schema, (2)
+    ``ALTER TABLE ... ADD COLUMNS (channel STRING)`` evolves the table —
+    metadata only, ZERO files rewritten (the surgical assertion in the
+    tests snapshots every pre-cut directory's files + mtimes across the
+    ALTER and the append), (3) post-cut days append WITH the column, (4)
+    one historical day is backfilled through the existing
+    :func:`overwrite_day_partitions` surgery. Readers see NULL channel for
+    un-backfilled history — parquet's missing-column semantics under the
+    evolved table schema, the exact contract a 100 TB lake relies on to
+    add a column without a table rewrite."""
+
+    def writer(df: DataFrame, name: str) -> None:
+        is_post = F.coalesce(F.col("event_date") >= EVO_DATE, F.lit(False))
+        (df.where(~is_post)
+         .repartition("event_date")
+         .write.mode("overwrite").format("parquet")
+         .partitionBy("event_date").saveAsTable(name))
+        spark.sql(f"ALTER TABLE {name} ADD COLUMNS (channel STRING)")
+        (df.where(is_post).withColumn("channel", _channel_col())
+         .select(*spark.table(name).columns)
+         .repartition("event_date")
+         .write.mode("append").insertInto(name))
+        backfill = (
+            df.where(F.col("event_date") == EVO_BACKFILL_DATE)
+            .withColumn("channel", _channel_col())
+        )
+        overwrite_day_partitions(spark, name, backfill)
+
+    return _ensure_index(spark, sf_dir, "events_by_date_evo",
+                         lambda: _fact_df(spark, sf_dir),
+                         source_table="events.parquet", writer=writer)
+
+
+def events_daily_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_date, n_events, n_with_channel, n_web): per-day audit of the
+    fact table across the schema cut — row counts are unchanged by the
+    evolution (the ALTER moved no data), ``channel`` is populated for
+    post-cut days and the backfilled day and NULL elsewhere, and the
+    populated days split web/app by the derivation. The oracle replays the
+    whole lifecycle as a CASE on the pristine events view, so the green row
+    proves ADD COLUMNS + append + backfill produced exactly the rows a
+    from-scratch build would."""
+    name = _events_fact_evolved(spark, sf_dir)
+    fact = (spark.table(name) if name is not None
+            else _evolved_expr(_fact_df(spark, sf_dir)))
+    return (
+        fact.where(F.col("event_date").isNotNull())
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("channel").alias("n_with_channel"),
+            F.coalesce(
+                F.sum(F.when(F.col("channel") == "web", 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_web"),
+        )
+    )
+
+
+EVENTS_DAILY_SCHEMA_EVOLUTION_ORACLE = f"""
+WITH fact AS (
+  SELECT CAST(ts AS DATE) AS event_date, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+evolved AS (
+  SELECT event_date,
+         CASE WHEN event_date >= DATE '{EVO_DATE}'
+                OR event_date = DATE '{EVO_BACKFILL_DATE}'
+              THEN (CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END)
+         END AS channel
+  FROM fact
+)
+SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+       count(*) AS n_events,
+       count(channel) AS n_with_channel,
+       CAST(coalesce(sum(CASE WHEN channel = 'web' THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_web
+FROM evolved
+GROUP BY 1
+"""

@@ -374,6 +374,12 @@ register("dedup_incremental_bloom_persisted_daily",
 register("ann_topk_ivfpq", _sim.ann_topk_ivfpq)  # rows-only: value check = recall twin below
 register("ann_topk_ivfpq_recall", _sim.ann_topk_ivfpq_recall, _sim.ANN_RECALL_TWIN_ORACLE)
 
+# -- round 14: schema evolution on the partitioned fact — ADD COLUMNS +
+# append-with-column + one-day backfill, audited against a CASE replay on
+# the pristine view (r13 verdict #5)
+register("events_daily_schema_evolution", _part.events_daily_schema_evolution,
+         _part.EVENTS_DAILY_SCHEMA_EVOLUTION_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
