@@ -452,3 +452,127 @@ def test_documents_stream_chunk_dedup_matches_batch(spark):
 
 def test_documents_stream_chunk_dedup_oracle_parity(spark):
     assert_query_matches_oracle(spark, "documents_stream_chunk_dedup")
+
+
+def test_partitioned_file_sink_exactly_once_across_kill_and_restart(spark, tmp_path):
+    """Round-13 verdict #3: the partitioned FILE sink (the production
+    ingest path) killed between microbatch boundaries and restarted on the
+    same checkpoint must end exactly-once: (a) no drained file reprocessed
+    (offset-log replay protection), (b) the read-back — which goes through
+    the sink's ``_spark_metadata`` commit log, so files from uncommitted
+    batches are invisible — holds every source row exactly once, across
+    the correct ``event_date=`` directories, (c) the day-window rollup
+    over the recovered sink is value-identical to the batch rollup over
+    everything ingested (the same shared expression the oracle gates)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        daily_window_rollup,
+    )
+
+    land = str(tmp_path / "landing")
+    _os.makedirs(land)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).selectExpr("event_id", "cast(ts as timestamp) ts", "event_type",
+                     "value").coalesce(1).write.mode("overwrite") \
+            .parquet(f"{land}/{name}")
+
+    # four arrival files, 12 rows, days inside AND outside the rollup window
+    write_file("f1", [(1, "2024-01-08 10:00:00", "view", 1.5),
+                      (2, "2024-01-08 11:00:00", "click", 2.5),
+                      (3, "2024-01-02 09:00:00", "view", 3.0)])
+    write_file("f2", [(4, "2024-01-10 10:30:00", "view", 4.0),
+                      (5, "2024-01-10 10:45:00", "purchase", 5.5),
+                      (6, "2024-01-14 23:00:00", "click", 6.0)])
+    write_file("f3", [(7, "2024-01-14 23:30:00", "view", 7.0),
+                      (8, "2024-01-20 08:00:00", "view", 8.0),
+                      (9, "2024-01-08 12:00:00", "click", 9.0)])
+
+    sink = str(tmp_path / "sink")
+
+    def start(ckpt):
+        stream = (
+            spark.readStream
+            .schema("event_id long, ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)  # one microbatch per file
+            .parquet(land + "/*")
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_date")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: kill as soon as the FIRST microbatch commits, while input
+    # remains — retry with fresh checkpoint AND sink until the kill really
+    # lands mid-stream (stop() races the sub-second later batches)
+    rows_run1, ck = 9, None
+    for attempt in range(5):
+        ck = str(tmp_path / f"ck{attempt}")
+        if _os.path.isdir(sink):
+            import shutil
+            shutil.rmtree(sink)
+        q1 = start(ck)
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q1.lastProgress is not None or not q1.isActive:
+                break
+            _time.sleep(0.01)
+        q1.stop()
+        q1.awaitTermination(60)
+        rows_run1 = sum(p["numInputRows"] for p in q1.recentProgress)
+        if 0 < rows_run1 < 9:
+            break
+    assert 0 < rows_run1 < 9, "kill must land mid-stream, before the full drain"
+
+    # a fourth file lands while the pipeline is down
+    write_file("f4", [(10, "2024-01-10 11:00:00", "view", 10.0),
+                      (11, "2024-01-29 10:00:00", "click", 11.0)])
+
+    # run 2: same checkpoint, same sink — must drain only the rest
+    q2 = start(ck)
+    q2.awaitTermination(120)
+    deadline = _time.time() + 60
+    while q2.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    assert not q2.isActive
+    rows_run2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    # (a) exactly-once ingest: every row processed once, none twice
+    assert rows_run1 + rows_run2 == 11
+
+    # (b) the committed read-back holds every source row exactly once
+    got = sorted(
+        (r["event_id"], r["event_type"], r["value"],
+         str(r["event_date"]))
+        for r in spark.read.schema(
+            "ts timestamp, event_type string, value double,"
+            " event_id long, event_date date").parquet(sink).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["event_type"], r["value"], str(F_date))
+        for r in spark.read.parquet(land + "/*").collect()
+        for F_date in [r["ts"].date()]
+    )
+    assert got == want
+    dirs = sorted(d for d in _os.listdir(sink) if d.startswith("event_date="))
+    assert "event_date=2024-01-08" in dirs and "event_date=2024-01-29" in dirs
+
+    # (c) the windowed rollup over the recovered sink == the batch rollup
+    fact = spark.read.schema(
+        "ts timestamp, event_type string, value double, event_id long,"
+        " event_date date").parquet(sink)
+    batch = spark.read.parquet(land + "/*").withColumn(
+        "event_date", F.to_date("ts"))
+    assert sorted(map(tuple, daily_window_rollup(fact).collect())) == \
+        sorted(map(tuple, daily_window_rollup(batch).collect()))
