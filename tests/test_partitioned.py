@@ -283,3 +283,103 @@ def test_alter_add_columns_is_metadata_only_and_backfill_is_surgical(spark, tmp_
         assert (2, "app") in got and (1, None) in got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --------------------------------------------------------------------------- #
+# CDC MERGE (round 14)
+# --------------------------------------------------------------------------- #
+
+
+def test_merge_upsert_matches_oracle(spark):
+    assert_query_matches_oracle(spark, "events_daily_merge_upsert")
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """The merge's physical contract: partitions outside the change batch
+    keep their exact files (names AND mtimes); touched partitions are
+    rewritten with survivors + upserts − deletes; a partition whose every
+    row the batch deletes disappears entirely (the dynamic-overwrite
+    pitfall handled via partition DDL)."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        merge_into_partitions,
+    )
+    from tf_idf_using_mapreduce_spark.sources.corpus import table_location
+
+    name = "graft_test_merge_tbl"
+    rows = [(1, "2024-01-03", "view", 1.0), (2, "2024-01-03", "click", 2.0),
+            (3, "2024-01-04", "view", 3.0), (4, "2024-01-04", "view", 4.0),
+            (5, "2024-01-05", "click", 5.0),
+            (6, "2024-01-06", "view", 6.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, day string, event_type string, value double"
+    ).selectExpr("event_id", "event_type", "value",
+                 "cast(day as date) event_date")
+    (df.repartition("event_date").write.mode("overwrite").format("parquet")
+     .partitionBy("event_date").saveAsTable(name))
+    try:
+        loc = table_location(spark, name)
+
+        def snapshot():
+            out = {}
+            for d in os.listdir(loc):
+                if not d.startswith("event_date="):
+                    continue
+                p = os.path.join(loc, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p) if not f.startswith(("_", "."))
+                )
+            return out
+
+        before = snapshot()
+        # batch: update id 3 (day 04), delete id 4 (day 04), insert id 99
+        # (day 04), delete id 5 — day 05's ONLY row; days 03/06 untouched
+        changes = spark.createDataFrame(
+            [(3, "view", 30.0, "2024-01-04", "U"),
+             (4, "view", 4.0, "2024-01-04", "D"),
+             (99, "click", 99.0, "2024-01-04", "I"),
+             (5, "click", 5.0, "2024-01-05", "D")],
+            "event_id long, event_type string, value double, day string,"
+            " _op string",
+        ).selectExpr("event_id", "event_type", "value",
+                     "cast(day as date) event_date", "_op")
+        merge_into_partitions(spark, name, changes, ["event_id"], "event_date")
+        after = snapshot()
+        for d in ("event_date=2024-01-03", "event_date=2024-01-06"):
+            assert after[d] == before[d], d
+        assert after["event_date=2024-01-04"] != before["event_date=2024-01-04"]
+        assert "event_date=2024-01-05" not in after  # fully-deleted partition
+        got = {(r["event_id"], r["value"]) for r in spark.table(name).collect()}
+        assert got == {(1, 1.0), (2, 2.0), (3, 30.0), (99, 99.0), (6, 6.0)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_merge_plan_broadcasts_change_keys_and_prunes_base(spark, tmp_path):
+    """The merge read side: the base scan is partition-pruned to the
+    affected days and the change-key anti-join broadcasts the SMALL side —
+    the base is never reshuffled."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from tf_idf_using_mapreduce_spark.operators import persisted
+
+    # build via the registered route on the smoke corpus
+    partitioned.events_daily_merge_upsert(spark, SF_SMOKE).collect()
+    name = next(n for n in persisted._BUILT
+                if n.startswith("graft_idx_events_by_date_merged_"))
+    base = spark.table(name).where(
+        F.dayofmonth("event_date").isin(*partitioned.MERGE_DAYS))
+    keys = spark.range(5).selectExpr("id as event_id")
+    j = base.join(F.broadcast(keys), "event_id", "left_anti")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert not _re.search(r"hashpartitioning\(event_id#", plan), plan
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "events_by_date_merged" in l)
+    m = _re.search(r"InMemoryFileIndex\((\d+) paths\)", scan)
+    assert m and int(m.group(1)) == 3, scan  # 3 of the 30 day dirs

@@ -576,3 +576,22 @@ def test_partitioned_file_sink_exactly_once_across_kill_and_restart(spark, tmp_p
         "event_date", F.to_date("ts"))
     assert sorted(map(tuple, daily_window_rollup(fact).collect())) == \
         sorted(map(tuple, daily_window_rollup(batch).collect()))
+
+
+def test_stream_cdc_upsert_matches_batch_merge_and_oracle(spark):
+    """The foreachBatch CDC ingest ends in EXACTLY the state the batch
+    merge produces (same change feed, microbatch-split), and both pass the
+    same oracle."""
+    from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        events_daily_merge_upsert,
+    )
+    from tf_idf_using_mapreduce_spark.streaming.events import (
+        events_stream_cdc_upsert,
+    )
+
+    got = sorted(map(tuple, events_stream_cdc_upsert(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple, events_daily_merge_upsert(spark, SF_SMOKE).collect()))
+    assert got == want and got
+    assert_query_matches_oracle(spark, "events_stream_cdc_upsert")

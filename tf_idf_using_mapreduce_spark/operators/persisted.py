@@ -14,18 +14,23 @@ scale levers the in-memory form cannot express:
 
 (a) **bucket pruning**: each index row carries a derived bucket key ``bb``
     (``pmod(xxhash64(join key), n_bb)``) and the table is bucketed on it.
-    Both the key space and the physical bucket count follow a DERIVED LAW
-    over the corpus size (:func:`_derive_bb_space` — fixed constants stop
-    pruning once the batch covers the keyspace, the r13 sf10 boundary).
     The batch's DISTINCT ``bb`` values — at most min(n_bb, batch keys),
     metadata-scale BY CONSTRUCTION, the IVF-anchor collect discipline —
     push into the scan as an ``isin`` filter, so Spark plans only the
     buckets the batch can possibly match (``SelectedBucketsCount: x out of
     N`` in the scan node; tests/test_persisted.py asserts x < N and
-    measures file-level disjointness of ``bb`` with pyarrow; the round-14
-    evidence measures x < N at sf10 in the daily-batch regime). At 100 TB
-    with thousands of buckets this is the difference between a daily probe
-    that touches GBs and one that re-reads the whole historical index.
+    measures file-level disjointness of ``bb`` with pyarrow). The key
+    space is sized to the PROBE REGIME (r14, closing the r13 "16 out of
+    16" boundary): the sub-percent DAILY probe derives it from corpus size
+    (:func:`_derive_bb_space`) so the skipped fraction holds at scale —
+    measured at sf10: 817/4096 selected, 80% skipped — while the 20%
+    fixture twins keep the floor layout, because a batch that covers any
+    keyspace by construction gains nothing from more buckets (measured,
+    same session: the derived space cost them 3955/4096 selected and a
+    24x decade — both configurations recorded in r14_evidence.json). At
+    100 TB with thousands of buckets this is the difference between a
+    daily probe that touches GBs and one that re-reads the whole
+    historical index.
 
 (b) **broadcast probe into the pruned scan**: the batch side broadcasts into
     the surviving buckets — the index is never hash-partitioned on its join
@@ -66,15 +71,14 @@ from tf_idf_using_mapreduce_spark.operators.dedup import (
 from tf_idf_using_mapreduce_spark.operators.similarity import _corpus_signature
 from tf_idf_using_mapreduce_spark.sources.corpus import write_bucketed_table
 
-# bucket-key space and physical bucket count FLOORS. ``bb`` takes n_bb
-# distinct values; the writer hashes them into n_buckets files. Both are
-# DERIVED from the corpus size (``_derive_bb_space`` — the r8 derived-law
-# pattern, r13 verdict #1): a fixed keyspace stops pruning the moment the
-# batch's distinct keys cover it, which at sf10 it did (the measured
-# ``16 out of 16`` boundary). With the law, the keyspace grows with the
-# index while a daily batch stays sub-percent of it, so the skipped
-# fraction RETURNS at scale — measured at sf10 in the round-14 evidence,
-# not argued from prose.
+# bucket-key space and physical bucket count: the FLOOR layout (used by the
+# 20% fixture twins) and the bounds of the corpus-derived law
+# (``_derive_bb_space`` — the r8 derived-law pattern, r13 verdict #1) the
+# DAILY-regime probe uses. A fixed keyspace stops pruning the moment the
+# batch's distinct keys cover it (the measured r13 ``16 out of 16``
+# boundary); the law keeps the daily batch sub-percent of the keyspace at
+# every scale — and the regime SPLIT is itself measured, not assumed (see
+# _bloom_persisted_report's docstring and r14_evidence.json).
 N_BB_VALUES = 64
 N_INDEX_BUCKETS = 16
 MAX_INDEX_BUCKETS = 8192
@@ -214,25 +218,44 @@ def _ensure_index(spark: SparkSession, sf_dir: str, kind: str, build,
 
 
 def _pruned_scan(spark: SparkSession, name: str | None, build,
-                 probe_bbs: list[int]) -> DataFrame:
+                 probe_bbs: list[int],
+                 n_values: int = N_BB_VALUES) -> DataFrame:
     """The persisted index scan restricted to the probe's bucket keys — the
     ``isin`` pushes into the bucketed scan as bucket pruning. Falls back to
-    the in-plan index when persistence was skipped (unknown identity)."""
+    the in-plan index when persistence was skipped (unknown identity).
+
+    ADAPTIVE (r14 evidence): when the probe's distinct keys cover most of
+    the key space (> half), the filter cannot skip meaningfully — it only
+    adds a giant ``InSet`` the scan evaluates per row — so the scan runs
+    unfiltered instead. A production optimizer makes the same call from
+    NDV stats; measured here: the 20% fixture batch at sf10 selected
+    3955 of 4096 buckets through a 16k-literal isin, all cost, no skip."""
     idx = spark.table(name) if name is not None else build()
     if not probe_bbs:
         return idx.where(F.lit(False))  # empty batch probes nothing
+    if len(probe_bbs) * 2 > n_values:
+        return idx
     return idx.where(F.col("bb").isin(probe_bbs))
 
 
 def _bloom_persisted_report(spark: SparkSession, sf_dir: str,
-                            batch_mod: int, kind_suffix: str) -> DataFrame:
+                            batch_mod: int, kind_suffix: str,
+                            derive_space: bool = False) -> DataFrame:
     """The persisted-bloom exact-dedup report for an arbitrary batch split —
     shared by the 20% fixture twin and the sub-percent daily-regime probe.
-    Bucket-key space and physical bucket count come from
-    :func:`_derive_bb_space`, so the keyspace grows with the corpus and the
-    batch's distinct-``bb`` ``isin`` keeps selecting a small fraction of
-    the buckets at every scale (the r13 ``16 out of 16`` fix)."""
-    n_bb, n_bk = _derive_bb_space(sf_dir)
+
+    ``derive_space`` sizes the bucket-key space to the corpus
+    (:func:`_derive_bb_space`) — the DAILY regime's configuration, where the
+    batch's distinct-``bb`` set stays far under the keyspace and the
+    ``isin`` skips most buckets at every scale (measured at sf10:
+    817/4096 selected, 80% skipped). The 20% fixture twin keeps the FLOOR
+    layout instead: its batch covers any keyspace by construction, so a
+    corpus-derived space buys no skip and pays per-bucket overhead — the
+    r14 evidence measured exactly that misconfiguration (3955/4096
+    selected, 24x decade) before this split; bucket count must be sized to
+    the probe regime, not the corpus alone."""
+    n_bb, n_bk = (_derive_bb_space(sf_dir) if derive_space
+                  else (N_BB_VALUES, N_INDEX_BUCKETS))
     occ_name = _ensure_index(
         spark, sf_dir, f"bloomocc{kind_suffix}",
         lambda: _bloom_split_and_prune(spark, sf_dir, batch_mod=batch_mod)[2],
@@ -253,7 +276,8 @@ def _bloom_persisted_report(spark: SparkSession, sf_dir: str,
         .localCheckpoint(eager=False)
     bbs = sorted(r[0] for r in pr.select("bb").distinct().collect())
     idx_scan = _pruned_scan(
-        spark, name, lambda: idx.withColumn("bb", _bb("h", n_values=n_bb)), bbs
+        spark, name, lambda: idx.withColumn("bb", _bb("h", n_values=n_bb)),
+        bbs, n_values=n_bb,
     )
     matches = (
         idx_scan.select(F.col("doc_id").alias("dup_of"), "h")
@@ -294,7 +318,8 @@ def dedup_incremental_bloom_persisted_daily(spark: SparkSession,
     x < N — the skipped fraction measured, not argued (r13 verdict #1).
     The 20% fixture twin keeps pruning honest at test SF; this one keeps it
     honest at scale."""
-    return _bloom_persisted_report(spark, sf_dir, INCR_DAILY_MOD, "_daily")
+    return _bloom_persisted_report(spark, sf_dir, INCR_DAILY_MOD, "_daily",
+                                   derive_space=True)
 
 
 def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,7 +330,6 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures map-side (the index side's signatures are NOT recomputed —
     that is the point), one bounded bucket-key collect, a broadcast band
     probe against the selected buckets, then the confirm joins."""
-    n_bb, n_bk = _derive_bb_space(sf_dir)
     sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
     is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
 
@@ -314,13 +338,13 @@ def dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             _lsh_band_table(minhash_signatures(sets.where(~is_new))),
             ["band", "band_sig"], LSH_BUCKET_CAP,
         )
-        return idx_bands.withColumn("bb", _bb("band", "band_sig", n_values=n_bb))
+        return idx_bands.withColumn("bb", _bb("band", "band_sig"))
 
-    name = _ensure_index(spark, sf_dir, "band", build, n_buckets=n_bk)
+    name = _ensure_index(spark, sf_dir, "band", build)
     new_bands = (
         _lsh_band_table(minhash_signatures(sets.where(is_new)))
         .withColumnRenamed("doc_id", "new_id")
-        .withColumn("bb", _bb("band", "band_sig", n_values=n_bb))
+        .withColumn("bb", _bb("band", "band_sig"))
         .localCheckpoint(eager=False)
     )
     bbs = sorted(r[0] for r in new_bands.select("bb").distinct().collect())
@@ -363,7 +387,6 @@ def dedup_image_phash_incremental_persisted(spark: SparkSession, sf_dir: str) ->
     )
     from tf_idf_using_mapreduce_spark.sources.corpus import load_table, spread
 
-    n_bb, n_bk = _derive_bb_space(sf_dir)
     docs = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         bytes_per_partition=128 * 1024,
@@ -375,9 +398,9 @@ def dedup_image_phash_incremental_persisted(spark: SparkSession, sf_dir: str) ->
             phash_banded(image_phash_df(docs.where(~is_new))),
             ["band", "bkey"], LSH_BUCKET_CAP,
         )
-        return idx_bands.withColumn("bb", _bb("band", "bkey", n_values=n_bb))
+        return idx_bands.withColumn("bb", _bb("band", "bkey"))
 
-    name = _ensure_index(spark, sf_dir, "phband", build, n_buckets=n_bk)
+    name = _ensure_index(spark, sf_dir, "phband", build)
     new_bands = (
         phash_banded(image_phash_df(docs.where(is_new)))
         .select(
@@ -385,7 +408,7 @@ def dedup_image_phash_incremental_persisted(spark: SparkSession, sf_dir: str) ->
             F.col("ph_hi").alias("hi_n"), F.col("ph_lo").alias("lo_n"),
             "band", "bkey",
         )
-        .withColumn("bb", _bb("band", "bkey", n_values=n_bb))
+        .withColumn("bb", _bb("band", "bkey"))
         .localCheckpoint(eager=False)
     )
     bbs = sorted(r[0] for r in new_bands.select("bb").distinct().collect())

@@ -1617,6 +1617,18 @@ def ann_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVFPQ loses from BOTH levers (a truth row in an unprobed cell, a truth row
 # outside the ADC shortlist), so its floor sits at the IVF tier's, not PQ's.
 RECALL_FLOOR_IVFPQ = 0.3
+# probe 1/IVFPQ_COVERAGE_DIV of the cells: nprobe must TRACK the derived
+# cell count (r14 evidence: fixed nprobe=4 against _derive_ivf_cells'
+# growing quantizer collapsed recall to 0.16/0.02 at the 10x/100x decades —
+# coverage 4/160 then 4/1600). A constant coverage fraction keeps the
+# per-query candidate bound at n/IVFPQ_COVERAGE_DIV at every scale; a
+# clustered production embedding space tunes coverage DOWN from there (the
+# standard nprobe knob), the isotropic synthetic decades are the worst case.
+IVFPQ_COVERAGE_DIV = 4
+
+
+def _derive_ivfpq_nprobe(n_cells: int) -> int:
+    return max(N_PROBE, -(-n_cells // IVFPQ_COVERAGE_DIV))
 
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -1636,11 +1648,16 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     :func:`ann_topk_ivfpq_recall`, the IVF-kmeans/PQ discipline.
 
     Scale shape — the index a 1e10-vector deployment runs: per query the
-    scan touches nprobe/k_cells of the corpus (4/16 at fixture floor,
-    64/65536 in a production config) and reads M bytes per touched vector,
-    not the 4 KB embedding; exact work is O(queries × shortlist). Against
-    the same fixture, plain PQ reads every code and plain IVF reads full
-    vectors in probed cells — this reads codes in probed cells only."""
+    scan touches nprobe/k_cells of the corpus — nprobe DERIVED with the
+    cell count (:func:`_derive_ivfpq_nprobe`, constant 1/4 coverage: the
+    r14 decade measured fixed-nprobe recall collapsing as the quantizer
+    grew) — and reads M bytes per touched vector, not the 4 KB embedding;
+    exact work is O(queries × shortlist). A clustered real embedding space
+    tunes coverage far below 1/4 (64/65536-style configs); the isotropic
+    synthetic decades are ANN's worst case and bound recall by coverage.
+    Against the same fixture, plain PQ reads every code and plain IVF
+    reads full vectors in probed cells — this reads codes in probed cells
+    only."""
     import numpy as np
 
     books = _pq_codebooks(spark, sf_dir)
@@ -1661,15 +1678,17 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     if not qrows:
         return spark.createDataFrame([], empty)
     d = len(qrows[0]["v"]) // PQ_M
-    # driver-side per-query state: the N_PROBE nearest cells (same rounded
-    # affinity + lowest-cid tiebreak as _ivf_assign) and the ADC tables
+    # driver-side per-query state: the derived-nprobe nearest cells (same
+    # rounded affinity + lowest-cid tiebreak as _ivf_assign) and the ADC
+    # tables
+    nprobe = _derive_ivfpq_nprobe(len(anchors))
     qdata, probes = [], {}
     for r in qrows:
         q = np.asarray(r["v"], dtype=np.float64)
         aff = np.round((A @ q) / (an * r["nrm"]), COS_ROUND)
         # stable argsort on (-aff, cid): lowest cid wins ties, like the SQL
         order = np.lexsort((np.arange(len(aff)), -aff))
-        probes[r["vec_id"]] = set(int(c) for c in order[:N_PROBE])
+        probes[r["vec_id"]] = set(int(c) for c in order[:nprobe])
         u = q / r["nrm"]
         dt = [[float(((books[m][j] - u[m * d:(m + 1) * d]) ** 2).sum())
                for j in range(len(books[m]))] for m in range(PQ_M)]

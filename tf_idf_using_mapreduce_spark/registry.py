@@ -380,6 +380,15 @@ register("ann_topk_ivfpq_recall", _sim.ann_topk_ivfpq_recall, _sim.ANN_RECALL_TW
 register("events_daily_schema_evolution", _part.events_daily_schema_evolution,
          _part.EVENTS_DAILY_SCHEMA_EVOLUTION_ORACLE)
 
+# -- round 14: CDC MERGE (upsert/delete/insert) into the partitioned fact —
+# partition-granular rewrite, oracled against a CASE/filter/union replay
+register("events_daily_merge_upsert", _part.events_daily_merge_upsert,
+         _part.EVENTS_DAILY_MERGE_UPSERT_ORACLE)
+# the same change feed ingested as a STREAM (foreachBatch merge per
+# microbatch) — end state identical, so the batch oracle gates it
+register("events_stream_cdc_upsert", _stream.events_stream_cdc_upsert,
+         _part.EVENTS_DAILY_MERGE_UPSERT_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------

@@ -513,3 +513,111 @@ def events_stream_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFra
 # (path, corpus signature) -> landed sink dir for the streamed partitioned
 # layout; session-lifetime, one live sink per corpus path
 _STREAM_SINK_MEMO: dict[tuple, str] = {}
+
+
+def run_stream_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint: str,
+                             timeout_s: int = 120,
+                             state_partitions: int | None = STATE_PARTITIONS) -> None:
+    """Drive a finite stream to completion through ``foreachBatch`` — the
+    escape hatch for sinks Structured Streaming has no native writer for
+    (MERGE into a table, multi-table transactions, JDBC upserts).
+    ``batch_fn(batch_df, batch_id)`` runs on the DRIVER once per microbatch
+    with a BATCH DataFrame. Exactly-once is the composition contract: the
+    checkpoint's offset log guarantees each microbatch is delivered at
+    least once ACROSS restarts, so ``batch_fn`` must be idempotent per
+    batch (a keyed MERGE is; a blind append is not) — the standard
+    foreachBatch discipline. Same start-before-await hang deadline as the
+    other runners."""
+    spark = stream_df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        deadline = time.time() + timeout_s
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"foreachBatch stream still active after {timeout_s}s; "
+                "sink state is partial — refusing to return it"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def events_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, min_event_id, sum_value): CDC INGEST — the
+    fixture change feed (updates / deletes / inserts,
+    ``operators/partitioned._merge_change_batch``) lands as a STREAM, split
+    across microbatches (``maxFilesPerTrigger=1``), and each microbatch is
+    MERGED into the date-partitioned fact via ``foreachBatch`` +
+    ``merge_into_partitions`` — the architecture a 100 TB lake runs to keep
+    a queryable table in sync with an upstream CDC topic. The keyed merge
+    is idempotent per batch (update = f(pristine row), delete by key,
+    insert by novel key), which is exactly what makes the
+    at-least-once-per-microbatch replay of a recovered stream safe. End
+    state is the SAME table the batch merge produces, so this registers
+    under the SAME oracle (``EVENTS_DAILY_MERGE_UPSERT_ORACLE``) — the
+    events_stream_daily_partitioned twin discipline. Built once per corpus
+    identity (the stream runs on first call; repeats read the merged
+    table)."""
+    import tempfile
+
+    from tf_idf_using_mapreduce_spark.operators.partitioned import (
+        _fact_df,
+        _merge_change_batch,
+        _sum_value,
+        merge_into_partitions,
+    )
+    from tf_idf_using_mapreduce_spark.operators.persisted import _ensure_index
+
+    def writer(df: DataFrame, name: str) -> None:
+        (df.repartition("event_date")
+         .write.mode("overwrite").format("parquet")
+         .partitionBy("event_date").saveAsTable(name))
+        work = tempfile.mkdtemp(prefix="graft_cdc_")
+        landing = os.path.join(work, "landing")
+        changes = _merge_change_batch(df)
+        # the change feed lands as 3 files -> 3 microbatches; schema comes
+        # from the expression, never inferred (an EMPTY feed writes no data
+        # files, and inference over a bare _SUCCESS dir raises)
+        changes.repartition(3).write.mode("overwrite").parquet(landing)
+        feed = (
+            spark.readStream
+            .schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        run_stream_foreach_batch(
+            feed,
+            lambda batch_df, _bid: merge_into_partitions(
+                spark, name, batch_df, ["event_id"], "event_date"),
+            checkpoint=os.path.join(work, "ck"),
+        )
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+    name = _ensure_index(spark, sf_dir, "events_by_date_cdcstream",
+                         lambda: _fact_df(spark, sf_dir),
+                         source_table="events.parquet", writer=writer)
+    from tf_idf_using_mapreduce_spark.operators.partitioned import _merged_expr
+
+    fact = (spark.table(name) if name is not None
+            else _merged_expr(_fact_df(spark, sf_dir)))
+    return (
+        fact.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            _sum_value(),
+        )
+    )

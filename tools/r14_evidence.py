@@ -1,0 +1,165 @@
+"""Round-14 measurement session (r13 verdict items 1, 4, 6), one quiet
+sequential Spark session, three sections:
+
+1. BUCKET PRUNING AT SF10 — the r13 boundary closed: the daily-regime
+   persisted probe (``dedup_incremental_bloom_persisted_daily``, ~0.5%
+   batch) against the derived-law bucket space at 100x documents, with the
+   executed plan's ``SelectedBucketsCount: x out of N`` recorded — x < N is
+   the claim, measured, plus the no-reshuffle/broadcast-probe re-asserts.
+   The 20% fixture twin is measured alongside for contrast (its batch
+   covers the keyspace by design — the r13 finding — which is exactly why
+   the daily regime is the one that matters).
+
+2. DECADES — sf1.0 -> sf10 rows for every round-14 operator: the daily
+   persisted probe and schema evolution on the 10x/100x key-shifted
+   corpora (docs / events machinery from tools/sf10_spot.py and
+   tools/r13_evidence.py), and the PQ pair + IVFPQ on 10x/100x embeddings
+   corpora (copy 0 verbatim, copies k>0 fresh unit gaussians — the
+   make_sf1 law, so dup structure and neighbor structure stay honest).
+   Write-once state (persisted indexes, partitioned tables, codebook/anchor
+   memos) builds during the warm pass; min-of-3 then measures the PROBE.
+
+3. RECALL AT SCALE — the PQ and IVFPQ recall twins evaluated at sf1.0 AND
+   sf10 embeddings (r13 verdict #6: the size-derived shortlist law
+   ``max(50, 5%*n)`` earns its decade): measured recall fraction recorded,
+   floor compliance asserted from the twin's own recall_ok flag.
+
+Usage: python tools/r14_evidence.py  (writes r14_evidence.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from tools import make_sf1
+from tools.r13_evidence import _gen_events, _measure
+from tools.sf10_spot import _gen_docs
+
+DOCS_DECADE = [
+    "dedup_incremental_bloom_persisted_daily",
+    "dedup_incremental_bloom_persisted",
+]
+
+EVENTS_DECADE = [
+    "events_daily_schema_evolution",
+]
+
+EMB_DECADE = [
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+]
+
+
+def _gen_emb(dst: str, copies: int) -> None:
+    """Embeddings-only 10x/100x corpora (make_sf1's copy law, one table)."""
+    if os.path.isfile(os.path.join(dst, "embeddings.parquet")):
+        return
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    old_dst = make_sf1.DST
+    make_sf1.DST = dst
+    try:
+        make_sf1._embeddings(con, copies)
+    finally:
+        make_sf1.DST = old_dst
+    con.close()
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d_docs1 = os.path.join(repo, ".localdata", "sf1_docs")
+    d_docs10 = os.path.join(repo, ".localdata", "sf10_docs")
+    d_ev1 = os.path.join(repo, ".localdata", "sf1_events")
+    d_ev10 = os.path.join(repo, ".localdata", "sf10_events")
+    d_emb1 = os.path.join(repo, ".localdata", "sf1_emb")
+    d_emb10 = os.path.join(repo, ".localdata", "sf10_emb")
+    _gen_docs(d_docs1, 10)
+    _gen_docs(d_docs10, 100)
+    _gen_events(d_ev1, 10)
+    _gen_events(d_ev10, 100)
+    _gen_emb(d_emb1, 10)
+    _gen_emb(d_emb10, 100)
+
+    import __spark_entry__ as e
+    from tf_idf_using_mapreduce_spark.operators import persisted
+    from tf_idf_using_mapreduce_spark.session import get_spark
+
+    spark = get_spark("r14-evidence")
+    qs = e.queries()
+
+    # -- section 1: bucket pruning at sf10, measured from the executed plan
+    print("== bucket pruning at sf10 (daily regime) ==", file=sys.stderr)
+    prune: dict[str, dict] = {}
+    for name in ("dedup_incremental_bloom_persisted_daily",
+                 "dedup_incremental_bloom_persisted"):
+        df = qs[name](spark, d_docs10)
+        df.collect()  # builds the index on first touch, finalizes the plan
+        df = qs[name](spark, d_docs10)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        prune[name] = {
+            "derived_space": persisted._derive_bb_space(d_docs10),
+            "selected_buckets": m.group(0) if m else None,
+            "pruning_bites": bool(m) and int(m.group(1)) < int(m.group(2)),
+            "skip_fraction": (round(1 - int(m.group(1)) / int(m.group(2)), 3)
+                              if m else None),
+            "no_index_key_reshuffle": not re.search(r"hashpartitioning\(h#", plan),
+            "broadcast_probe": "BroadcastHashJoin" in plan,
+        }
+        print(f"  {name}: {prune[name]}", file=sys.stderr)
+
+    # -- section 2: decades
+    print("== decades: documents 10x -> 100x ==", file=sys.stderr)
+    docs = _measure(spark, qs, DOCS_DECADE,
+                    {"sf1.0": d_docs1, "sf10": d_docs10}, passes=3)
+    print("== decades: events 10x -> 100x ==", file=sys.stderr)
+    ev = _measure(spark, qs, EVENTS_DECADE,
+                  {"sf1.0": d_ev1, "sf10": d_ev10}, passes=3)
+    print("== decades: embeddings 10x -> 100x ==", file=sys.stderr)
+    emb = _measure(spark, qs, EMB_DECADE,
+                   {"sf1.0": d_emb1, "sf10": d_emb10}, passes=3)
+
+    # -- section 3: recall at scale (twin flag + measured fraction)
+    print("== recall at sf1.0 / sf10 ==", file=sys.stderr)
+    from tf_idf_using_mapreduce_spark.operators import similarity as sim
+
+    recall: dict[str, dict] = {}
+    for label, approx_fn, floor in (
+        ("pq", sim.ann_topk_pq, sim.RECALL_FLOOR_PQ),
+        ("ivfpq", sim.ann_topk_ivfpq, sim.RECALL_FLOOR_IVFPQ),
+    ):
+        row: dict = {"floor": floor}
+        for sf_label, d in (("sf1.0", d_emb1), ("sf10", d_emb10)):
+            exact = sim.ann_topk_bruteforce(spark, d) \
+                .select("query_id", "neighbor_id")
+            approx = approx_fn(spark, d).select("query_id", "neighbor_id")
+            hits = exact.join(approx, ["query_id", "neighbor_id"],
+                              "left_semi").count()
+            total = exact.count()
+            row[sf_label] = {"recall": round(hits / max(total, 1), 3),
+                             "hits": hits, "n_true": total,
+                             "meets_floor": hits >= floor * total}
+        recall[label] = row
+        print(f"  {label}: {row}", file=sys.stderr)
+
+    result = {"metric": "r14_evidence",
+              "bucket_pruning_at_sf10": prune,
+              "docs_decade": docs, "events_decade": ev,
+              "embeddings_decade": emb, "recall_at_scale": recall}
+    with open(os.path.join(repo, "r14_evidence.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"ok": True}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
