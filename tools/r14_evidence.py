@@ -6,9 +6,12 @@ sequential Spark session, three sections:
    batch) against the derived-law bucket space at 100x documents, with the
    executed plan's ``SelectedBucketsCount: x out of N`` recorded — x < N is
    the claim, measured, plus the no-reshuffle/broadcast-probe re-asserts.
-   The 20% fixture twin is measured alongside for contrast (its batch
-   covers the keyspace by design — the r13 finding — which is exactly why
-   the daily regime is the one that matters).
+   The 20% fixture twin is measured alongside as the REGIME CONTRAST: its
+   batch covers any keyspace by construction, so it keeps the floor
+   16-bucket layout (the first r14 session measured the derived space
+   costing it 3955/4096 selected buckets and a 24x decade — that
+   misconfiguration row is preserved in git history; the regime split is
+   the fix, and this session measures both sides of it).
 
 2. DECADES — sf1.0 -> sf10 rows for every round-14 operator: the daily
    persisted probe and schema evolution on the 10x/100x key-shifted
@@ -50,6 +53,8 @@ DOCS_DECADE = [
 
 EVENTS_DECADE = [
     "events_daily_schema_evolution",
+    "events_daily_merge_upsert",
+    "events_stream_cdc_upsert",
 ]
 
 EMB_DECADE = [
@@ -106,8 +111,13 @@ def main() -> int:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        daily = name.endswith("_daily")
         prune[name] = {
-            "derived_space": persisted._derive_bb_space(d_docs10),
+            "layout": (("derived " + str(persisted._derive_bb_space(d_docs10)))
+                       if daily else
+                       f"floor ({persisted.N_BB_VALUES}, "
+                       f"{persisted.N_INDEX_BUCKETS}); no isin marker means "
+                       "the adaptive skip fired (batch covers the keyspace)"),
             "selected_buckets": m.group(0) if m else None,
             "pruning_bites": bool(m) and int(m.group(1)) < int(m.group(2)),
             "skip_fraction": (round(1 - int(m.group(1)) / int(m.group(2)), 3)
