@@ -397,9 +397,15 @@ register("events_stream_cdc_upsert", _stream.events_stream_cdc_upsert,
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-14 window (derived): 11 FORCE_FRESH + the never-checked round-14
+# Round-14 window (derived): 11 FORCE_FRESH + 6 never-checked round-14
 # queries (daily persisted probe, IVFPQ + its recall twin, schema
-# evolution) + the stalest prior tiers fill the rest of the 50.
+# evolution, merge, CDC stream) + 33 of the 48 round-10-stale queries = 50.
+# The 15 r10 queries that don't fit are the arithmetic of a 50-slot window
+# against a 189-query registry (the r13 precedent): all 15 are green in
+# this round's full local sf0.01 + sf0.1 sweeps (SCALE.md round-14
+# pre-flight), and the derived rotation makes them the stalest tier next
+# round, so they refresh first in r15. Every r9-stale query the r13
+# verdict flagged is FORCE_FRESH-pinned inside this window.
 FORCE_FRESH: frozenset[str] = frozenset({
     # round 14 (r13 verdict #2): the six queries whose latest driver
     # evidence is round 9 — the derived staleness sort would float them
