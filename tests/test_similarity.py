@@ -694,3 +694,66 @@ def test_ivfpq_empty_and_tiny_corpora(spark, tmp_path):
     assert sim.ann_topk_ivfpq(spark, d).count() == 0
     row = sim.ann_topk_ivfpq_recall(spark, d).collect()[0]
     assert (row["n_true"], row["recall_ok"]) == (0, 1)
+
+
+def test_ivfpq_persisted_is_row_identical_to_in_plan_twin(spark):
+    """Same codebooks, same anchors, same derived nprobe ⇒ the persisted-
+    codes probe returns EXACTLY the in-plan search's rows — twice (the
+    second call probes the memoized on-disk table)."""
+    want = {tuple(r) for r in sim.ann_topk_ivfpq(spark, SF_SMOKE).collect()}
+    got1 = {tuple(r) for r in sim.ann_topk_ivfpq_persisted(spark, SF_SMOKE).collect()}
+    got2 = {tuple(r) for r in sim.ann_topk_ivfpq_persisted(spark, SF_SMOKE).collect()}
+    assert got1 == want and got2 == want and want
+
+
+def test_ivfpq_persisted_scan_is_partition_pruned_to_probed_cells(spark):
+    """The codes table is directory-partitioned by cell id and the probe's
+    cid.isin resolves to PARTITION PRUNING: the scan's file index lists
+    only the probed cells' directories — measured from the plan AND the
+    written layout (the events-tier discipline)."""
+    import os
+    import re
+
+    from tf_idf_using_mapreduce_spark.operators import persisted
+
+    df = sim.ann_topk_ivfpq_persisted(spark, SF_SMOKE)
+    df.collect()
+    name = next(n for n in persisted._BUILT if n.startswith("graft_idx_ivfpq_codes_"))
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    loc = next(r["data_type"] for r in rows
+               if r["col_name"] == "Location").removeprefix("file:")
+    cell_dirs = sorted(d for d in os.listdir(loc) if d.startswith("cid="))
+    assert len(cell_dirs) > 1  # a real multi-cell layout
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines()
+                if "FileScan" in l and "ivfpq_codes" in l)
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", scan)
+    assert m, scan
+    n_vecs = sim.load_table(spark, SF_SMOKE, "embeddings").count()
+    nprobe = sim._derive_ivfpq_nprobe(
+        len(sim._anchor_rows(spark, SF_SMOKE, sim._derive_ivf_cells(n_vecs))))
+    # the scan lists at most the union of the queries' probe sets — and
+    # strictly fewer dirs than exist when the union doesn't cover all cells
+    assert int(m.group(1)) <= min(len(cell_dirs), sim.N_QUERIES * nprobe), scan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert pf and "cid" in pf.group(1), scan
+
+
+def test_ivfpq_persisted_recall_twin_green_and_empty_corpus(spark, tmp_path):
+    from tests.conftest import SF_CHECK, assert_query_matches_oracle
+
+    row = sim.ann_topk_ivfpq_persisted_recall(spark, SF_CHECK).collect()[0]
+    assert row["recall_ok"] == 1 and row["n_true"] > 0, row
+    assert_query_matches_oracle(spark, "ann_topk_ivfpq_persisted_recall")
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = str(tmp_path)
+    pq_.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.string()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }), f"{d}/embeddings.parquet")
+    assert sim.ann_topk_ivfpq_persisted(spark, d).count() == 0
+    row = sim.ann_topk_ivfpq_persisted_recall(spark, d).collect()[0]
+    assert (row["n_true"], row["recall_ok"]) == (0, 1)

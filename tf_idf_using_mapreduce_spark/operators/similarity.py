@@ -1660,16 +1660,11 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     only."""
     import numpy as np
 
-    books = _pq_codebooks(spark, sf_dir)
     empty = "query_id long, neighbor_id long, cos_sim double, rk int"
-    if books is None:
+    state = _ivfpq_state(spark, sf_dir)
+    if state is None:
         return spark.createDataFrame([], empty)
-    n = load_table(spark, sf_dir, "embeddings").count()
-    anchors = _anchor_rows(spark, sf_dir, _derive_ivf_cells(n))
-    if not anchors:
-        return spark.createDataFrame([], empty)
-    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
-    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+    books, _anchors, A, an, n = state
     vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
     qrows = (
         vecs.where(F.col("vec_id") < N_QUERIES)
@@ -1680,21 +1675,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFram
     d = len(qrows[0]["v"]) // PQ_M
     # driver-side per-query state: the derived-nprobe nearest cells (same
     # rounded affinity + lowest-cid tiebreak as _ivf_assign) and the ADC
-    # tables
-    nprobe = _derive_ivfpq_nprobe(len(anchors))
-    qdata, probes = [], {}
-    for r in qrows:
-        q = np.asarray(r["v"], dtype=np.float64)
-        aff = np.round((A @ q) / (an * r["nrm"]), COS_ROUND)
-        # stable argsort on (-aff, cid): lowest cid wins ties, like the SQL
-        order = np.lexsort((np.arange(len(aff)), -aff))
-        probes[r["vec_id"]] = set(int(c) for c in order[:nprobe])
-        u = q / r["nrm"]
-        dt = [[float(((books[m][j] - u[m * d:(m + 1) * d]) ** 2).sum())
-               for j in range(len(books[m]))] for m in range(PQ_M)]
-        qdata.append((r["vec_id"], r["v"], float(r["nrm"]), dt))
+    # tables — shared verbatim with the persisted-codes twin
+    probes, qdata, DT = _ivfpq_query_state(books, A, an, qrows)
     B = [np.asarray(b) for b in books]
-    DT = {qid: np.asarray(dt) for qid, _v, _n, dt in qdata}
     qids = sorted(DT)
 
     def adc(batches):
@@ -1739,4 +1722,155 @@ def ann_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated recall of the composed IVFPQ search vs brute force."""
     exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_topk_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_twin(approx, exact, RECALL_FLOOR_IVFPQ)
+
+
+def _ivfpq_state(spark: SparkSession, sf_dir: str):
+    """(books, anchors, A, an) — the IVFPQ coordinator state, or ``None`` on
+    an empty corpus. Shared by the in-plan search and the persisted-codes
+    twin so both quantize identically (their results must be row-identical)."""
+    import numpy as np
+
+    books = _pq_codebooks(spark, sf_dir)
+    if books is None:
+        return None
+    n = load_table(spark, sf_dir, "embeddings").count()
+    anchors = _anchor_rows(spark, sf_dir, _derive_ivf_cells(n))
+    if not anchors:
+        return None
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([r["nrm"] for r in anchors], dtype=np.float64)
+    return books, anchors, A, an, n
+
+
+def _ivfpq_query_state(books, A, an, qrows):
+    """(probes, qdata, DT) — per-query probe sets and ADC tables, shared by
+    both IVFPQ variants (identical quantization on both paths)."""
+    import numpy as np
+
+    d = len(qrows[0]["v"]) // PQ_M
+    nprobe = _derive_ivfpq_nprobe(len(A))
+    qdata, probes = [], {}
+    for r in qrows:
+        q = np.asarray(r["v"], dtype=np.float64)
+        aff = np.round((A @ q) / (an * r["nrm"]), COS_ROUND)
+        order = np.lexsort((np.arange(len(aff)), -aff))
+        probes[r["vec_id"]] = set(int(c) for c in order[:nprobe])
+        u = q / r["nrm"]
+        dt = [[float(((books[m][j] - u[m * d:(m + 1) * d]) ** 2).sum())
+               for j in range(len(books[m]))] for m in range(PQ_M)]
+        qdata.append((r["vec_id"], r["v"], float(r["nrm"]), dt))
+    DT = {qid: np.asarray(dt) for qid, _v, _n, dt in qdata}
+    return probes, qdata, DT
+
+
+def ann_topk_ivfpq_persisted(spark: SparkSession, sf_dir: str,
+                             k: int = TOP_K) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rk): IVFPQ probing a PERSISTED codes
+    index — the ANN tier joins the write-once discipline the dedup tier
+    established (operators/persisted.py): the (vec_id, cid, code) table is
+    materialized ONCE per corpus identity, directory-PARTITIONED by cell id
+    (``persisted._ensure_index`` — the partitioned-fact machinery), and the
+    search reads ONLY the probed cells' directories (``cid.isin`` resolves
+    to partition pruning: the scan's file index lists nprobe-fraction of
+    the cell dirs, the events-tier ``InMemoryFileIndex x of N paths``
+    marker). The in-plan twin re-encodes the corpus every call — honest,
+    but linear in n per query batch (its measured ~10x decade); here
+    encoding is paid once at build, and the recurring cost is a pruned
+    scan of M-int codes + O(queries x shortlist) exact work. Same
+    codebooks, same anchors, same derived nprobe ⇒ results are
+    ROW-IDENTICAL to :func:`ann_topk_ivfpq` (pytest-pinned), and the same
+    oracled recall-twin discipline gates the values."""
+    import numpy as np
+
+    from tf_idf_using_mapreduce_spark.operators.persisted import _ensure_index
+
+    empty = "query_id long, neighbor_id long, cos_sim double, rk int"
+    state = _ivfpq_state(spark, sf_dir)
+    if state is None:
+        return spark.createDataFrame([], empty)
+    books, _anchors, A, an, n = state
+    B = [np.asarray(b) for b in books]
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=False)
+    qrows = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nrm").collect()
+    )
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    probes, qdata, DT = _ivfpq_query_state(books, A, an, qrows)
+    d = len(qrows[0]["v"]) // PQ_M
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            cid = np.round((V @ A.T) / np.outer(nrm, an), COS_ROUND).argmax(1)
+            U = V / nrm[:, None]
+            codes = np.stack([
+                ((U[:, None, m * d:(m + 1) * d] - B[m][None, :, :]) ** 2)
+                .sum(-1).argmin(1)
+                for m in range(PQ_M)
+            ], axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "code": list(codes.astype("int32")),
+                "cid": cid.astype("int32"),
+            })
+
+    def build() -> DataFrame:
+        # production packs the M 4-bit sub-codes into M/2 bytes; int32 here
+        # keeps the Arrow path simple — the scan-bytes claim rests on codes
+        # vs 4 KB embeddings either way
+        return vecs.mapInPandas(
+            encode, "vec_id long, code array<int>, cid int")
+
+    name = _ensure_index(spark, sf_dir, "ivfpq_codes", build,
+                         source_table="embeddings.parquet",
+                         partition_cols=["cid"])
+    codes_tbl = spark.table(name) if name is not None else build()
+    probed = sorted(set().union(*probes.values()))
+    scan = codes_tbl.where(F.col("cid").isin(probed))
+    qids = sorted(DT)
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["code"].to_numpy())
+            cid = pdf["cid"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            out_v, out_q, out_d = [], [], []
+            for qid in qids:
+                mask = np.isin(cid, list(probes[qid]))
+                if not mask.any():
+                    continue
+                ad = DT[qid][np.arange(PQ_M)[None, :], codes[mask]].sum(1)
+                out_v.append(ids[mask])
+                out_q.append(np.full(int(mask.sum()), qid))
+                out_d.append(ad)
+            if not out_v:
+                continue
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_v),
+                "query_id": np.concatenate(out_q),
+                "adist": np.concatenate(out_d),
+            })
+
+    adist = scan.mapInPandas(adc, "vec_id long, query_id long, adist double") \
+        .where(F.col("vec_id") != F.col("query_id"))
+    return _pq_shortlist_rerank(spark, vecs, adist, n, qdata, k)
+
+
+def ann_topk_ivfpq_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated recall of the persisted-codes IVFPQ vs brute force."""
+    exact = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_topk_ivfpq_persisted(spark, sf_dir) \
+        .select("query_id", "neighbor_id")
     return _recall_twin(approx, exact, RECALL_FLOOR_IVFPQ)

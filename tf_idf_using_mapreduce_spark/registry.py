@@ -389,6 +389,13 @@ register("events_daily_merge_upsert", _part.events_daily_merge_upsert,
 register("events_stream_cdc_upsert", _stream.events_stream_cdc_upsert,
          _part.EVENTS_DAILY_MERGE_UPSERT_ORACLE)
 
+# -- round 14: IVFPQ probing a PERSISTED, cell-partitioned codes index —
+# the ANN tier joins the write-once discipline; results row-identical to
+# the in-plan twin (pytest-pinned), values gated by its own recall twin
+register("ann_topk_ivfpq_persisted", _sim.ann_topk_ivfpq_persisted)  # rows-only: value check = recall twin below
+register("ann_topk_ivfpq_persisted_recall", _sim.ann_topk_ivfpq_persisted_recall,
+         _sim.ANN_RECALL_TWIN_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
