@@ -404,11 +404,12 @@ register("ann_topk_ivfpq_persisted_recall", _sim.ann_topk_ivfpq_persisted_recall
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-14 window (derived): 11 FORCE_FRESH + 6 never-checked round-14
-# queries (daily persisted probe, IVFPQ + its recall twin, schema
-# evolution, merge, CDC stream) + 33 of the 48 round-10-stale queries = 50.
-# The 15 r10 queries that don't fit are the arithmetic of a 50-slot window
-# against a 189-query registry (the r13 precedent): all 15 are green in
+# Round-14 window (derived): 11 FORCE_FRESH + 8 never-checked round-14
+# queries (daily persisted probe, IVFPQ + its recall twin, persisted-codes
+# IVFPQ + its recall twin, schema evolution, merge, CDC stream) + 31 of
+# the 48 round-10-stale queries = 50.
+# The 17 r10 queries that don't fit are the arithmetic of a 50-slot window
+# against a 191-query registry (the r13 precedent): all 17 are green in
 # this round's full local sf0.01 + sf0.1 sweeps (SCALE.md round-14
 # pre-flight), and the derived rotation makes them the stalest tier next
 # round, so they refresh first in r15. Every r9-stale query the r13

@@ -60,6 +60,7 @@ EVENTS_DECADE = [
 EMB_DECADE = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_persisted",
 ]
 
 
@@ -78,7 +79,109 @@ def _gen_emb(dst: str, copies: int) -> None:
     con.close()
 
 
+def _ivfpq_persisted_pruning(spark, qs, d_emb10: str) -> dict:
+    """Partition-pruning marker for the persisted-codes IVFPQ at sf10,
+    measured from the EXECUTED plan + the written directory layout (the
+    events-tier discipline): the codes scan's file index must list only the
+    probed cells' directories, not the whole table."""
+    import hashlib
+
+    df = qs["ann_topk_ivfpq_persisted"](spark, d_emb10)
+    df.collect()  # builds the cid-partitioned codes table on first touch
+    df = qs["ann_topk_ivfpq_persisted"](spark, d_emb10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next((l for l in plan.splitlines()
+                 if "FileScan" in l and "ivfpq_codes" in l), "")
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", scan)
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    path_key = hashlib.md5(
+        os.path.abspath(d_emb10).encode("utf-8")).hexdigest()[:10]
+    from tf_idf_using_mapreduce_spark.operators import persisted
+
+    name = next((n for n in persisted._BUILT
+                 if n.startswith(f"graft_idx_ivfpq_codes_{path_key}")), None)
+    n_cells = None
+    if name is not None:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        loc = next(r["data_type"] for r in rows
+                   if r["col_name"] == "Location").removeprefix("file:")
+        n_cells = len([d for d in os.listdir(loc) if d.startswith("cid=")])
+    listed = int(m.group(1)) if m else None
+    from tf_idf_using_mapreduce_spark.operators import similarity as sim
+
+    nprobe = sim._derive_ivfpq_nprobe(n_cells) if n_cells else None
+    return {
+        "scanned_cell_dirs": listed,
+        "total_cell_dirs": n_cells,
+        "partition_filter_on_cid": bool(pf and "cid" in pf.group(1)),
+        "pruning_bites": (listed is not None and n_cells is not None
+                          and listed < n_cells),
+        # the scan prunes to the UNION of the batch's probe sets — with
+        # N_QUERIES queries each probing nprobe = cells/4, the union covers
+        # most cells; the single-query serving regime skips 1 - nprobe/cells
+        "skip_fraction_batch": (round(1 - listed / n_cells, 3)
+                                if listed is not None and n_cells else None),
+        "n_queries": sim.N_QUERIES,
+        "nprobe": nprobe,
+        "skip_fraction_per_query": (round(1 - nprobe / n_cells, 3)
+                                    if nprobe and n_cells else None),
+    }
+
+
+def merge_ivfpq_persisted() -> int:
+    """--ivfpq-persisted: measure ONLY the persisted-codes IVFPQ twin (it
+    landed after the main evidence session) and MERGE its rows into the
+    committed r14_evidence.json — the landed sections were measured in
+    their own quiet session and are not re-rolled here."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d_emb1 = os.path.join(repo, ".localdata", "sf1_emb")
+    d_emb10 = os.path.join(repo, ".localdata", "sf10_emb")
+    _gen_emb(d_emb1, 10)
+    _gen_emb(d_emb10, 100)
+
+    import __spark_entry__ as e
+    from tf_idf_using_mapreduce_spark.operators import similarity as sim
+    from tf_idf_using_mapreduce_spark.session import get_spark
+
+    spark = get_spark("r14-evidence-ivfpq-persisted")
+    qs = e.queries()
+    print("== ivfpq_persisted: pruning marker at sf10 ==", file=sys.stderr)
+    prune = _ivfpq_persisted_pruning(spark, qs, d_emb10)
+    print(f"  {prune}", file=sys.stderr)
+    print("== ivfpq_persisted: decade ==", file=sys.stderr)
+    dec = _measure(spark, qs, ["ann_topk_ivfpq_persisted"],
+                   {"sf1.0": d_emb1, "sf10": d_emb10}, passes=3)
+    print("== ivfpq_persisted: recall at sf1.0 / sf10 ==", file=sys.stderr)
+    row: dict = {"floor": sim.RECALL_FLOOR_IVFPQ}
+    for sf_label, d in (("sf1.0", d_emb1), ("sf10", d_emb10)):
+        exact = sim.ann_topk_bruteforce(spark, d) \
+            .select("query_id", "neighbor_id")
+        approx = sim.ann_topk_ivfpq_persisted(spark, d) \
+            .select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"],
+                          "left_semi").count()
+        total = exact.count()
+        row[sf_label] = {"recall": round(hits / max(total, 1), 3),
+                         "hits": hits, "n_true": total,
+                         "meets_floor": hits >= sim.RECALL_FLOOR_IVFPQ * total}
+    print(f"  ivfpq_persisted: {row}", file=sys.stderr)
+
+    path = os.path.join(repo, "r14_evidence.json")
+    with open(path) as fh:
+        result = json.load(fh)
+    result["embeddings_decade"].update(dec)
+    result["recall_at_scale"]["ivfpq_persisted"] = row
+    result["ivfpq_persisted_pruning_at_sf10"] = prune
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"ok": True}))
+    return 0
+
+
 def main() -> int:
+    if "--ivfpq-persisted" in sys.argv:
+        return merge_ivfpq_persisted()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d_docs1 = os.path.join(repo, ".localdata", "sf1_docs")
     d_docs10 = os.path.join(repo, ".localdata", "sf10_docs")
@@ -146,6 +249,8 @@ def main() -> int:
     for label, approx_fn, floor in (
         ("pq", sim.ann_topk_pq, sim.RECALL_FLOOR_PQ),
         ("ivfpq", sim.ann_topk_ivfpq, sim.RECALL_FLOOR_IVFPQ),
+        ("ivfpq_persisted", sim.ann_topk_ivfpq_persisted,
+         sim.RECALL_FLOOR_IVFPQ),
     ):
         row: dict = {"floor": floor}
         for sf_label, d in (("sf1.0", d_emb1), ("sf10", d_emb10)):
@@ -164,7 +269,9 @@ def main() -> int:
     result = {"metric": "r14_evidence",
               "bucket_pruning_at_sf10": prune,
               "docs_decade": docs, "events_decade": ev,
-              "embeddings_decade": emb, "recall_at_scale": recall}
+              "embeddings_decade": emb, "recall_at_scale": recall,
+              "ivfpq_persisted_pruning_at_sf10":
+                  _ivfpq_persisted_pruning(spark, qs, d_emb10)}
     with open(os.path.join(repo, "r14_evidence.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({"ok": True}))
