@@ -1,0 +1,137 @@
+"""Snapshot versioning / time travel (operators/timetravel.py): oracle
+parity, the commit-log contract, old-snapshot readability after a delete,
+manifest-bounded scans, and row-exact physical == logical replay."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE, assert_query_matches_oracle
+from tf_idf_using_mapreduce_spark.operators import partitioned as part
+from tf_idf_using_mapreduce_spark.operators import timetravel as tt
+
+
+def _versioned(spark):
+    name = tt._events_fact_versioned(spark, SF_SMOKE)
+    assert name is not None
+    return name, tt._table_location(spark, name)
+
+
+def test_time_travel_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "events_time_travel")
+
+
+def test_snapshot_diff_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "events_snapshot_diff")
+
+
+def test_commit_log_chain_and_append_only_contract(spark):
+    """v0 ⊆ v1 (append adds files, removes none); the ops and parent
+    pointers chain; every manifest's file list is sorted and hidden-name
+    free; no torn temp manifest is left behind (atomic publish)."""
+    name, loc = _versioned(spark)
+    mans = [tt._manifest(loc, v) for v in range(3)]
+    assert [m["op"] for m in mans] == ["bulk", "append", "delete-rewrite"]
+    assert [m["parent"] for m in mans] == [None, 0, 1]
+    assert [m["version"] for m in mans] == [0, 1, 2]
+    f0, f1, f2 = [set(m["files"]) for m in mans]
+    assert f0 and f0 < f1
+    for m in mans:
+        assert m["files"] == sorted(m["files"]) and m["n_files"] == len(m["files"])
+        assert not any(os.path.basename(f).startswith(("_", "."))
+                       for f in m["files"])
+    assert not [f for f in os.listdir(os.path.join(loc, tt._LOG_DIR))
+                if f.endswith(".tmp")]
+
+
+def test_old_snapshots_stay_readable_after_delete(spark):
+    """THE time-travel property: the v2 commit removed a whole day from the
+    manifest, but its files are still on disk and a v1 (or v0) read issued
+    AFTER the delete still returns the day's rows."""
+    name, loc = _versioned(spark)
+    f1 = set(tt._manifest(loc, 1)["files"])
+    f2 = set(tt._manifest(loc, 2)["files"])
+    del_files = {f for f in f1
+                 if f.startswith(f"event_date={tt.TT_DELETE_DATE}/")}
+    assert del_files and not (del_files & f2)
+    for f in del_files:
+        assert os.path.isfile(os.path.join(loc, f)), f
+    v1 = tt._read_snapshot(spark, name, loc, 1)
+    assert v1.where(F.col("event_date") == tt.TT_DELETE_DATE).count() > 0
+    v2 = tt._read_snapshot(spark, name, loc, 2)
+    assert v2.where(F.col("event_date") == tt.TT_DELETE_DATE).count() == 0
+    # the rewritten day: cohort gone in v2, still present in v1
+    in_cohort = (F.col("event_date") == tt.TT_REWRITE_DATE) & \
+        (F.col("user_id") % tt.TT_COHORT_MOD == tt.TT_COHORT_EQ)
+    assert v1.where(in_cohort).count() > 0
+    assert v2.where(in_cohort).count() == 0
+    assert v2.where(F.col("event_date") == tt.TT_REWRITE_DATE).count() > 0
+
+
+def test_snapshot_scans_are_manifest_bounded(spark):
+    """A snapshot read lists EXACTLY its manifest's files — never the
+    directory's (which after v2 holds strictly more: the deleted day and
+    the rewritten day's originals stay behind for older snapshots)."""
+    name, loc = _versioned(spark)
+    on_disk = tt._data_files(loc)
+    seen_smaller = False
+    for v in range(3):
+        man = set(tt._manifest(loc, v)["files"])
+        df = tt._read_snapshot(spark, name, loc, v)
+        got = {os.path.relpath(p.removeprefix("file:"), loc)
+               for p in df.inputFiles()}
+        assert got == man, (v, got ^ man)
+        assert man <= on_disk
+        seen_smaller |= len(man) < len(on_disk)
+    assert seen_smaller  # at least one snapshot reads a strict subset
+
+
+def test_diff_reads_only_commit_touched_files(spark):
+    """The CDF read path: the diff's scans touch the symmetric difference
+    of the two manifests, nothing else — commit-touched files, never the
+    table."""
+    name, loc = _versioned(spark)
+    f1 = set(tt._manifest(loc, 1)["files"])
+    f2 = set(tt._manifest(loc, 2)["files"])
+    df = tt.events_snapshot_diff(spark, SF_SMOKE)
+    got = {os.path.relpath(p.removeprefix("file:"), loc)
+           for p in df.inputFiles()}
+    assert got == (f1 ^ f2)
+    assert len(got) < len(tt._data_files(loc))
+
+
+@pytest.mark.parametrize("v", [0, 1, 2])
+def test_snapshot_rows_equal_replay_expression(spark, v):
+    """Physical == logical, row-for-row: snapshot v's parquet read equals
+    the version's replay expression on the pristine events view (multiset
+    equality via exceptAll both ways)."""
+    name, loc = _versioned(spark)
+    phys = tt._read_snapshot(spark, name, loc, v)
+    want = tt._version_expr(part._fact_df(spark, SF_SMOKE), v) \
+        .select(*phys.columns)
+    assert phys.exceptAll(want).count() == 0
+    assert want.exceptAll(phys).count() == 0
+    assert phys.count() == want.count() > 0
+
+
+def test_empty_corpus(spark, tmp_path):
+    """Empty events → three version rows with zero counts and an empty
+    diff, on the physical path (the build commits three empty manifests)."""
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    }), f"{d}/events.parquet")
+    rows = {r["version"]: r for r in tt.events_time_travel(spark, d).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert (r["n_events"], r["n_days"], r["sum_value"]) == (0, 0, None)
+    assert tt.events_snapshot_diff(spark, d).count() == 0

@@ -26,6 +26,7 @@ from tf_idf_using_mapreduce_spark.operators import persisted as _pers
 from tf_idf_using_mapreduce_spark.operators import release as _rel6
 from tf_idf_using_mapreduce_spark.operators import textstats as _ts
 from tf_idf_using_mapreduce_spark.operators import tfidf as _tfidf
+from tf_idf_using_mapreduce_spark.operators import timetravel as _tt
 from tf_idf_using_mapreduce_spark.streaming import corpus as _stream_corpus
 from tf_idf_using_mapreduce_spark.streaming import events as _stream
 
@@ -396,6 +397,15 @@ register("ann_topk_ivfpq_persisted", _sim.ann_topk_ivfpq_persisted)  # rows-only
 register("ann_topk_ivfpq_persisted_recall", _sim.ann_topk_ivfpq_persisted_recall,
          _sim.ANN_RECALL_TWIN_ORACLE)
 
+# -- round 14: snapshot versioning / time travel — manifest-defined table
+# state, atomic commits, O(metadata) deletes, file-granular change data feed;
+# old snapshots read AFTER later mutations (both oracles replay the full
+# lifecycle as filters on the pristine events view)
+register("events_time_travel", _tt.events_time_travel,
+         _tt.EVENTS_TIME_TRAVEL_ORACLE)
+register("events_snapshot_diff", _tt.events_snapshot_diff,
+         _tt.EVENTS_SNAPSHOT_DIFF_ORACLE)
+
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
 # ---------------------------------------------------------------------------
@@ -404,12 +414,12 @@ register("ann_topk_ivfpq_persisted_recall", _sim.ann_topk_ivfpq_persisted_recall
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-14 window (derived): 11 FORCE_FRESH + 8 never-checked round-14
+# Round-14 window (derived): 11 FORCE_FRESH + 10 never-checked round-14
 # queries (daily persisted probe, IVFPQ + its recall twin, persisted-codes
-# IVFPQ + its recall twin, schema evolution, merge, CDC stream) + 31 of
-# the 48 round-10-stale queries = 50.
-# The 17 r10 queries that don't fit are the arithmetic of a 50-slot window
-# against a 191-query registry (the r13 precedent): all 17 are green in
+# IVFPQ + its recall twin, schema evolution, merge, CDC stream, time
+# travel, snapshot diff) + 29 of the 48 round-10-stale queries = 50.
+# The 19 r10 queries that don't fit are the arithmetic of a 50-slot window
+# against a 193-query registry (the r13 precedent): all 19 are green in
 # this round's full local sf0.01 + sf0.1 sweeps (SCALE.md round-14
 # pre-flight), and the derived rotation makes them the stalest tier next
 # round, so they refresh first in r15. Every r9-stale query the r13
