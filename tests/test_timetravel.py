@@ -118,6 +118,45 @@ def test_snapshot_rows_equal_replay_expression(spark, v):
     assert phys.count() == want.count() > 0
 
 
+def test_vacuum_oracle_parity(spark):
+    assert_query_matches_oracle(spark, "events_vacuum_roundtrip")
+
+
+def test_vacuum_removes_exactly_the_unreferenced_files(spark):
+    """After retain=[2], the vacuumed layout's disk holds EXACTLY v2's
+    manifest — the expired days' files are physically gone here while the
+    unvacuumed twin (same lifecycle, same corpus) still holds them; the
+    head snapshot read is row-identical to the v2 replay expression."""
+    vac = tt._events_fact_vacuumed(spark, SF_SMOKE)
+    assert vac is not None
+    vloc = tt._table_location(spark, vac)
+    assert tt._data_files(vloc) == set(tt._manifest(vloc, 2)["files"])
+    del_prefix = f"event_date={tt.TT_DELETE_DATE}/"
+    assert not any(f.startswith(del_prefix) for f in tt._data_files(vloc))
+    # expired manifests remain in the log as the record of what was GC'd
+    assert [tt._manifest(vloc, v)["op"] for v in range(3)] == \
+        ["bulk", "append", "delete-rewrite"]
+    _, loc = _versioned(spark)
+    assert any(f.startswith(del_prefix) for f in tt._data_files(loc))
+    head = tt._read_snapshot(spark, vac, vloc, 2)
+    want = tt._version_expr(part._fact_df(spark, SF_SMOKE), 2) \
+        .select(*head.columns)
+    assert head.exceptAll(want).count() == 0
+    assert want.exceptAll(head).count() == 0
+
+
+def test_vacuum_report_is_measured(spark, tmp_path):
+    """The vacuum report's numbers come from the filesystem: build a tiny
+    standalone versioned layout in a scratch warehouse-free dir by copying
+    the mechanism — here, just re-vacuum the already-vacuumed layout and
+    assert idempotence (nothing left to remove)."""
+    vac = tt._events_fact_vacuumed(spark, SF_SMOKE)
+    vloc = tt._table_location(spark, vac)
+    again = tt.vacuum(vloc, retain=[2])
+    assert again["n_removed"] == 0 and again["bytes_removed"] == 0
+    assert again["n_retained"] == len(tt._manifest(vloc, 2)["files"])
+
+
 def test_empty_corpus(spark, tmp_path):
     """Empty events → three version rows with zero counts and an empty
     diff, on the physical path (the build commits three empty manifests)."""
@@ -135,3 +174,4 @@ def test_empty_corpus(spark, tmp_path):
     for r in rows.values():
         assert (r["n_events"], r["n_days"], r["sum_value"]) == (0, 0, None)
     assert tt.events_snapshot_diff(spark, d).count() == 0
+    assert tt.events_vacuum_roundtrip(spark, d).count() == 0

@@ -184,50 +184,55 @@ def _read_snapshot(spark: SparkSession, name: str, loc: str,
     return _read_files(spark, name, loc, _manifest(loc, version)["files"])
 
 
+def _write_versioned(spark: SparkSession, df: DataFrame, name: str) -> str:
+    """The three-commit lifecycle, shared by the time-travel layout and its
+    vacuumed twin; returns the table location."""
+    (df.where(~_is_post_cut())
+     .repartition("event_date")
+     .write.mode("overwrite").format("parquet")
+     .partitionBy("event_date").saveAsTable(name))
+    loc = _table_location(spark, name)
+    files0 = _data_files(loc)
+    _commit(loc, 0, "bulk", files0, parent=None)
+
+    (df.where(_is_post_cut())
+     .select(*spark.table(name).columns)
+     .repartition("event_date")
+     .write.mode("append").insertInto(name))
+    files1 = _data_files(loc)
+    _commit(loc, 1, "append", files1, parent=0)
+
+    # v2: the delete is pure manifest arithmetic (zero data bytes
+    # touched); the rewrite appends the surviving rows as new files —
+    # nothing is removed from disk, which is exactly why v0/v1 remain
+    # readable afterwards
+    (df.where(F.col("event_date") == TT_REWRITE_DATE)
+     .where(~_is_rewritten_cohort())
+     .select(*spark.table(name).columns)
+     .repartition("event_date")
+     .write.mode("append").insertInto(name))
+    new_files = _data_files(loc) - files1
+    dropped = {
+        f for f in files1
+        if f.startswith((f"event_date={TT_DELETE_DATE}/",
+                         f"event_date={TT_REWRITE_DATE}/"))
+    }
+    _commit(loc, 2, "delete-rewrite", (files1 - dropped) | new_files,
+            parent=1)
+    return loc
+
+
 def _events_fact_versioned(spark: SparkSession, sf_dir: str):
     """The versioned events fact, built once per corpus identity: three
     commits, each publishing a manifest over the files then on disk. After
     v2 the TABLE DIRECTORY deliberately contains more files than any one
     manifest lists (the deleted day, the rewritten day's originals) — the
     directory is a file store; snapshots, not listings, define table state."""
-
-    def writer(df: DataFrame, name: str) -> None:
-        (df.where(~_is_post_cut())
-         .repartition("event_date")
-         .write.mode("overwrite").format("parquet")
-         .partitionBy("event_date").saveAsTable(name))
-        loc = _table_location(spark, name)
-        files0 = _data_files(loc)
-        _commit(loc, 0, "bulk", files0, parent=None)
-
-        (df.where(_is_post_cut())
-         .select(*spark.table(name).columns)
-         .repartition("event_date")
-         .write.mode("append").insertInto(name))
-        files1 = _data_files(loc)
-        _commit(loc, 1, "append", files1, parent=0)
-
-        # v2: the delete is pure manifest arithmetic (zero data bytes
-        # touched); the rewrite appends the surviving rows as new files —
-        # nothing is removed from disk, which is exactly why v0/v1 remain
-        # readable afterwards
-        (df.where(F.col("event_date") == TT_REWRITE_DATE)
-         .where(~_is_rewritten_cohort())
-         .select(*spark.table(name).columns)
-         .repartition("event_date")
-         .write.mode("append").insertInto(name))
-        new_files = _data_files(loc) - files1
-        dropped = {
-            f for f in files1
-            if f.startswith((f"event_date={TT_DELETE_DATE}/",
-                             f"event_date={TT_REWRITE_DATE}/"))
-        }
-        _commit(loc, 2, "delete-rewrite", (files1 - dropped) | new_files,
-                parent=1)
-
-    return _ensure_index(spark, sf_dir, "events_versioned",
-                         lambda: _fact_df(spark, sf_dir),
-                         source_table="events.parquet", writer=writer)
+    return _ensure_index(
+        spark, sf_dir, "events_versioned",
+        lambda: _fact_df(spark, sf_dir),
+        source_table="events.parquet",
+        writer=lambda df, name: _write_versioned(spark, df, name))
 
 
 def _version_agg(df: DataFrame, v: int) -> DataFrame:
@@ -329,5 +334,86 @@ FROM events
 WHERE COALESCE(CAST(ts AS DATE) = DATE '{TT_DELETE_DATE}', FALSE)
    OR COALESCE(CAST(ts AS DATE) = DATE '{TT_REWRITE_DATE}'
                AND user_id % {TT_COHORT_MOD} = {TT_COHORT_EQ}, FALSE)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------- #
+# VACUUM: retention-based physical GC — the deliberate act that trades old
+# snapshots for reclaimed storage (Delta VACUUM / Iceberg expire_snapshots)
+# --------------------------------------------------------------------------- #
+
+
+def vacuum(loc: str, retain: list[int]) -> dict:
+    """Physically delete every data file not referenced by any RETAINED
+    snapshot, and prune emptied partition directories. The inverse bargain
+    of the manifest-delete: v2's manifest edit cost zero bytes and kept
+    history; vacuum reclaims the bytes and forfeits the un-retained
+    snapshots (their manifests stay in the log as a record of what was
+    expired — resolving one now raises, by design). Returns the report the
+    operation is judged by: files/bytes removed and retained — measured
+    from the filesystem, not assumed."""
+    keep: set[str] = set()
+    for v in retain:
+        keep |= set(_manifest(loc, v)["files"])
+    on_disk = _data_files(loc)
+    doomed = sorted(on_disk - keep)
+    n_bytes = 0
+    for f in doomed:
+        p = os.path.join(loc, f)
+        n_bytes += os.path.getsize(p)
+        os.remove(p)
+        parent = os.path.dirname(p)
+        if not os.listdir(parent):
+            os.rmdir(parent)
+    return {
+        "retained_versions": sorted(retain),
+        "n_removed": len(doomed),
+        "bytes_removed": n_bytes,
+        "n_retained": len(keep & on_disk),
+    }
+
+
+def _events_fact_vacuumed(spark: SparkSession, sf_dir: str):
+    """A SECOND versioned layout (own copy — vacuuming the shared
+    time-travel table would destroy the history its tests and queries rely
+    on) built by the same three-commit writer, then vacuumed down to the
+    head snapshot: only v2's files survive on disk."""
+
+    def writer(df: DataFrame, name: str) -> None:
+        loc = _write_versioned(spark, df, name)
+        vacuum(loc, retain=[2])
+
+    return _ensure_index(spark, sf_dir, "events_versioned_vac",
+                         lambda: _fact_df(spark, sf_dir),
+                         source_table="events.parquet", writer=writer)
+
+
+def events_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, sum_value): the head snapshot read AFTER the
+    layout was vacuumed to retain only v2 — the green row proves vacuum
+    removed exactly the unreferenced files and not one byte the head still
+    needs (the oracle replays v2's filters on the pristine view; the tests
+    assert the physical side: the expired days' files are GONE here while
+    the unvacuumed twin still holds them)."""
+    name = _events_fact_vacuumed(spark, sf_dir)
+    if name is not None:
+        loc = _table_location(spark, name)
+        head = _read_snapshot(spark, name, loc, 2)
+    else:
+        head = _version_expr(_fact_df(spark, sf_dir), 2)
+    return (
+        head.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value())
+    )
+
+
+EVENTS_VACUUM_ROUNDTRIP_ORACLE = f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM events
+WHERE NOT COALESCE(CAST(ts AS DATE) = DATE '{TT_DELETE_DATE}', FALSE)
+  AND NOT COALESCE(CAST(ts AS DATE) = DATE '{TT_REWRITE_DATE}'
+                   AND user_id % {TT_COHORT_MOD} = {TT_COHORT_EQ}, FALSE)
 GROUP BY event_type
 """

@@ -405,6 +405,8 @@ register("events_time_travel", _tt.events_time_travel,
          _tt.EVENTS_TIME_TRAVEL_ORACLE)
 register("events_snapshot_diff", _tt.events_snapshot_diff,
          _tt.EVENTS_SNAPSHOT_DIFF_ORACLE)
+register("events_vacuum_roundtrip", _tt.events_vacuum_roundtrip,
+         _tt.EVENTS_VACUUM_ROUNDTRIP_ORACLE)
 
 # ---------------------------------------------------------------------------
 # evidence-derived ordering (see the policy comment at the top)
@@ -414,12 +416,12 @@ register("events_snapshot_diff", _tt.events_snapshot_diff,
 # re-verify regardless of any prior green row. Maintained by hand; reset at
 # the start of each round.
 #
-# Round-14 window (derived): 11 FORCE_FRESH + 10 never-checked round-14
+# Round-14 window (derived): 11 FORCE_FRESH + 11 never-checked round-14
 # queries (daily persisted probe, IVFPQ + its recall twin, persisted-codes
 # IVFPQ + its recall twin, schema evolution, merge, CDC stream, time
-# travel, snapshot diff) + 29 of the 48 round-10-stale queries = 50.
-# The 19 r10 queries that don't fit are the arithmetic of a 50-slot window
-# against a 193-query registry (the r13 precedent): all 19 are green in
+# travel, snapshot diff, vacuum) + 28 of the 48 round-10-stale queries = 50.
+# The 20 r10 queries that don't fit are the arithmetic of a 50-slot window
+# against a 194-query registry (the r13 precedent): all 20 are green in
 # this round's full local sf0.01 + sf0.1 sweeps (SCALE.md round-14
 # pre-flight), and the derived rotation makes them the stalest tier next
 # round, so they refresh first in r15. Every r9-stale query the r13
