@@ -57,6 +57,12 @@ EVENTS_DECADE = [
     "events_stream_cdc_upsert",
 ]
 
+TT_DECADE = [
+    "events_time_travel",
+    "events_snapshot_diff",
+    "events_vacuum_roundtrip",
+]
+
 EMB_DECADE = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -179,9 +185,41 @@ def merge_ivfpq_persisted() -> int:
     return 0
 
 
+def merge_timetravel() -> int:
+    """--timetravel: decades for the snapshot tier (they landed after the
+    main evidence session; merged, not re-rolled — same policy as
+    --ivfpq-persisted). The warm pass builds the versioned layouts + runs
+    the vacuum; min-of-3 then measures the recurring cost: manifest-bounded
+    snapshot reads, the file-diff CDF, the vacuumed-head read."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d_ev1 = os.path.join(repo, ".localdata", "sf1_events")
+    d_ev10 = os.path.join(repo, ".localdata", "sf10_events")
+    _gen_events(d_ev1, 10)
+    _gen_events(d_ev10, 100)
+
+    import __spark_entry__ as e
+    from tf_idf_using_mapreduce_spark.session import get_spark
+
+    spark = get_spark("r14-evidence-timetravel")
+    qs = e.queries()
+    print("== timetravel decades: events 10x -> 100x ==", file=sys.stderr)
+    dec = _measure(spark, qs, TT_DECADE,
+                   {"sf1.0": d_ev1, "sf10": d_ev10}, passes=3)
+    path = os.path.join(repo, "r14_evidence.json")
+    with open(path) as fh:
+        result = json.load(fh)
+    result["events_decade"].update(dec)
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({"ok": True}))
+    return 0
+
+
 def main() -> int:
     if "--ivfpq-persisted" in sys.argv:
         return merge_ivfpq_persisted()
+    if "--timetravel" in sys.argv:
+        return merge_timetravel()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d_docs1 = os.path.join(repo, ".localdata", "sf1_docs")
     d_docs10 = os.path.join(repo, ".localdata", "sf10_docs")
@@ -235,7 +273,7 @@ def main() -> int:
     docs = _measure(spark, qs, DOCS_DECADE,
                     {"sf1.0": d_docs1, "sf10": d_docs10}, passes=3)
     print("== decades: events 10x -> 100x ==", file=sys.stderr)
-    ev = _measure(spark, qs, EVENTS_DECADE,
+    ev = _measure(spark, qs, EVENTS_DECADE + TT_DECADE,
                   {"sf1.0": d_ev1, "sf10": d_ev10}, passes=3)
     print("== decades: embeddings 10x -> 100x ==", file=sys.stderr)
     emb = _measure(spark, qs, EMB_DECADE,
