@@ -115,9 +115,9 @@ def _version_expr(fact: DataFrame, v: int) -> DataFrame:
 
 
 def _table_location(spark: SparkSession, name: str) -> str:
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-    return next(r["data_type"] for r in rows
-                if r["col_name"] == "Location").removeprefix("file:")
+    from tf_idf_using_mapreduce_spark.sources.corpus import table_location
+
+    return table_location(spark, name)
 
 
 def _data_files(loc: str) -> set[str]:
