@@ -211,19 +211,56 @@ def _ends_cvc_sql(p: str, w: str, k: int) -> str:
     return f"(right({pstem}, 3) = 'cvc' AND {last} NOT IN ('w', 'x', 'y'))"
 
 
-def _suffix_case(w: str, p: str, rules: list[tuple[str, str]], min_m: int) -> str:
-    """Longest-match CASE for steps 2/3/4: suffix selects the rule, then the
-    measure condition gates replacement (per Porter: if the condition of the
-    longest matching suffix fails, no shorter suffix is tried)."""
-    whens = []
-    for suf, repl in sorted(rules, key=lambda r: -len(r[0])):
-        k = len(suf)
-        cond = f"{_m_sql(p, k)} > {min_m}"
-        if suf == "ion":
-            cond += f" AND substr({w}, greatest(length({w}) - {k}, 1), 1) IN ('s', 't')"
-        then = f"{_drop(w, k)} || '{repl}'" if repl else _drop(w, k)
-        whens.append(f"WHEN right({w}, {k}) = '{suf}' THEN (CASE WHEN {cond} THEN {then} ELSE {w} END)")
-    return "CASE " + " ".join(whens) + f" ELSE {w} END"
+def _suffix_step_layers(prefix: str, w: str, p: str,
+                        rules: list[tuple[str, str]], min_m: int,
+                        has_ion: bool, out: str) -> list[tuple[str, str]]:
+    """Steps 2/3/4 as THREE small layers instead of one giant CASE (r15,
+    guide §7.2 "very large plans — planning time itself can become the
+    bottleneck"): the matched-suffix LENGTH (``<prefix>k``) and REPLACEMENT
+    (``<prefix>r``) each pick from a longest-match-first CASE of tiny
+    literals, then ONE dynamic-k measure test gates the rewrite. The former
+    shape inlined the ~200-char measure expression into every one of the
+    (up to 19) branches — the resulting tree dominated per-query
+    optimizer/codegen time (measured: the whole 29-row stem dictionary cost
+    ~0.8 s per execution at ANY data size, almost all of it driver-side
+    tree handling).
+
+    Value-identical by construction: the branch ORDER is the same
+    longest-match-first sort, the measure condition is the same ``_m_sql``
+    text with the k literal replaced by the k column, and Porter's
+    no-shorter-suffix-tried rule is preserved (a failed condition leaves the
+    word unchanged — k only records the LONGEST match). The 'ion' guard
+    applies iff the matched rule is 'ion', identified as k = 3 AND the last
+    three characters being 'ion' (two 3-char suffixes cannot both match).
+    Pinned by the SQL≡Python hypothesis test (tests/test_porter.py)."""
+    sorted_rules = sorted(rules, key=lambda r: -len(r[0]))
+    kc, rc = f"{prefix}k", f"{prefix}r"
+    k_whens = " ".join(
+        f"WHEN right({w}, {len(suf)}) = '{suf}' THEN {len(suf)}"
+        for suf, _ in sorted_rules
+    )
+    r_whens = " ".join(
+        f"WHEN right({w}, {len(suf)}) = '{suf}' THEN '{repl}'"
+        for suf, repl in sorted_rules
+    )
+    px = f"substr({p}, 1, greatest(length({p}) - {kc}, 0))"
+    m_dyn = f"cast((length({px}) - length(replace({px}, 'vc', ''))) / 2 as int)"
+    cond = f"{m_dyn} > {min_m}"
+    if has_ion:
+        ion_rule = f"({kc} = 3 AND right({w}, 3) = 'ion')"
+        ion_ok = f"substr({w}, greatest(length({w}) - 3, 1), 1) IN ('s', 't')"
+        cond = f"{cond} AND (NOT {ion_rule} OR {ion_ok})"
+    rewritten = f"substr({w}, 1, greatest(length({w}) - {kc}, 0)) || {rc}"
+    gated = (
+        f"CASE WHEN {kc} = 0 THEN {w}"
+        f" WHEN {cond} THEN {rewritten}"
+        f" ELSE {w} END"
+    )
+    return [
+        (kc, f"CASE {k_whens} ELSE 0 END"),
+        (rc, f"CASE {r_whens} ELSE '' END"),
+        (out, gated),
+    ]
 
 
 def porter_layers(input_col: str) -> list[tuple[str, str]]:
@@ -280,13 +317,17 @@ def porter_layers(input_col: str) -> list[tuple[str, str]]:
         f" THEN {_drop('pw3', 1)} || 'i' ELSE pw3 END"
     )))
 
-    # Steps 2, 3, 4
+    # Steps 2, 3, 4 (decomposed k/replacement/gate layers — see
+    # _suffix_step_layers for the size rationale and the equivalence proof)
     layers.append(("pp4", _pat_sql("pw4")))
-    layers.append(("pw5", _suffix_case("pw4", "pp4", STEP2_RULES, 0)))
+    layers += _suffix_step_layers("s2", "pw4", "pp4", STEP2_RULES, 0,
+                                  has_ion=False, out="pw5")
     layers.append(("pp5", _pat_sql("pw5")))
-    layers.append(("pw6", _suffix_case("pw5", "pp5", STEP3_RULES, 0)))
+    layers += _suffix_step_layers("s3", "pw5", "pp5", STEP3_RULES, 0,
+                                  has_ion=False, out="pw6")
     layers.append(("pp6", _pat_sql("pw6")))
-    layers.append(("pw7", _suffix_case("pw6", "pp6", STEP4_RULES, 1)))
+    layers += _suffix_step_layers("s4", "pw6", "pp6", STEP4_RULES, 1,
+                                  has_ion=True, out="pw7")
 
     # Step 5a
     layers.append(("pp7", _pat_sql("pw7")))

@@ -203,17 +203,35 @@ def _jaccard_on(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for all pairs with trigram Jaccard ≥ 0.8."""
+    """(doc_a, doc_b, jaccard) for all pairs with trigram Jaccard ≥ 0.8.
+
+    r15 shape: ``common`` is counted DIRECTLY from the shingle self-join
+    (shingles are distinct per doc, so the join emits each shared shingle
+    exactly once per pair — ``groupBy(pair).count()`` IS the intersection
+    size, the same form the oracle uses). The previous plan materialized the
+    DISTINCT candidate pair set first and then re-joined it against both
+    shingle sides to re-derive the very rows the self-join had already
+    produced — two extra corpus-scale joins and a distinct for zero
+    information (guide §2.4; measured 6.0 s → ~2.9 s at sf0.1)."""
     sh = _shingles(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    return _jaccard_on(pairs, sh).where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return (
+        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 NGRAM_JACCARD_ORACLE = f"""
@@ -1337,8 +1355,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
             )
         )
-        # materialize the round (cuts the iterative lineage) and test fixpoint
-        updated = updated.localCheckpoint(eager=True)
+        # materialize the round (cuts the iterative lineage) and test
+        # fixpoint. LAZY checkpoint (r15): the convergence count below is
+        # the round's FIRST action, so it materializes the checkpoint and
+        # computes the count in ONE job — the eager form ran a separate
+        # materialization job per round (2 jobs/round → 1; at sf0.1 each
+        # driver round-trip is ~0.2 s of fixed job overhead)
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.where(F.col("changed")).count()
         labels = updated.select("doc_id", "cluster_id")
         if n_changed == 0:
@@ -1405,7 +1428,9 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
                      F.least(F.col(src), F.col(dst)).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r15): round 1's first job materializes these blocks en route
+        # — the eager form paid a dedicated materialization job up front
+        .localCheckpoint(eager=False)
     )
     nodes = (
         pairs.select(F.col("u").alias("doc_id"))
@@ -1450,7 +1475,10 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
         )
         pairs = (
             large.unionByName(small).distinct()
-            .localCheckpoint(eager=True)
+            # lazy (r15): the signature aggregate below is the round's first
+            # action — it materializes the checkpoint and computes the
+            # fixpoint signature in ONE job (the eager form ran 2 jobs/round)
+            .localCheckpoint(eager=False)
         )
         sig = _sig(pairs)
         if sig in seen:

@@ -38,6 +38,8 @@ ADVICE rule): order-independent across partitionings and engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -377,8 +379,21 @@ def merge_into_partitions(spark: SparkSession, table: str, changes: DataFrame,
     deletes a partition's every row empties it via partition DDL (dynamic
     overwrite alone cannot delete a directory it writes no rows into — the
     classic pitfall, handled instead of documented away)."""
-    days = [r[0] for r in changes.select(part_col).distinct()
-            .where(F.col(part_col).isNotNull()).collect()]
+    all_days = [r[0] for r in changes.select(part_col).distinct().collect()]
+    if any(d is None for d in all_days):
+        # A NULL partition key cannot be merged partition-granularly: NULL
+        # days are invisible to the affected-partition scan (base rows in the
+        # default partition never enter `survivors`), yet non-delete NULL
+        # upserts would still flow into `merged` and dynamic overwrite would
+        # then REPLACE the whole __HIVE_DEFAULT_PARTITION__ directory with
+        # only those rows — silently deleting pre-existing NULL-key base
+        # rows (r14 ADVICE). Ship NULL-key changes as explicit full-partition
+        # rewrites instead.
+        raise ValueError(
+            f"merge_into_partitions: change batch contains NULL {part_col!r} "
+            "rows; NULL partition keys are not mergeable partition-granularly"
+        )
+    days = all_days
     if not days:
         return
     base = spark.table(table).where(F.col(part_col).isin(days))
@@ -390,9 +405,20 @@ def merge_into_partitions(spark: SparkSession, table: str, changes: DataFrame,
     merged_days = {r[0] for r in merged.select(part_col).distinct().collect()}
     overwrite_day_partitions(spark, table, merged)
     for day in sorted(set(days) - merged_days):
-        # every row of this partition was deleted: drop the directory
+        # every row of this partition was deleted: drop the directory.
+        # The partition value is interpolated into DDL text, so restrict it
+        # to date-like/identifier characters (r14 ADVICE: a string partition
+        # value containing a quote would produce malformed/injectable SQL) —
+        # the helper's contract is date-typed partition columns.
+        day_s = str(day)
+        if not re.fullmatch(r"[0-9A-Za-z_.:\- ]+", day_s):
+            raise ValueError(
+                f"merge_into_partitions: partition value {day_s!r} is not "
+                "DDL-safe; this helper supports date-typed (or date-like "
+                "string) partition columns only"
+            )
         spark.sql(f"ALTER TABLE {table} DROP IF EXISTS "
-                  f"PARTITION ({part_col}='{day}')")
+                  f"PARTITION ({part_col}='{day_s}')")
 
 
 def _merge_change_batch(fact: DataFrame) -> DataFrame:

@@ -234,6 +234,18 @@ def _pruned_scan(spark: SparkSession, name: str | None, build,
     if not probe_bbs:
         return idx.where(F.lit(False))  # empty batch probes nothing
     if len(probe_bbs) * 2 > n_values:
+        # Make the bypass VISIBLE (r14 ADVICE): at larger fixtures the 20%
+        # batch twins can cross this threshold and silently lose the
+        # SelectedBucketsCount pruning marker their docs/evidence describe —
+        # results stay correct (unfiltered scan is a superset filtered by the
+        # join), but plan-shape claims drift unless the switch is on record.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "persisted-index probe covers %d of %d bucket keys (>1/2): "
+            "skipping the isin bucket filter (unprunable regime)",
+            len(probe_bbs), n_values,
+        )
         return idx
     return idx.where(F.col("bb").isin(probe_bbs))
 

@@ -571,13 +571,24 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and the sketch-based twin (:func:`lineitem_price_stats_approx`)
     is the 100 TB path."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate with an array of targets (r15, guide §1.2
+    # "per-task work"): three scalar percentile() calls each buffer and sort
+    # the group's value multiset independently — the array form buffers and
+    # sorts ONCE and interpolates all three targets from the same sorted run
+    # (identical per-target interpolation, so values are unchanged; measured
+    # 3.6 s → ~1.8 s at sf0.1)
+    pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        pcts.alias("_pcts"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+    ).select(
+        "l_returnflag", "n",
+        F.round(F.element_at("_pcts", 1), 4).alias("p25"),
+        F.round(F.element_at("_pcts", 2), 4).alias("median"),
+        F.round(F.element_at("_pcts", 3), 4).alias("p95"),
+        "sd", "qty_price_corr",
     )
 
 

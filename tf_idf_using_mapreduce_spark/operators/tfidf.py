@@ -101,29 +101,62 @@ def doc_freq(spark: SparkSession, sf_dir: str, top_n: int = 100) -> DataFrame:
     return _doc_freq_of(stemmed_tokens(spark, sf_dir), top_n)
 
 
+def term_counts_of(docs: DataFrame, case_sensitive: bool = False) -> DataFrame:
+    """(doc_id, term, tf): per-document stem occurrence counts — ONE corpus
+    pass (tokenize → stop-filter → stem → partial+final HashAggregate on
+    (doc_id, stem)), lineage-cut because both downstream faces of TF-IDF
+    derive from it (r15 optimization, guide §2.4 "remove shuffles outright" /
+    §1.2 "don't compute things twice"): the DF vocabulary is a count over
+    these rows (each (doc_id, term) row ≡ one distinct doc per term) and the
+    TF table IS these rows. The previous shape ran the whole corpus pipeline
+    TWICE — once under countDistinct for DF, once for TF. This intermediate
+    is the reference's own materialization point (the DF job writes its
+    aggregate to HDFS, ``README.md:14-18``); at 100 TB it is a persisted
+    table between stages — same pattern, same cut — and it is corpus-scale
+    SMALLER than the token stream (distinct stems per doc, no text payload).
+    """
+    stemmed = stemmed_tokens_of(docs, case_sensitive=case_sensitive)
+    return (
+        stemmed.groupBy("doc_id", F.col("stem").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def tfidf_from_counts(counts: DataFrame, top_n: int = 100,
+                      corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+    """(doc_id, term, tf, score) from a (doc_id, term, tf) counts frame.
+
+    DF per term = count of counts-rows with a non-NULL doc_id (each row is
+    one distinct document by construction — ``F.count(col)`` skips the NULL
+    doc_id group exactly as ``countDistinct`` excludes NULLs); the ≤top_n
+    vocabulary then broadcast-joins back onto the SAME frame (P6+J1 fused,
+    replacing the reference's double-loaded distributed-cache HashMap,
+    ``IDF.java:36-46,112-140``) — score arithmetic is untouched (P10)."""
+    vocab = (
+        counts.groupBy("term")
+        .agg(F.count("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_n)
+    )
+    tf = counts.join(F.broadcast(vocab), "term")
+    score = F.round(F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND)
+    return tf.select("doc_id", "term", "tf", score.alias("score"))
+
+
 def tfidf_of(docs: DataFrame, top_n: int = 100,
              corpus_constant: float = DEFAULT_CORPUS_CONSTANT,
              case_sensitive: bool = False) -> DataFrame:
     """Reference pipeline 3 (``IDF.java`` chained after ``DocumentFreq.java``)
     over any (doc_id, text) corpus: (doc_id, term, tf, score).
 
-    P6+J1 fused: the inner broadcast join both restricts to the vocabulary and
-    carries ``df`` to the score (replaces the reference's double-loaded
-    distributed-cache HashMap, ``IDF.java:36-46,112-140``). The DF vocabulary
-    and TF aggregation share one logical token subtree; Spark re-scans the
-    (column-pruned) source for each pass — TF-IDF is inherently two passes
-    and a 100 TB corpus cannot be cached.
-    """
-    stemmed = stemmed_tokens_of(docs, case_sensitive=case_sensitive)
-    vocab = _doc_freq_of(stemmed, top_n)
-    toks = stemmed.select("doc_id", F.col("stem").alias("term"))
-    tf = (
-        toks.join(F.broadcast(vocab), "term")
-        .groupBy("doc_id", "term", "df")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    score = F.round(F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND)
-    return tf.select("doc_id", "term", "tf", score.alias("score"))
+    r15 shape: ONE corpus pass builds :func:`term_counts_of`; DF and TF both
+    read that bounded intermediate instead of re-running scan → tokenize →
+    stem per face (the r14 plan re-scanned the corpus twice by design; the
+    counts table is the cheaper thing to materialize and is exactly what the
+    reference's own DF job persists between stages)."""
+    counts = term_counts_of(docs, case_sensitive=case_sensitive)
+    return tfidf_from_counts(counts, top_n=top_n, corpus_constant=corpus_constant)
 
 
 def tfidf(spark: SparkSession, sf_dir: str, top_n: int = 100,
@@ -716,10 +749,14 @@ def doc_freq_approx_err_oracle() -> str:
 
 def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
     """Fit the MLlib CountVectorizer + IDF pipeline; returns
-    ``(vocabulary, features_df, n_docs)`` — the vocabulary (≤ ``vocab_size``
-    strings, driver-side model state) is what lets the rank-overlap twin name
-    terms; ``n_docs`` is counted over the eagerly-checkpointed token frame
-    (cheap — no lineage re-run) for the overlap twin's vacuous-gate rule."""
+    ``(vocabulary, features_df, n_docs, doc_tokens)`` — the vocabulary
+    (≤ ``vocab_size`` strings, driver-side model state) is what lets the
+    rank-overlap twin name terms; ``n_docs`` is counted over the
+    eagerly-checkpointed token frame (cheap — no lineage re-run) for the
+    overlap twin's vacuous-gate rule; ``doc_tokens`` (the checkpointed
+    (doc_id, terms) frame) lets the twin derive the EXACT pipeline from the
+    already-materialized stems instead of re-running the corpus scan →
+    tokenize → Porter pipeline a second time (r15 optimization)."""
     from pyspark.ml.feature import IDF, CountVectorizer
 
     toks = stemmed_tokens(spark, sf_dir)
@@ -750,13 +787,13 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
             StructField("doc_id", LongType()),
             StructField("features", VectorUDT()),
         ])
-        return [], spark.createDataFrame([], empty_schema), 0
+        return [], spark.createDataFrame([], empty_schema), 0, doc_tokens
     cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
     cv_model = cv.fit(doc_tokens)
     tf = cv_model.transform(doc_tokens).localCheckpoint(eager=True)
     idf = IDF(inputCol="tf_vec", outputCol="features")
     feats = idf.fit(tf).transform(tf).select("doc_id", "features")
-    return cv_model.vocabulary, feats, n_docs
+    return cv_model.vocabulary, feats, n_docs, doc_tokens
 
 
 def tfidf_mllib(spark: SparkSession, sf_dir: str, vocab_size: int = 100) -> DataFrame:
@@ -809,7 +846,7 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
     exploded vector slots; ranking is two bounded per-doc windows (≤100
     terms per doc by construction); the oracle reproduces ``n_exact``
     from the fully-oracled exact pipeline and pins ``overlap_ok = 1``."""
-    vocab, feats, n_docs = _tfidf_mllib_fit(spark, sf_dir)
+    vocab, feats, n_docs, doc_tokens = _tfidf_mllib_fit(spark, sf_dir)
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
@@ -838,9 +875,20 @@ def tfidf_mllib_topk_overlap(spark: SparkSession, sf_dir: str,
     if vacuous:
         etop = spark.createDataFrame([], "doc_id long, term string")
     else:
+        # derive the EXACT pipeline from the fit's already-checkpointed
+        # (doc_id, terms) frame instead of re-running scan → tokenize →
+        # Porter a second time (r15): exploding the collected stem lists
+        # reproduces the stemmed-token multiset exactly (collect_list keeps
+        # duplicates), so the counts — and therefore DF, TF and scores —
+        # are identical to tfidf()'s
         w_e = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+        exact_counts = (
+            doc_tokens.select("doc_id", F.explode("terms").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
         etop = (
-            tfidf(spark, sf_dir)
+            tfidf_from_counts(exact_counts)
             .withColumn("rn", F.row_number().over(w_e))
             .where(F.col("rn") <= k).select("doc_id", "term")
         )

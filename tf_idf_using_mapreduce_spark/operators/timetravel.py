@@ -344,7 +344,8 @@ GROUP BY event_type
 # --------------------------------------------------------------------------- #
 
 
-def vacuum(loc: str, retain: list[int]) -> dict:
+def vacuum(loc: str, retain: list[int], spark: SparkSession | None = None,
+           table: str | None = None) -> dict:
     """Physically delete every data file not referenced by any RETAINED
     snapshot, and prune emptied partition directories. The inverse bargain
     of the manifest-delete: v2's manifest edit cost zero bytes and kept
@@ -352,13 +353,21 @@ def vacuum(loc: str, retain: list[int]) -> dict:
     snapshots (their manifests stay in the log as a record of what was
     expired — resolving one now raises, by design). Returns the report the
     operation is judged by: files/bytes removed and retained — measured
-    from the filesystem, not assumed."""
+    from the filesystem, not assumed.
+
+    Pass ``spark`` + ``table`` when the layout is also a catalog table:
+    fully-emptied partition directories are then ALSO dropped from the
+    metastore (r14 ADVICE — without the DDL the catalog keeps registering
+    partitions whose directories vacuum removed, and a direct
+    ``spark.table(...)`` scan would hit missing paths; manifest reads are
+    unaffected either way)."""
     keep: set[str] = set()
     for v in retain:
         keep |= set(_manifest(loc, v)["files"])
     on_disk = _data_files(loc)
     doomed = sorted(on_disk - keep)
     n_bytes = 0
+    emptied_parts: list[str] = []
     for f in doomed:
         p = os.path.join(loc, f)
         n_bytes += os.path.getsize(p)
@@ -366,6 +375,14 @@ def vacuum(loc: str, retain: list[int]) -> dict:
         parent = os.path.dirname(p)
         if not os.listdir(parent):
             os.rmdir(parent)
+            emptied_parts.append(os.path.basename(parent))
+    if spark is not None and table is not None:
+        for part in emptied_parts:
+            if "=" not in part:
+                continue
+            col, _, val = part.partition("=")
+            spark.sql(f"ALTER TABLE {table} DROP IF EXISTS "
+                      f"PARTITION ({col}='{val}')")
     return {
         "retained_versions": sorted(retain),
         "n_removed": len(doomed),
@@ -382,7 +399,7 @@ def _events_fact_vacuumed(spark: SparkSession, sf_dir: str):
 
     def writer(df: DataFrame, name: str) -> None:
         loc = _write_versioned(spark, df, name)
-        vacuum(loc, retain=[2])
+        vacuum(loc, retain=[2], spark=spark, table=name)
 
     return _ensure_index(spark, sf_dir, "events_versioned_vac",
                          lambda: _fact_df(spark, sf_dir),

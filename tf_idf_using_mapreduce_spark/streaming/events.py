@@ -442,12 +442,15 @@ def run_stream_to_partitioned_sink(stream_df: DataFrame, path: str,
                 f"streaming file-sink query to {path!r} still active after "
                 f"{timeout_s}s; directory is partial — refusing to return it"
             )
-        if checkpoint is None:
-            # one-shot drain: the throwaway checkpoint has served its purpose
-            # (r13 ADVICE: these leaked one dir per invocation)
-            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if checkpoint is None:
+            # one-shot drain: the throwaway checkpoint has served its purpose.
+            # In the FINALLY block (r14 ADVICE: the success-only cleanup still
+            # leaked one dir per TimeoutError) — safe on failure too, because
+            # the sink's _spark_metadata commit log, not the checkpoint,
+            # carries the exactly-once contract.
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def events_stream_daily_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
