@@ -433,6 +433,31 @@ def test_semdedup_election_contract(spark):
         assert r["cluster_id"] == labels.get(r["vec_id"], r["vec_id"])
 
 
+def test_cell_labels_match_global_cc(spark):
+    """The r15 cell-local union-find labeling (``_ivf_cell_labels``) must
+    reproduce EXACTLY the global two-star CC labels over the registered
+    ``_ivf_cell_pairs`` edges — same node set (pair participants only),
+    same component-min cluster ids. This is the internals-change pin for
+    the semdedup optimization (pairs never span IVF cells, so the global
+    rounds were pure overhead)."""
+    from tf_idf_using_mapreduce_spark.operators import dedup as dd
+
+    corpus = sim._ivf_assign(spark, SF_SMOKE)
+    assert corpus is not None
+    corpus = corpus.localCheckpoint(eager=False)
+    local = {
+        (r["vec_id"], r["cluster_id"])
+        for r in sim._ivf_cell_labels(corpus).collect()
+    }
+    edges = sim._ivf_cell_pairs(corpus)
+    global_cc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.connected_components_twostar(
+            edges, src="vec_a", dst="vec_b").collect()
+    }
+    assert local == global_cc
+
+
 def test_semdedup_prunes_planted_duplicate_group(spark):
     """Three near-identical vectors (one exact dup + one tiny perturbation)
     plus orthogonal singletons: the trio forms ONE group with exactly one

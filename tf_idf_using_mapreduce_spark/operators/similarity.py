@@ -613,6 +613,76 @@ def _ivf_cell_pairs(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_cell_labels(corpus: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id) — connected-component labels of the ≥-threshold
+    cosine pair graph over an :func:`_ivf_assign` frame, computed CELL-LOCALLY
+    (r15 optimization for :func:`semdedup_prune`): pairs only ever form
+    between vectors of the SAME IVF cell, so components never span cells —
+    the component labeling is a per-cell union-find run inside the very task
+    that enumerates the pairs, instead of shipping the pair list through
+    O(log n) global large-star/small-star rounds (each round = multiple
+    shuffles + a driver fixpoint probe; measured 73 Spark jobs for one
+    semdedup_prune at sf0.1, almost all CC rounds). Same contract as
+    ``connected_components_twostar`` over ``_ivf_cell_pairs``: only vectors
+    appearing in ≥1 pair get a row, ``cluster_id`` = min member vec_id
+    (union-find roots keep the smaller id; ids are processed sorted).
+    Per-element math (dot/(na·nb), round at COS_ROUND, ≥ threshold) is
+    byte-identical to :func:`_ivf_cell_pairs`'s kernel — the chunked GEMM is
+    the same — so the grouped pair set, and therefore the labeling, matches
+    the oracle's recursive CTE exactly. Pinned against the global-CC form by
+    tests/test_similarity.py::test_cell_labels_match_global_cc."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "cluster_id": pd.Series(dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        touched = np.zeros(len(ids), dtype=bool)
+        chunk = 1024
+        for i0 in range(0, len(ids), chunk):
+            Sc = (V[i0:i0 + chunk] @ V.T) / np.outer(nrm[i0:i0 + chunk], nrm)
+            cos = np.round(Sc, COS_ROUND)
+            keep = (ids[i0:i0 + chunk, None] < ids[None, :]) & (
+                cos >= NEARDUP_COS_THRESHOLD)
+            ia, ib = np.nonzero(keep)
+            for a, b in zip((ia + i0).tolist(), ib.tolist()):
+                touched[a] = touched[b] = True
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # ids are sorted ascending, so the smaller INDEX is the
+                    # smaller vec_id: keep it as the root → root id IS the
+                    # component minimum
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if not touched.any():
+            return empty
+        idx = np.nonzero(touched)[0]
+        roots = np.array([find(int(i)) for i in idx])
+        return pd.DataFrame({"vec_id": ids[idx], "cluster_id": ids[roots]})
+
+    return corpus.groupBy("cid").applyInPandas(
+        cell_labels, "vec_id long, cluster_id long"
+    )
+
+
 EMBEDDING_IVF_DEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, {duck_cast_double('embedding')} AS v,
                   {duck_norm(duck_cast_double('embedding'))} AS nrm
@@ -666,36 +736,40 @@ def semdedup_prune(spark: SparkSession, sf_dir: str,
     outside cosine space per the engine-wide convention. Fully oracled:
     the same quantizer/CC/election as one DuckDB recursive CTE.
 
-    ``stats``: optional dict the two-star CC fills with its round count —
-    observability for the skew bench (a seeded hot cluster must converge in
-    ~log2(component) rounds, pinned in SCALING_r11's skew table)."""
-    from tf_idf_using_mapreduce_spark.operators.dedup import (
-        connected_components_twostar,
-    )
-
+    ``stats``: optional dict, filled with the CC round count for the skew
+    bench. Since r15 the component labeling is CELL-LOCAL
+    (:func:`_ivf_cell_labels` — pairs only form within an IVF cell, so
+    components never span cells and the union-find rides the pair kernel's
+    own task; the global large-star/small-star rounds this used to run were
+    most of the query's 73 Spark jobs at sf0.1). ``stats['rounds']`` is
+    therefore 0: no global rounds exist anymore — the log-round CC evidence
+    lives on in the text-dedup tier (``dedup_clusters_twostar``), whose
+    LSH-band edges genuinely span buckets."""
     corpus = _ivf_assign(spark, sf_dir)
     if corpus is None:
         return spark.createDataFrame(
             [], "vec_id long, cluster_id long, aff double, kept boolean"
         )
-    # two consumers (edges + election) — cut once, compute the Arrow
+    # two consumers (labels + election) — cut once, compute the Arrow
     # assignment pass once
     corpus = corpus.localCheckpoint(eager=False)
-    edges = _ivf_cell_pairs(corpus)
-    labels = connected_components_twostar(
-        edges, src="vec_a", dst="vec_b", stats=stats
-    ).withColumnRenamed("doc_id", "vec_id")
+    labels = _ivf_cell_labels(corpus)
+    if stats is not None:
+        stats["rounds"] = 0  # cell-local union-find; no global CC rounds
     full = (
         corpus.select("vec_id", "aff")
         .join(labels, "vec_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
     )
-    min_aff = full.groupBy("cluster_id").agg(F.min("aff").alias("m"))
+    # ONE aggregation elects the keeper (r15): min over (aff, vec_id) structs
+    # is lexicographic — the minimum affinity, then the lowest vec_id among
+    # ties — exactly the former min-aff-then-min-id two-step (aff is never
+    # NULL here: every assigned vector carries a rounded cosine), for one
+    # shuffle instead of an aggregate + an equality join + a second aggregate
     keeper = (
-        full.join(min_aff, "cluster_id")
-        .where(F.col("aff") == F.col("m"))
-        .groupBy("cluster_id")
-        .agg(F.min("vec_id").alias("keep_id"))
+        full.groupBy("cluster_id")
+        .agg(F.min(F.struct("aff", "vec_id")).alias("s"))
+        .select("cluster_id", F.col("s.vec_id").alias("keep_id"))
     )
     return full.join(keeper, "cluster_id").select(
         "vec_id", "cluster_id", "aff",
