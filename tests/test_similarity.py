@@ -433,6 +433,31 @@ def test_semdedup_election_contract(spark):
         assert r["cluster_id"] == labels.get(r["vec_id"], r["vec_id"])
 
 
+def test_arrow_cell_assignment_matches_sql(spark):
+    """The r15 Arrow exact-fold cell assignment (``_assign_cells_arrow``)
+    must reproduce the SQL higher-order-expression assignment EXACTLY —
+    same (vec_id → cid) map, because the numpy fold accumulates in the same
+    left-to-right IEEE order as ``aggregate(zip_with(...))`` and rounds at
+    COS_ROUND before the argmax (first max ⇔ lowest cid, matching
+    ``array_max(struct(c, ncid))``)."""
+    from pyspark.sql import functions as F
+
+    anchors = sim._anchor_rows(spark, SF_SMOKE)
+    vecs = sim._vectors(spark, SF_SMOKE)
+    aff = sim._affinity_col(anchors, "v", "nrm")
+    sql_cids = {
+        r["vec_id"]: r["cid"]
+        for r in vecs.select(
+            "vec_id", (-F.array_max(aff).getField("ncid")).alias("cid")
+        ).collect()
+    }
+    arrow_cids = {
+        r["vec_id"]: r["cid"]
+        for r in sim._assign_cells_arrow(vecs, anchors).select("vec_id", "cid").collect()
+    }
+    assert arrow_cids == sql_cids
+
+
 def test_cell_labels_match_global_cc(spark):
     """The r15 cell-local union-find labeling (``_ivf_cell_labels``) must
     reproduce EXACTLY the global two-star CC labels over the registered

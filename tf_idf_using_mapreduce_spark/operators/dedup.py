@@ -1619,7 +1619,12 @@ def dedup_apply_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) survive with their own probability (NULL for NULL text)."""
     from tf_idf_using_mapreduce_spark.operators.textstats import quality_classifier
 
-    q = quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+    # TWO consumers of the classifier frame (cluster members + the final
+    # left join that carries quality_prob onto survivors) — cut once (r15),
+    # else the whole classifier feature pipeline re-runs from parquet per
+    # consumer (~1.3 s at sf0.1)
+    q = (quality_classifier(spark, sf_dir).select("doc_id", "quality_prob")
+         .localCheckpoint(eager=False))
     members = (
         dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
         .join(q, "doc_id")

@@ -379,10 +379,52 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _ivf_search(vecs, anchors, k)
 
 
+def _assign_cells_arrow(vecs: DataFrame, anchors: list) -> DataFrame:
+    """(vec_id, v, nrm, cid): nearest-anchor cell per vector, Arrow-batched
+    numpy with an EXACT-ORDER dot fold (r15 optimization of the `_ivf_search`
+    corpus branch): Spark's higher-order ``transform``/``aggregate``/
+    ``zip_with`` never enter codegen — the per-row k·dim interpreted
+    evaluation was ~0.6 s of every ANN query at sf0.1 (the `_ivf_assign`
+    docstring measured the same pathology at 17 s of a 22 s sf1.0 wall).
+    Parity discipline is STRICTER than `_ivf_assign`'s BLAS matmul: the dot
+    accumulates column-by-column (``acc += V[:,j]·A[:,j]``), i.e. the exact
+    left-to-right IEEE sequence of the SQL ``aggregate(zip_with(...))`` fold
+    and of DuckDB's ``list_dot_product`` — bit-identical affinities, so the
+    rounded argmax (first max ⇔ lowest cid, matching
+    ``array_max(struct(c, ncid))``) is oracle-exact for the ORACLED
+    ``ann_topk_ivf``. Pinned against the expression form by
+    tests/test_similarity.py::test_arrow_cell_assignment_matches_sql."""
+    import numpy as np
+
+    A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])
+    an = np.asarray([float(r["nrm"]) for r in anchors], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            dots = np.zeros((len(V), len(A)), dtype=np.float64)
+            for j in range(V.shape[1]):
+                dots += V[:, j:j + 1] * A[:, j][None, :]
+            C = np.round(dots / np.outer(nrm, an), COS_ROUND)
+            yield pdf.assign(cid=C.argmax(axis=1).astype("int32"))[
+                ["vec_id", "v", "nrm", "cid"]]
+
+    return vecs.mapInPandas(
+        assign, "vec_id long, v array<double>, nrm double, cid int"
+    )
+
+
 def _ivf_search(vecs: DataFrame, anchors: list, k: int) -> DataFrame:
     """The IVF plan shape shared by every quantizer (md5-sampled anchors,
     trained k-means centroids, …): anchors → affinity projection → cell
-    equi-join → windowed exact ranking. ``anchors`` rows need ``v``/``nrm``."""
+    equi-join → windowed exact ranking. ``anchors`` rows need ``v``/``nrm``.
+    The corpus-side assignment is the Arrow exact-fold kernel
+    (:func:`_assign_cells_arrow`); the ≤ ``N_QUERIES``-row query side keeps
+    the expression form (its scan prunes to the query ids, so the
+    interpreted affinity runs on a handful of rows)."""
     if not anchors:
         # empty corpus ⇒ no quantizer cells (F.lit([]) cannot type an empty
         # anchor literal); empty-in → empty-out like the oracle
@@ -390,10 +432,7 @@ def _ivf_search(vecs: DataFrame, anchors: list, k: int) -> DataFrame:
             [], "query_id long, neighbor_id long, cos_sim double, rk int"
         )
     aff = _affinity_col(anchors, "v", "nrm")
-    corpus = vecs.select(
-        "vec_id", "v", "nrm",
-        (-F.array_max(aff).getField("ncid")).alias("cid"),
-    )
+    corpus = _assign_cells_arrow(vecs, anchors)
     q = (
         vecs.where(F.col("vec_id") < N_QUERIES)
         .select(

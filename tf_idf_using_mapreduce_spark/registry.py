@@ -427,29 +427,37 @@ register("events_vacuum_roundtrip", _tt.events_vacuum_roundtrip,
 # round, so they refresh first in r15. Every r9-stale query the r13
 # verdict flagged is FORCE_FRESH-pinned inside this window.
 FORCE_FRESH: frozenset[str] = frozenset({
-    # round 14 (r13 verdict #2): the six queries whose latest driver
-    # evidence is round 9 — the derived staleness sort would float them
-    # first anyway, but the verdict asked for a guarantee, so they are
-    # pinned ahead of everything (all six were green in the r13 judge's /
-    # this round's local re-checks; the driver rows should now say so)
-    "events_sliding_windows",
-    "dataset_card",
-    "knn_label_agreement_lsh",
-    "rrf_fusion_topk",
-    "tfidf_mllib_topk_overlap",
+    # round 15 (optimization round): every query whose Spark-side plan
+    # construction changed this round — results are identical by
+    # construction (each change was hash-checked against its oracle at
+    # sf0.01 AND sf0.1 locally), but the driver rows must re-earn green on
+    # the new expressions.
+    # tfidf family: single-pass counts table + slimmed Porter layers (the
+    # Porter change also rewrites the ORACLE SQL in lockstep)
+    "tfidf",
+    "doc_freq_top100",
+    "doc_freq_approx",
+    "doc_freq_approx_err",
+    "tfidf_doc_similarity",
+    "top_terms_per_doc",
     "tfidf_mllib",
-    # round 14 (r13 verdict #1): bucket-key space and physical bucket count
-    # now DERIVED from corpus size (_derive_bb_space) — the persisted
-    # twins' index layout changed; results identical by construction
-    # (pruning is lossless at any keyspace), re-verify
-    "dedup_incremental_persisted",
-    "dedup_incremental_bloom_persisted",
-    "dedup_image_phash_incremental_persisted",
-    # round 14 (r13 ADVICE): streamed partitioned sink memoized per corpus
-    # identity (no more per-call temp copies); FK audit's broadcast hint
-    # dropped in favor of stats-based planning — both expressions changed
-    "events_stream_daily_partitioned",
-    "data_contract_audit",
+    "tfidf_mllib_topk_overlap",
+    # direct intersection counting
+    "dedup_ngram_jaccard",
+    # lazy per-round CC checkpoints (both solvers) + quality lineage cut
+    "dedup_clusters",
+    "dedup_clusters_twostar",
+    "dedup_apply",
+    "dedup_apply_quality",
+    "source_dup_matrix",
+    # cell-local union-find labeling + single-aggregation election
+    "semdedup_prune",
+    # Arrow exact-fold cell assignment in _ivf_search
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_kmeans_recall",
+    # one array-percentile aggregate
+    "lineitem_price_stats",
 })
 
 
