@@ -4,26 +4,33 @@
 Physical shape (the plan we WANT at 100 TB, plan-asserted in
 tests/test_harness.py and tests/test_tfidf.py):
 
-- one Parquet scan per pass with column pruning to (doc_id, text);
+- ONE Parquet scan with column pruning to (doc_id, text) — r15: both faces of
+  TF-IDF (DF vocabulary + TF table) derive from a single materialized
+  (doc_id, term, tf) counts aggregate (:func:`term_counts_of`), the same
+  intermediate the reference itself persists between its two jobs
+  (``README.md:14-18``);
 - tokenize/stop-filter/stem entirely in whole-stage codegen (no Python);
-- DF aggregation: partial+final ``HashAggregate`` on ``stem`` (the stripes
-  pattern, automatic — SURVEY.md §2.4 A2) with ``count(distinct doc_id)``;
+- counts aggregation: partial+final ``HashAggregate`` on (doc_id, stem) (the
+  stripes pattern, automatic — SURVEY.md §2.4 A2); DF = a count over the
+  counts rows (≡ ``count(distinct doc_id)`` — each row is one distinct doc);
 - top-100 as ``TakeOrderedAndProject`` (per-partition top-k, no global sort —
   replaces the reference's reducer-global TreeMap, ``DocumentFreq.java:78-107``);
 - the ≤100-row DF table joined back with an explicit ``F.broadcast`` (the
   reference's replicated join via distributed cache, ``IDF.java:62-79,93,163``);
-- TF aggregation on (doc_id, term) then the score arithmetic (P10,
-  ``IDF.java:164``: ``tf * ln(10000/(df+1))`` — natural log, corpus constant).
+- score arithmetic on the joined counts (P10, ``IDF.java:164``:
+  ``tf * ln(10000/(df+1))`` — natural log, corpus constant).
 
 Intended semantics, not quirk Q1 (the reference over-counts TF by emitting the
 accumulating stripe once per token, ``IDF.java:104``; SURVEY.md §2.11).
 
-Scale notes: TF-IDF is inherently two passes over the corpus (build the DF
-vocabulary, then score); we re-scan rather than cache — at 100 TB a cache is
-impossible and the second scan prunes to the same two columns. Skew: the DF agg
-groups on ``stem`` whose distribution is Zipfian, but partial aggregation
-collapses each partition's duplicates before the shuffle, so the reduce side
-sees ≤ |vocab| × n_partitions rows; AQE skew-join handling covers the rest.
+Scale notes: the classic "TF-IDF is two corpus passes" shape re-scanned the
+(column-pruned) source once per face; r15 materializes the counts table
+instead — corpus-scale SMALLER than the token stream (distinct stems per doc,
+no text payload; locally a ``localCheckpoint``, at 100 TB a persisted table
+between stages, exactly the reference's DF-TSV handoff). Skew: the counts agg
+groups on (doc_id, stem) — doc_id spreads the Zipfian stem distribution, and
+map-side partials collapse duplicates before the shuffle; the DF aggregate
+then runs over counts rows, not token occurrences.
 """
 
 from __future__ import annotations
