@@ -163,6 +163,7 @@ def bench_names(all_queries) -> list[str]:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from tf_idf_using_mapreduce_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -197,15 +198,21 @@ def main() -> int:
     # min. Genuine regressions survive: two extra passes can't manufacture
     # a fast run that the code can't produce.
     here = os.path.dirname(os.path.abspath(__file__))
-    prev_path = os.path.join(here, "BENCH_FULL.json")
+    # Triage baseline: prefer the SAME-core-count artifact
+    # (BENCH_FULL_c{N}.json, see the per-CPU capture note below) so a
+    # 32-core run is never compared against an 8-core map (cells genuinely
+    # differ ~1.2-1.4x across core counts at this SF, which would trip the
+    # 1.5x triage spuriously); fall back to the legacy BENCH_FULL.json.
     prev: dict[str, float] = {}
-    try:
-        with open(prev_path) as fh:
-            prev_doc = json.load(fh)
-        if prev_doc.get("sf") == sf:
-            prev = prev_doc.get("queries", {}) or {}
-    except Exception:
-        prev = {}
+    for prev_name in (f"BENCH_FULL_c{cpus}.json", "BENCH_FULL.json"):
+        try:
+            with open(os.path.join(here, prev_name)) as fh:
+                prev_doc = json.load(fh)
+            if prev_doc.get("sf") == sf:
+                prev = prev_doc.get("queries", {}) or {}
+                break
+        except Exception:
+            continue
     # Cells with NO previous baseline (new queries, a first-round artifact,
     # an sf mismatch) used to get no triage at all — the exact
     # stall-poisoning window the pass was added for (r10 ADVICE). Absolute
@@ -242,6 +249,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         # audit trail for cross-round comparison tools: cells that tripped
         # the >1.5× triage and kept their end-of-suite re-measure
         "remeasured": sorted(remeasured),
@@ -251,14 +259,32 @@ def main() -> int:
     # (~139 entries, ~5 KB) cannot fit, which is exactly how BENCH_r06/07
     # lost their per-query maps (`parsed: null`, head-truncated tail).
     # Three-way capture so the complete map always survives:
-    #   1. BENCH_FULL.json at the repo root — the complete result,
-    #      committed with the round, the durable artifact of record;
+    #   1. BENCH_FULL_c{cpus}.json — the complete result PER CORE COUNT.
+    #      The r15 judge found the driver's 8-core scaling run clobbering
+    #      the 32-core BENCH_FULL.json (the round's per-query map of record
+    #      was unrecoverable and PERF_r15 lost its per-query comparison);
+    #      per-CPU names make the runs coexist. BENCH_FULL.json keeps its
+    #      legacy name for the main (32-core) run so existing comparison
+    #      tools keep working, and is NOT overwritten by a lower-core run.
     #   2. the full one-line contract JSON (complete stdout parsers);
     #   3. a final SHORT line that fits any tail window: whole-suite
-    #      metric + the slowest entries + a pointer to BENCH_FULL.json.
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+    #      metric + the slowest entries + a pointer to the artifact files.
+    with open(os.path.join(here, f"BENCH_FULL_c{cpus}.json"), "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
+    legacy = os.path.join(here, "BENCH_FULL.json")
+    legacy_cpus = None
+    try:
+        with open(legacy) as fh:
+            legacy_cpus = json.load(fh).get("cpus")
+    except Exception:
+        legacy_cpus = None
+    # overwrite the legacy artifact unless it records a HIGHER core count
+    # (i.e. this is the scaling run following the main run)
+    if legacy_cpus is None or not isinstance(legacy_cpus, int) or cpus >= legacy_cpus:
+        with open(legacy, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(result), flush=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25])
     print(json.dumps({
@@ -266,8 +292,9 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(timings),
-        "queries_file": "BENCH_FULL.json",
+        "queries_file": f"BENCH_FULL_c{cpus}.json",
         "queries_slowest25": slowest,
     }), flush=True)
     return 0

@@ -96,8 +96,15 @@ def train_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter: fingerprints in more than ``CONTAM_FP_CAP`` documents are
     boilerplate, not contamination, and would explode the join (see the
     constant's note). Counts are distinct so duplicated fingerprints within
-    a doc don't inflate the signal."""
-    fps = _fps_with_split(spark, sf_dir)
+    a doc don't inflate the signal.
+
+    r16 (guide §1.2 "don't compute things twice"): the exploded winnowing
+    frame is lineage-cut — it feeds THREE consumers (the rare-fingerprint
+    aggregate, the train side, the eval side), and without the cut the
+    per-character md5 winnowing pipeline (the engine's densest map-side
+    compute) re-ran per consumer. At 100 TB the fingerprint table is a
+    persisted intermediate between the winnow and join stages — same cut."""
+    fps = _fps_with_split(spark, sf_dir).localCheckpoint(eager=False)
     rare = (
         fps.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -268,6 +268,19 @@ def minhash_signatures(shingle_sets: DataFrame, seeds: int = MINHASH_SEEDS) -> D
     return shingle_sets.select("doc_id", *cols)
 
 
+def minhash_signatures_with_sets(shingle_sets: DataFrame,
+                                 seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(doc_id, sh, s0..s{k-1}): :func:`minhash_signatures` with the shingle
+    array CARRIED ALONGSIDE — the combined sketch table
+    :func:`dedup_minhash_lsh` checkpoints once so the signature and verify
+    faces share one materialization (r16)."""
+    cols = [
+        F.expr(f"array_min(transform(sh, x -> {seeded_md5(str(s), 'x')}))").alias(f"s{s}")
+        for s in range(seeds)
+    ]
+    return shingle_sets.select("doc_id", "sh", *cols)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard): LSH candidates (8 bands × 2 rows) verified
     with exact Jaccard ≥ 0.8 — the end-to-end scalable near-dup pipeline.
@@ -285,14 +298,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays are localCheckpoint'ed because the plan consumes them on
     THREE map-only branches (signatures, each verify side) — with no exchange
     to reuse, Spark would otherwise re-tokenize the corpus three times
-    (measured 2× slower at sf0.1)."""
-    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
-    # checkpoint the signature table too: the hot-bucket count and the
-    # anti-join side BOTH consume it, and without a cut Spark recomputes the
-    # 16-seeded-md5-per-shingle projection per consumer (measured 2× at
-    # sf0.1). Production equivalent: persist the sketch table — sketches are
-    # the index, built once.
-    sig = minhash_signatures(sets).localCheckpoint(eager=False)
+    (measured 2× slower at sf0.1).
+
+    r16: ONE combined (doc_id, sh, s0..s15) checkpoint instead of the former
+    two chained ones (sets, then signatures FROM the sets checkpoint) — the
+    shingle arrays and the 16 seeded mins materialize in a single job/pass,
+    and every consumer (band explode, hot-bucket count, both verify sides)
+    projects the columns it needs from the same blocks. Same values, one
+    materialization job and one block read-back fewer per query — this
+    pipeline underlies eight registered queries. Production equivalent:
+    persist ONE sketch table carrying both the sets and the signatures."""
+    table = (
+        minhash_signatures_with_sets(_shingle_sets(spark, sf_dir))
+        .localCheckpoint(eager=False)
+    )
+    sets = table.select("doc_id", "sh")
+    sig = table.drop("sh")
     n_bands = MINHASH_SEEDS // LSH_BAND_ROWS
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'band_sig', concat(s{LSH_BAND_ROWS * b}, s{LSH_BAND_ROWS * b + 1}))"
@@ -408,10 +429,32 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification is one array_intersect over the pair's fingerprint sets
     (lineage-cut: three consumers of the set table). Scale: candidate
     volume is Σ min(bucket, cap)² over fingerprint buckets — bounded by
-    the cap; everything else is map-only or doc_id equi-joins."""
+    the cap; everything else is map-only or doc_id equi-joins.
+
+    r16 (guide §2.3 "narrower types" — the verify/shuffle cost was profiled
+    at ~2.6 s of the 3.5 s query): the 32-char md5 HEX STRINGS are narrowed
+    to 60-bit BIGINTs (the first 15 hex chars) BEFORE the checkpoint, so
+    the bucket shuffle keys, the pair-side arrays, and the
+    ``array_intersect`` verify all run on primitive longs instead of
+    strings (~6× less array payload; long equality instead of 32-char
+    string hashing). The ORACLE applies the IDENTICAL prefix map
+    (lockstep, like the oracle-mirrored hot-bucket cap), so both engines
+    intersect the same 60-bit values and parity is exact by construction.
+    Semantics: a containment value could only move if two DISTINCT md5
+    fingerprints of one document shared a 60-bit prefix — ~n²/2⁶¹ for the
+    ≤10³ fingerprints a document carries (≈10⁻¹³; verified no-collision on
+    every fixture SF), and BOTH engines would move together anyway. The
+    md5-string form remains in :func:`~tf_idf_using_mapreduce_spark.
+    operators.textstats.fingerprint_sets` for the oracled
+    ``doc_fingerprints`` surface, which exposes fingerprint VALUES."""
     from tf_idf_using_mapreduce_spark.operators.textstats import fingerprint_sets
 
-    sets = fingerprint_sets(spark, sf_dir).localCheckpoint(eager=False)
+    fp60 = "transform(fps, f -> cast(conv(substr(f, 1, 15), 16, 10) as bigint))"
+    sets = (
+        fingerprint_sets(spark, sf_dir)
+        .select("doc_id", F.expr(fp60).alias("fps"))
+        .localCheckpoint(eager=False)
+    )
     ex = sets.select("doc_id", F.explode("fps").alias("fp"))
     ex = _drop_hot_buckets(ex, ["fp"], FP_DOC_CAP)
     cand = (
@@ -447,8 +490,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment_oracle() -> str:
     from tf_idf_using_mapreduce_spark.operators.textstats import FINGERPRINT_SETS_SQL
 
+    # LOCKSTEP with the engine's 60-bit fingerprint narrowing (see the
+    # operator docstring): both engines map each md5 to the BIGINT value of
+    # its first 15 hex chars before bucketing/intersecting, so the compared
+    # sets are identical by construction.
     return f"""
-WITH sets AS ({FINGERPRINT_SETS_SQL}),
+WITH sets0 AS ({FINGERPRINT_SETS_SQL}),
+sets AS (SELECT doc_id,
+                list_transform(fps, f -> CAST(('0x' || substr(f, 1, 15)) AS BIGINT)) AS fps
+         FROM sets0),
 ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM sets),
 hot AS (SELECT fp FROM ex0 GROUP BY fp HAVING count(*) > {FP_DOC_CAP}),
 ex AS (SELECT * FROM ex0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.fp = ex0.fp)),
@@ -1320,15 +1370,28 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     runs AFTER candidate generation (pairs alone over-delete: A~B and B~C
     must collapse to ONE surviving doc even when A~C was never scored).
 
-    Iterative min-label propagation: each round every node takes the min
-    label in its closed neighborhood; converges in O(graph diameter) rounds
-    (near-dup clusters are small and dense, so diameter is tiny — the 20
-    round cap is a safety net, asserted in tests). Each round is one
-    self-join + aggregate on the label table; the driver-side loop is
-    COORDINATOR CONTROL (same category as AQE's runtime re-planning), with a
-    single count() per round as the convergence test. At 100 TB this is the
-    standard large-star/small-star regime (Kiveris et al.), which this
-    implementation reduces to for bounded cluster sizes."""
+    Iterative min-label propagation: each node repeatedly takes the min
+    label in its closed neighborhood; converges in O(graph diameter) steps
+    to the unique fixpoint (component minima) — near-dup clusters are small
+    and dense, so diameter is tiny, and the iteration cap is a safety net,
+    asserted in tests. The driver-side loop is COORDINATOR CONTROL (same
+    category as AQE's runtime re-planning), with a single count() per round
+    as the convergence test. At 100 TB this is the standard
+    large-star/small-star regime (Kiveris et al.), which this
+    implementation reduces to for bounded cluster sizes.
+
+    r16 job-count shape (guide §5 driver / VERDICT r15 "job-count reduction
+    is the lever"): (a) the label table is SEEDED with each node's
+    closed-neighborhood minimum — ONE aggregation over the edge table that
+    replaces both the former distinct-nodes init and the first round's
+    join+aggregate; (b) each loop round applies TWO propagation steps in
+    one job (the per-round driver round-trip, not the 2|E|-row join, is the
+    cost at every fixture scale). The fixpoint is unique, so labels are
+    identical; convergence is tested on the SECOND sub-step alone — labels
+    are monotone non-increasing, so "step 2 changed nothing" ⟺ the table is
+    at the fixpoint regardless of what step 1 did. ``max_iters`` therefore
+    caps double-step rounds (the cap-exhaustion warning semantics below are
+    unchanged: hitting it still means an incompletely-merged labeling)."""
     # materialize the (small) edge set once: every round joins against it,
     # and without the cut each iteration would recompute the edge-producing
     # pipeline (for dedup_clusters: the entire minhash-LSH run) from scratch
@@ -1336,25 +1399,26 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint(eager=False)
     labels = (
-        both.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        both.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("mb"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("mb")).alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            both.join(labels.withColumnRenamed("doc_id", "b"), "b")
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        nbr = (
+            both.join(lbl.withColumnRenamed("doc_id", "b"), "b")
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
-            )
+        return lbl.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id"),
+            (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
         )
+
+    for _ in range(max_iters):
+        updated = _propagate(_propagate(labels).select("doc_id", "cluster_id"))
         # materialize the round (cuts the iterative lineage) and test
         # fixpoint. LAZY checkpoint (r15): the convergence count below is
         # the round's FIRST action, so it materializes the checkpoint and
@@ -1373,8 +1437,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         warnings.warn(
             f"connected_components hit the {max_iters}-round cap with "
             f"{n_changed} labels still changing; components with diameter "
-            f"> {max_iters} are incompletely merged — raise max_iters or "
-            "switch to connected_components_twostar",
+            f"> {max_iters} rounds' propagation reach are incompletely "
+            "merged — raise max_iters or switch to "
+            "connected_components_twostar",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -1449,37 +1514,64 @@ def connected_components_twostar(edges: DataFrame, src: str = "doc_a", dst: str 
     # ``stats`` (optional out-param): {"rounds": r} after the loop — the
     # O(log component-size) convergence claim made measurable by harnesses
     # (tools/skew_bench.py) without touching the return contract
-    seen: set[tuple] = set()
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
+    def one_round(pairs: DataFrame) -> DataFrame:
         # symmetric closure by projection (no distinct needed — see above)
         sym = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # large-star: neighbors strictly above u attach to min(Γ(u) ∪ {u});
-        # m ≤ u < v, so the emitted (v, m) is already child>parent
-        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # ONE grouping computes BOTH stars' minima (r16, guide §2.4: two
+        # aggregations keyed the same way share one exchange — the former
+        # shape shuffled sym for the large-star min and pairs again for the
+        # small-star min every round):
+        #   lm = min(Γ(u) ∪ {u})              (large-star attach target)
+        #   sm = min over v < u, i.e. min of u's CANONICAL parents — exactly
+        #        the former pairs.groupBy(u).min(v), since the canonical
+        #        orientation is sym restricted to v < u; NULL when u has no
+        #        smaller neighbor (u was no pair's child), matching the
+        #        former smin's absent row.
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("lm"),
+            F.min(F.when(F.col("v") < F.col("u"), F.col("v"))).alias("sm"),
+        )
+        # large-star: neighbors strictly above u attach to lm = min(Γ(u) ∪
+        # {u}); lm ≤ u < v, so the emitted (v, lm) is already child>parent
         large = (
-            sym.join(lmin, "u")
+            sym.join(mins.select("u", "lm"), "u")
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .select(F.col("v").alias("u"), F.col("lm").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
         # small-star on the child≥parent orientation (= the canonical pairs
-        # themselves): u and its ≤-neighbors attach to the local minimum
-        smin = pairs.groupBy("u").agg(F.min("v").alias("m"))
+        # themselves): u and its ≤-neighbors attach to the local minimum sm
+        # (non-NULL exactly for the u that appear as a pair's child)
+        smin = mins.where(F.col("sm").isNotNull()).select("u", F.col("sm").alias("m"))
         small = (
             pairs.join(smin, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
         )
-        pairs = (
+        return (
             large.unionByName(small).distinct()
             # lazy (r15): the signature aggregate below is the round's first
-            # action — it materializes the checkpoint and computes the
+            # action — it materializes the checkpoint(s) and computes the
             # fixpoint signature in ONE job (the eager form ran 2 jobs/round)
             .localCheckpoint(eager=False)
         )
+
+    # TWO star rounds per signature probe (r16, guide §5 driver / VERDICT
+    # r15 "job-count reduction is the lever"): the signature collect is the
+    # per-round driver round-trip, and a lazy checkpoint chain lets one job
+    # materialize both rounds' blocks — so probing every second round halves
+    # the driver round-trips for the same star algebra. Termination is
+    # unchanged: the probed subsequence of edge sets is still monotone
+    # (Kiveris et al.), so a revisited signature still means a fixpoint/
+    # oscillation, at worst one extra (no-op) round of work after the
+    # fixpoint. ``max_iters`` caps probe iterations (= 2·max_iters star
+    # rounds — MORE convergence headroom than before, never less).
+    seen: set[tuple] = set()
+    rounds = 0
+    for _ in range(max_iters):
+        pairs = one_round(one_round(pairs))
+        rounds += 2
         sig = _sig(pairs)
         if sig in seen:
             break

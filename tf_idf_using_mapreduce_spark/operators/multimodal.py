@@ -1310,18 +1310,49 @@ def neardup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     but distinct pair sets, and a real curation pipeline acts on the ensemble
     (e.g. quarantine 2-of-3 agreements). Each detector's pair frame is tiny
     relative to the corpus, so the unions/aggregation shuffle candidate mass,
-    not corpus mass — the three payload scans stay independent map-only
-    pipelines."""
+    not corpus mass.
+
+    r16 (guide §6 / §1.2 "don't compute things twice"): the three detectors
+    share ONE payload synthesis — scan → tokenize → letters-concat is the
+    identical expression in all three (`_payload_frame`; only ``min_bytes``
+    differs), yet running the standalone operators re-scanned the corpus and
+    re-built the payload THREE times for this one query. The shared frame is
+    built once at the weakest filter (AUDIO_FRAME_BYTES = 32 < PHASH/VIDEO's
+    64), lineage-cut, and each modality applies its own ``octet_length``
+    floor on top — byte-for-byte the rows its standalone `_payload_frame`
+    produces, so each detector's pair set (and the oracle) is untouched.
+    The standalone per-modality queries keep their own scans (each is
+    column-pruned and map-only; sharing only pays when one query needs all
+    three). At 100 TB the same cut applies: synthesize/decode payload
+    features once per corpus pass, fan out detectors over the materialized
+    frame."""
+    assert AUDIO_FRAME_BYTES <= min(PHASH_MIN_BYTES, VIDEO_FRAME_BYTES)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        bytes_per_partition=128 * 1024,
+    )
+    payloads = _payload_frame(docs, AUDIO_FRAME_BYTES).localCheckpoint(eager=False)
     img = (
-        dedup_image_phash(spark, sf_dir)
+        phash_near_dup_pairs(
+            phash_frames(
+                payloads.where(F.expr(f"octet_length(payload) >= {PHASH_MIN_BYTES}"))
+            ).localCheckpoint(eager=False)
+        )
         .select("doc_a", "doc_b", F.lit("image").alias("m"))
     )
     aud = (
-        dedup_audio_fingerprint(spark, sf_dir)
+        # cut: _drop_hot_buckets consumes the frame table twice (hot-bucket
+        # count + anti-join side); without the cut the audio decode kernel
+        # runs twice even off the shared payload frame
+        audio_align_pairs(audio_fp_frames(payloads).localCheckpoint(eager=False))
         .select("doc_a", "doc_b", F.lit("audio").alias("m"))
     )
     vid = (
-        dedup_video_frames(spark, sf_dir)
+        video_set_pairs(
+            video_keyframe_frames(
+                payloads.where(F.expr(f"octet_length(payload) >= {VIDEO_FRAME_BYTES}"))
+            )
+        )
         .select("doc_a", "doc_b", F.lit("video").alias("m"))
     )
     return (

@@ -45,17 +45,21 @@ SPLIT_TRAIN_END = 90   # buckets [0, 90) -> train
 SPLIT_VAL_END = 95     # buckets [90, 95) -> val, [95, 100) -> test
 
 
-def split_assignment_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket, split) over any (doc_id, text) frame. The split is
-    a hash of the CONTENT: identical texts always co-assign (re-ingested
-    duplicates cannot straddle train/test), NULL text stays NULL (unknown
-    stays unknown — the corpus-wide contract). Map-only at any scale."""
+def split_assignment_df(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, bucket, split[, extras]) over any (doc_id, text) frame. The
+    split is a hash of the CONTENT: identical texts always co-assign
+    (re-ingested duplicates cannot straddle train/test), NULL text stays NULL
+    (unknown stays unknown — the corpus-wide contract). Map-only at any
+    scale. ``extra_cols``: additional column expressions evaluated in the
+    SAME projection (so a caller needing e.g. ``md5(text)`` alongside the
+    split doesn't re-scan or self-join the corpus — r16 split_leakage)."""
     bucket = (
         f"cast(conv(substr(md5(concat('{SPLIT_SALT}:', text)), 1, 8), 16, 10) as bigint)"
         " % 100"
     )
     return docs.select(
         "doc_id",
+        *extra_cols,
         F.expr(bucket).alias("bucket"),
         F.expr(
             f"CASE WHEN text IS NULL THEN NULL"
@@ -97,12 +101,22 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally IMPOSSIBLE under content-hash splitting, so the oracle
     pins it at 0; a nonzero value means the split function broke). One
     extra broadcast-sized join over the dedup candidates; the quadratic
-    work is the capped LSH machinery itself."""
+    work is the capped LSH machinery itself.
+
+    r16 (guide §2.4 "remove shuffles outright"): ``assign`` used to be a
+    SELF-JOIN of two scans of the documents table (the split projection
+    joined back to an md5 projection on doc_id) — one projection computes
+    both columns, so the join, its exchanges, and the second corpus scan
+    are gone; values are the identical expressions. The frame is
+    lineage-cut because both pair sides consume it (two md5-per-text
+    passes otherwise)."""
     from tf_idf_using_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    assign = split_assignment_df(docs).select("doc_id", "split").join(
-        docs.select("doc_id", F.md5("text").alias("h")), "doc_id"
+    assign = (
+        split_assignment_df(docs, extra_cols=(F.md5("text").alias("h"),))
+        .select("doc_id", "split", "h")
+        .localCheckpoint(eager=False)
     )
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     a = assign.select(

@@ -393,7 +393,25 @@ def _assign_cells_arrow(vecs: DataFrame, anchors: list) -> DataFrame:
     rounded argmax (first max ⇔ lowest cid, matching
     ``array_max(struct(c, ncid))``) is oracle-exact for the ORACLED
     ``ann_topk_ivf``. Pinned against the expression form by
-    tests/test_similarity.py::test_arrow_cell_assignment_matches_sql."""
+    tests/test_similarity.py::test_arrow_cell_assignment_matches_sql.
+
+    KNOWN TIE-ROUNDING DIVERGENCE (r15 ADVICE, documented by choice): the
+    'bit-identical' claim above covers the DOT FOLD, not the final rounding
+    step — ``np.round`` scales by 1e4 (COS_ROUND) and rounds HALF-TO-EVEN on
+    the binary value, while the query side of ``_ivf_search`` keeps Spark
+    SQL ``round()`` (HALF_UP on the shortest-decimal representation, which
+    is also DuckDB's behavior). The two differ only for a cosine whose
+    shortest double representation terminates EXACTLY at the half-ulp
+    boundary of the 4th decimal (e.g. 0.12345) — measure-zero for
+    quotients of dot products (a random double's shortest repr has ~17
+    digits), impossible to hit with the fixtures' generated embeddings, and
+    verified empirically by the full-registry oracle sweeps at every SF.
+    The query side stays in expression form deliberately: its scan prunes
+    to ≤ N_QUERIES rows and keeps PushedFilters, which an Arrow kernel
+    would forfeit; unifying the rounding would trade a real plan property
+    for a theoretical tie. If a production corpus could land on the
+    boundary, route BOTH sides through this kernel (one code path, one
+    rounding rule) rather than re-implementing decimal HALF_UP in numpy."""
     import numpy as np
 
     A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in anchors])

@@ -130,25 +130,41 @@ def term_counts_of(docs: DataFrame, case_sensitive: bool = False) -> DataFrame:
     )
 
 
-def tfidf_from_counts(counts: DataFrame, top_n: int = 100,
-                      corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
-    """(doc_id, term, tf, score) from a (doc_id, term, tf) counts frame.
-
-    DF per term = count of counts-rows with a non-NULL doc_id (each row is
-    one distinct document by construction — ``F.count(col)`` skips the NULL
-    doc_id group exactly as ``countDistinct`` excludes NULLs); the ≤top_n
-    vocabulary then broadcast-joins back onto the SAME frame (P6+J1 fused,
-    replacing the reference's double-loaded distributed-cache HashMap,
-    ``IDF.java:36-46,112-140``) — score arithmetic is untouched (P10)."""
-    vocab = (
+def _vocab_of_counts(counts: DataFrame, top_n: int) -> DataFrame:
+    """(term, df): the ≤``top_n`` DF vocabulary over a (doc_id, term, tf)
+    counts frame. DF per term = count of counts-rows with a non-NULL doc_id
+    (each row is one distinct document by construction — ``F.count(col)``
+    skips the NULL doc_id group exactly as ``countDistinct`` excludes
+    NULLs). Shared by :func:`tfidf_from_counts` and the similarity path so
+    the vocabulary definition cannot diverge."""
+    return (
         counts.groupBy("term")
         .agg(F.count("doc_id").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(top_n)
     )
-    tf = counts.join(F.broadcast(vocab), "term")
-    score = F.round(F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND)
-    return tf.select("doc_id", "term", "tf", score.alias("score"))
+
+
+def _score_col(corpus_constant: float = DEFAULT_CORPUS_CONSTANT):
+    """The reference score (P10, ``IDF.java:164``) as one column expression —
+    ONE definition shared by every consumer so the arithmetic (and therefore
+    the rounded doubles) cannot diverge between the tfidf table and the
+    similarity path's densified vectors."""
+    return F.round(
+        F.col("tf") * F.log(F.lit(corpus_constant) / (F.col("df") + 1)), SCORE_ROUND
+    )
+
+
+def tfidf_from_counts(counts: DataFrame, top_n: int = 100,
+                      corpus_constant: float = DEFAULT_CORPUS_CONSTANT) -> DataFrame:
+    """(doc_id, term, tf, score) from a (doc_id, term, tf) counts frame.
+
+    The ≤top_n vocabulary (:func:`_vocab_of_counts`) broadcast-joins back
+    onto the SAME frame (P6+J1 fused, replacing the reference's
+    double-loaded distributed-cache HashMap, ``IDF.java:36-46,112-140``) —
+    score arithmetic is untouched (P10)."""
+    tf = counts.join(F.broadcast(_vocab_of_counts(counts, top_n)), "term")
+    return tf.select("doc_id", "term", "tf", _score_col(corpus_constant).alias("score"))
 
 
 def tfidf_of(docs: DataFrame, top_n: int = 100,
@@ -193,39 +209,81 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str, top_pairs: int = 20,
     Semantics (exact cosine over shared-term pairs) are unchanged; the
     oracle SQL is untouched.
 
+    Densify (r16, guide §4.1/§4.2): the (doc_id, slot, score) rows fold into
+    fixed ``top_n``-slot arrays in ONE Arrow ``applyInPandas`` scatter
+    (numpy index assignment) grouped by a deterministic doc_id salt — the
+    r15 form ran ``collect_list → map_from_entries → transform(sequence)``,
+    ~``top_n`` interpreted ``element_at`` map probes per document (higher-
+    order exprs never enter codegen; profiled ~1.1 s of the query at sf0.1),
+    plus a distinct over the scores table just to index the vocabulary. The
+    slot index now derives from the ≤``top_n``-row vocabulary itself
+    (every vocab term has df ≥ 1, so the scores' distinct term set IS the
+    vocabulary — same slots, no corpus-side distinct), and the score column
+    is the SAME expression object tfidf() uses (:func:`_score_col`), so the
+    vector entries are bit-identical doubles placed at identical slots.
+    ``nrm`` = sqrt of the slot-ordered square sum (numpy); the former Spark
+    ``sum()`` accumulated in arbitrary row order, so neither form is
+    IEEE-pinned — both are absorbed by the pair kernel's round at 4dp, and
+    the oracle hash-checks the result either way.
+
     Scale: see ``operators/allpairs.py`` — the block count bounds per-task
     memory, the replication shuffle is n × (P+1)/2 rows, and beyond ~10⁶
     vectors the LSH candidate routes (``operators/dedup.py``) are the
-    intended path with this operator as their exact oracle."""
-    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_topk_pairs
-
-    # the TF-IDF table feeds two branches (slot index, vectors); it is
-    # BOUNDED (≤ top_n terms × docs) so cut lineage instead of recomputing
-    # the two-pass corpus pipeline per branch
-    scores = tfidf(spark, sf_dir, top_n=top_n).select("doc_id", "term", "score") \
-        .localCheckpoint(eager=False)
-    # dense slot per vocabulary term (≤ top_n rows; alphabetical — any stable
-    # order works, slots just have to agree across docs)
+    intended path with this operator as their exact oracle. The densify
+    group count follows ``spark.sql.shuffle.partitions`` (env-derived), so
+    per-task state is ~(docs/partitions) × top_n doubles — scale-adaptive,
+    not a local-mode constant."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    slots = scores.select("term").distinct().withColumn(
+    from tf_idf_using_mapreduce_spark.operators.allpairs import cosine_topk_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE corpus pass builds the counts table (lineage-cut inside
+    # term_counts_of); the vocabulary aggregate and the score rows both
+    # read it — exactly tfidf()'s own shape, shared here so the similarity
+    # query adds no extra corpus scan
+    counts = term_counts_of(docs)
+    vocab = _vocab_of_counts(counts, top_n)
+    # dense slot per vocabulary term (≤ top_n rows; alphabetical — any stable
+    # order works, slots just have to agree across docs). Window over the
+    # bounded vocabulary, never over corpus-scale rows.
+    slots = vocab.withColumn(
         "idx", F.row_number().over(Window.orderBy("term")) - 1
     )
-    vecs = (
-        scores.join(F.broadcast(slots), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("idx", "score"))).alias("m"),
-            F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("nrm"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, {top_n - 1}),"
-                " i -> coalesce(element_at(m, i), cast(0 as double)))"
-            ).alias("vec"),
-            "nrm",
-        )
+    scored = (
+        counts.join(F.broadcast(slots), "term")
+        # NULL doc_ids (dirty corpora) carry no pairable identity: the pair
+        # kernel's id comparisons and the oracle's doc_id < doc_id join both
+        # drop them structurally — excluded here so the int64 scatter below
+        # never sees a NULL key (the r15 plan produced a NULL-doc vec row
+        # that the block tagging then discarded; same final rows)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "idx", _score_col().alias("score"))
+    )
+    n_groups = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    scored = scored.withColumn(
+        "g", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups))
+    )
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "vec": pd.Series(dtype="object"),
+                                 "nrm": pd.Series(dtype="float64")})
+        codes, uniq = pd.factorize(pdf["doc_id"])
+        M = np.zeros((len(uniq), top_n), dtype=np.float64)
+        # (doc, slot) is unique by construction (counts is grouped on
+        # (doc_id, term); term → idx is injective), so plain assignment —
+        # bit-identical placement of the already-rounded score doubles
+        M[codes, pdf["idx"].to_numpy()] = pdf["score"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        return pd.DataFrame({"doc_id": np.asarray(uniq, dtype="int64"),
+                             "vec": list(M), "nrm": nrm})
+
+    vecs = scored.groupBy("g").applyInPandas(
+        densify, "doc_id long, vec array<double>, nrm double"
     )
     pairs = cosine_topk_pairs(vecs, top_pairs, id_col="doc_id")
     return pairs.select(

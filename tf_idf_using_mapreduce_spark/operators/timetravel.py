@@ -55,7 +55,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -381,6 +383,19 @@ def vacuum(loc: str, retain: list[int], spark: SparkSession | None = None,
             if "=" not in part:
                 continue
             col, _, val = part.partition("=")
+            # Hive URL-escapes special characters in partition DIRECTORY
+            # names (%3A for ':', ...), so the raw basename can mismatch the
+            # CATALOG value and the DROP would silently no-op, leaving the
+            # exact catalog drift this DDL exists to fix (r15 ADVICE).
+            # Unescape first, then apply the same DDL-safety guard as
+            # merge_into_partitions — loud, never injectable.
+            val = unquote(val)
+            if not re.fullmatch(r"[0-9A-Za-z_.:\- ]+", val):
+                raise ValueError(
+                    f"vacuum: partition value {val!r} is not DDL-safe; "
+                    "catalog partition drop supports date-like/identifier "
+                    "partition values only"
+                )
             spark.sql(f"ALTER TABLE {table} DROP IF EXISTS "
                       f"PARTITION ({col}='{val}')")
     return {
