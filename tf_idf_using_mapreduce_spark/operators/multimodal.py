@@ -900,8 +900,16 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant payloads — the audio analogue of boilerplate — are amputated
     BEFORE materialization, mirrored in the oracle); the vote histogram is a
     second small shuffle on (doc_a, doc_b, delta) whose input is candidate
-    mass, not corpus mass. Never an all-pairs join."""
-    return audio_align_pairs(audio_fingerprint_table(spark, sf_dir))
+    mass, not corpus mass. Never an all-pairs join.
+
+    The frame table is lineage-cut (r16): ``_drop_hot_buckets`` consumes it
+    twice (hot-fingerprint count + anti-join side), and without the cut the
+    payload synthesis + decode kernel ran twice per query — the same cut
+    the image (`dedup_image_phash`) and video (`video_set_pairs`) tiers
+    already carry."""
+    return audio_align_pairs(
+        audio_fingerprint_table(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 def audio_align_pairs(fps: DataFrame) -> DataFrame:
@@ -1248,7 +1256,10 @@ def dedup_audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> Dat
         _drop_hot_buckets,
     )
 
-    fps = audio_fingerprint_table(spark, sf_dir)
+    # lineage cut (r16): THREE consumers (hot-fingerprint count, index join
+    # side, broadcast batch side) — the decode kernel otherwise ran three
+    # times per query; the image/video incremental twins already cut here
+    fps = audio_fingerprint_table(spark, sf_dir).localCheckpoint(eager=False)
     is_new = F.col("doc_id") % INCR_BATCH_MOD == 0
     # .distinct() on both probe sides: duplicate document rows (legal dirty
     # data) duplicate every (doc_id, frame_idx, fh) row, and raw-row joins

@@ -161,9 +161,14 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str,
         .select("doc_id")
         .join(survivors, "doc_id")
     )
+    # lineage cut (r16): TWO consumers (the shard assignment below and the
+    # token-count join) — without it the PII regex scrub and its upstream
+    # survivor joins ran twice per query. Production materializes the
+    # scrubbed survivor table at this boundary anyway (it is the shipped
+    # corpus).
     scrubbed = pii_redaction_df(
         docs.select("doc_id", "text").join(mixed, "doc_id")
-    ).select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", F.col("clean_text").alias("text")).localCheckpoint(eager=False)
     sharded = corpus_shuffle_df(
         scrubbed.select("doc_id"), n_shards=n_shards
     ).select("doc_id", "shard")

@@ -829,20 +829,24 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
     # (cv.fit, cv.transform, idf.fit, the final transform — four actions),
     # and uncached each pass re-ran scan → tokenize → Porter-stem →
     # collect_list from parquet; measured 20.2 s for the overlap twin at
-    # sf0.1, 24 % of the whole bench suite (round-6 verdict #1). Eager
+    # sf0.1, 24 % of the whole bench suite (round-6 verdict #1).
     # localCheckpoint (the repo's standard lineage cut) computes the token
     # lists once and the term-frequency vectors once; every later pass
     # reads the checkpointed blocks. Values are unchanged — same lineage,
     # fewer evaluations — so the oracled overlap gate is untouched.
+    # LAZY since r16: the n_docs count below is the first action anyway, so
+    # it materializes the blocks and counts in ONE job instead of a
+    # dedicated materialization job plus a count job (the CC-round fusion
+    # pattern, r15).
     doc_tokens = (
         toks.groupBy("doc_id")
         .agg(F.collect_list("stem").alias("terms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # CountVectorizer.fit raises on an empty corpus (found by
     # tools/degenerate_check.py); a model fit on nothing has no vocabulary,
-    # and the query contract is empty-in → empty-out. The probe is free:
-    # the frame is already eagerly checkpointed.
+    # and the query contract is empty-in → empty-out. The count doubles as
+    # the checkpoint's materialization action (see the lazy note above).
     n_docs = doc_tokens.count()
     if n_docs == 0:
         from pyspark.ml.linalg import VectorUDT
@@ -855,7 +859,9 @@ def _tfidf_mllib_fit(spark: SparkSession, sf_dir: str, vocab_size: int = 100):
         return [], spark.createDataFrame([], empty_schema), 0, doc_tokens
     cv = CountVectorizer(inputCol="terms", outputCol="tf_vec", vocabSize=vocab_size)
     cv_model = cv.fit(doc_tokens)
-    tf = cv_model.transform(doc_tokens).localCheckpoint(eager=True)
+    # lazy: IDF.fit's treeAggregate is the first action over the tf vectors
+    # — it materializes the blocks en route (one job fewer, same values)
+    tf = cv_model.transform(doc_tokens).localCheckpoint(eager=False)
     idf = IDF(inputCol="tf_vec", outputCol="features")
     feats = idf.fit(tf).transform(tf).select("doc_id", "features")
     return cv_model.vocabulary, feats, n_docs, doc_tokens
