@@ -586,7 +586,11 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    final = docs.join(survivors, "doc_id")
+    # lineage cut (r16): the released-survivor frame feeds TWO branches (the
+    # split assignment and the token census, re-joined below to preserve the
+    # row-multiplicity contract under duplicate doc_ids) — without the cut
+    # the cascade-join + md5-dedup shuffle + survivor join ran twice
+    final = docs.join(survivors, "doc_id").localCheckpoint(eager=False)
     assigned = split_assignment_df(final.select("doc_id", "text")).select("doc_id", "split")
     return (
         final.select("doc_id", "source", F.expr(f"size({_TOKENS})").alias("n_tok"))
