@@ -233,6 +233,50 @@ def test_dedup_containment_oracle_parity(spark):
     assert_query_matches_oracle(spark, "dedup_containment")
 
 
+def test_fp60_prefix_parity_and_distinctness(spark):
+    """r16 internals pin for the containment fingerprint narrowing: (a) the
+    Spark 60-bit prefix map (conv(substr(md5,1,15),16,10)) and the DuckDB
+    lockstep form (('0x'||substr(md5,1,15))::BIGINT) agree EXACTLY,
+    including the extreme values (all-f → 2^60−1, all-0 → 0); (b) on the
+    smoke fixture the narrowing is collision-free per document, so every
+    containment value is provably identical to the md5-string form."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from tf_idf_using_mapreduce_spark.operators.textstats import fingerprint_sets
+
+    probes = [
+        "ffffffffffffffffffffffffffffffff",
+        "00000000000000000000000000000000",
+        "0123456789abcdef0123456789abcdef",
+        "fedcba9876543210fedcba9876543210",
+        "8000000000000000ffffffffffffffff",
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "h string").select(
+        "h", F.expr("cast(conv(substr(h, 1, 15), 16, 10) as bigint)").alias("fp60")
+    )
+    got = {r["h"]: r["fp60"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for p in probes:
+        want = con.sql(
+            f"SELECT CAST(('0x' || substr('{p}', 1, 15)) AS BIGINT)"
+        ).fetchone()[0]
+        assert got[p] == want, (p, got[p], want)
+    assert got["ffffffffffffffffffffffffffffffff"] == (1 << 60) - 1
+    assert got["00000000000000000000000000000000"] == 0
+    # per-doc distinctness survives the narrowing on the fixture: sizes of
+    # the distinct md5 set and the distinct 60-bit set match for every doc
+    fps = fingerprint_sets(spark, SF_SMOKE)
+    bad = fps.select(
+        F.expr("size(array_distinct(fps))").alias("n_md5"),
+        F.expr(
+            "size(array_distinct(transform(fps,"
+            " f -> cast(conv(substr(f, 1, 15), 16, 10) as bigint))))"
+        ).alias("n_60"),
+    ).where(F.col("n_md5") != F.col("n_60")).count()
+    assert bad == 0
+
+
 def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     """A short document quoted verbatim inside a much longer one:
     containment ~1.0 (flagged) while symmetric Jaccard is far below the
